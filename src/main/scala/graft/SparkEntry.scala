@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` maps one name per implemented operator (SURVEY.md §2 +
+  * LLM-pipeline extensions) to a `(session, sfDir) => DataFrame`;
+  * `oracleSql` holds the DuckDB-equivalent SQL for every
+  * SQL-expressible query (same column names, same ORDER BY, same
+  * rounding — the driver hash-compares values after sorting columns by
+  * name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. Scan → broadcast join → grouped agg → top-k: the operator
+    * shape of the reference's recommendation pipeline B
+    * (recommender.py:146-176) on the driver testdata.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    ops.Relational.topK(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ops.Relational.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (ALS train/predict, randomSplit, LSH) → driver records a weaker
+    * rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    ops.Relational.oracle
 }
