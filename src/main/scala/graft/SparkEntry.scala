@@ -24,7 +24,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.TextAnalysis.queries ++
-      ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Events.queries
+      ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Events.queries ++
+      recommend.AlsPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -33,5 +34,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.TextAnalysis.oracle ++
-      ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Events.oracle
+      ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Events.oracle ++
+      recommend.AlsPipeline.oracle
 }
