@@ -200,8 +200,12 @@ object Dedup {
     * candidates (Hamming-LSH). Emits per-doc fingerprints plus bucket
     * sizes of the two halves — all narrow + one small groupBy.
     */
-  def simhash(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d)
+  def simhash(s: SparkSession, d: String): DataFrame =
+    simhashOf(documents(s, d))
+
+  /** Core simhash over any (doc_id, text) relation. */
+  def simhashOf(docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .withColumn("toks", array_distinct(tokens(col("text"))))
     val bits = (0 until 32).map { b =>
       aggregate(col("toks"), lit(0L), (acc, t) =>

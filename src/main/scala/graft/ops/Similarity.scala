@@ -85,7 +85,10 @@ object Similarity {
     * Rows-only check (recall vs. brute force is asserted in the
     * ScalaTest suite).
     */
-  private val NumPlanes = 8
+  // 2^NumPlanes buckets: size to keep tens-to-hundreds of candidates
+  // per bucket (too many planes → near-empty buckets → no enrichment;
+  // at larger corpora raise it so bucket size stays bounded)
+  private val NumPlanes = 4
 
   private def planeWeight(p: Int, i: Int): Double = {
     // splitmix-style integer mix → {-3,-1,1,3}

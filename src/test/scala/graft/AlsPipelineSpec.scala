@@ -1,0 +1,58 @@
+package graft
+
+import graft.recommend.AlsPipeline
+
+/** Golden-tolerance anchors from the reference's published numbers
+  * (BASELINE.md; recommender.py inline outputs). ml-ALS vs legacy
+  * mllib-ALS differ in init RNG, so model-quality goldens hold to
+  * tolerance, cardinality/parse goldens exactly (SURVEY.md §5).
+  *
+  * Trains rank-4 once (memoized); the full grid is exercised by the
+  * driver through SparkEntry.queries, not re-run here.
+  */
+class AlsPipelineSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("ratings parse: 100,004 rows, golden head") {
+    val r = AlsPipeline.ratings(spark)
+    assert(r.count() === 100004L)
+    val head = r.as[(Int, Int, Double)].head(3).toSeq
+    assert(head === Seq((1, 31, 2.5), (1, 1029, 3.0), (1, 1061, 3.0)))
+  }
+
+  test("movies naive parse: 9,125 rows, golden head, comma-title truncation") {
+    val m = AlsPipeline.moviesNaive(spark)
+    assert(m.count() === 9125L)
+    val byId = m.as[(Int, String)].collect().toMap
+    assert(byId(1) === "Toy Story (1995)")
+    assert(byId(2) === "Jumanji (1995)")
+    // 164979,"Women of '69, Unboxed",Documentary → truncates at comma
+    assert(byId(164979) === "\"Women of '69")
+  }
+
+  test("random split is 3/1/1-ish and partitions the data") {
+    val (tr, va, te) = AlsPipeline.splits(spark)
+    val (n1, n2, n3) = (tr.count(), va.count(), te.count())
+    assert(n1 + n2 + n3 === 100004L)
+    assert(n1 > 55000 && n1 < 65000, s"train=$n1")
+    assert(n2 > 17000 && n2 < 23000, s"val=$n2")
+  }
+
+  test("rank-4 validation RMSE lands in the golden band") {
+    val (tr, va, _) = AlsPipeline.splits(spark)
+    val e = AlsPipeline.rmse(AlsPipeline.fit(tr, 4), va)
+    // reference: 0.9459 (mllib); ml-ALS drifts ±0.02
+    assert(e > 0.92 && e < 0.97, s"rank-4 val RMSE $e")
+  }
+
+  test("new-user pipeline: prediction count in the 9,057 band, scaled range [1,5]") {
+    val top = AlsPipeline.newUserTop10(spark).collect()
+    assert(top.length === 10)
+    // raw scores can exceed 5 (README golden); scaled max is exactly 5
+    assert(top.head.getDouble(3) === 5.0)
+    assert(top.forall(r => r.getDouble(3) >= 1.0 && r.getDouble(3) <= 5.0))
+    val n = AlsPipeline.newUserPredCount(spark).first().getLong(0)
+    assert(n > 8900 && n < 9125, s"new-user prediction count $n")
+  }
+}

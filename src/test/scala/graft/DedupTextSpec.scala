@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Dedup + text-analysis semantics, including cross-validation of the
+  * murmur3-seeded paths (MinHash/SimHash) that the DuckDB oracle
+  * cannot replay.
+  */
+class DedupTextSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("rolling hash fold matches a plain Scala left fold") {
+    val text = "key agg row scan slow"
+    val expected = text.foldLeft(0L)((acc, c) => (acc * 31 + c.toInt) % 1000000007L)
+    val got = docsDf((1L, text))
+      .select(aggregate(
+        filter(split(lit(text), ""), c => c =!= lit("")), lit(0L),
+        (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L))
+      .first().getLong(0)
+    assert(got === expected)
+  }
+
+  test("shingles: distinct sorted 3-gram word windows") {
+    val got = docsDf((1L, "a b c d c d a b c"))
+      .select(Dedup.shingles(col("text"))).first().getSeq[String](0)
+    assert(got === Seq("a b c", "b c d", "c d a", "c d c", "d a b", "d c d"))
+  }
+
+  test("shingles of short docs fall back to the full token join") {
+    val got = docsDf((1L, "only two"))
+      .select(Dedup.shingles(col("text"))).first().getSeq[String](0)
+    assert(got === Seq("only two"))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips distinct docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i")
+      .mkString(" ")
+    val other = (100 to 160).map(i => s"z$i").mkString(" ")
+    val docs = docsDf((1L, base), (2L, nearDup), (3L, other))
+    val sigs = Dedup.minhashSignatures(docs)
+      .select($"doc_id", $"sig").as[(Long, Seq[Long])].collect().toMap
+    // signature similarity of the planted pair must be high, cross pairs low
+    def simOf(a: Long, b: Long) =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y } / 32.0
+    assert(simOf(1L, 2L) > 0.6, s"near-dup sig sim ${simOf(1L, 2L)}")
+    assert(simOf(1L, 3L) < 0.2, s"distinct sig sim ${simOf(1L, 3L)}")
+  }
+
+  test("minhash estimate tracks exact jaccard on the real corpus") {
+    val pairs = Dedup.minhashLsh(spark, sf)
+      .select($"est_jaccard", $"jaccard").as[(Double, Double)].collect()
+    assert(pairs.nonEmpty)
+    // every LSH candidate surfaced at est>=0.5 should be genuinely similar
+    val confident = pairs.filter(_._1 >= 0.9)
+    assert(confident.forall(_._2 >= 0.5),
+      s"high-estimate pair with low exact jaccard: ${confident.mkString(",")}")
+  }
+
+  test("simhash: near-identical docs differ in fewer bits than distinct docs") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val nearDup = base + " extra"
+    val far = (200 to 280).map(i => s"q$i").mkString(" ")
+    val fps = Dedup.simhashOf(docsDf((1L, base), (2L, nearDup), (3L, far)))
+      .select($"doc_id", $"simhash").as[(Long, Long)].collect().toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = hamming(fps(1L), fps(2L))
+    val cross = hamming(fps(1L), fps(3L))
+    assert(near < cross, s"near=$near cross=$cross")
+    assert(near <= 4, s"planted near-dup hamming distance $near")
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val n = Dedup.dedupExact(spark, sf).count()
+    val distinctTexts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").distinct().count()
+    assert(n === distinctTexts)
+  }
+
+  test("BPE-ish token count >= whitespace token count") {
+    val bad = TextAnalysis.tokenCount(spark, sf)
+      .filter($"n_bpe_tokens" < $"n_ws_tokens").count()
+    assert(bad === 0)
+  }
+
+  test("quality ratios are within [0,1]") {
+    val bad = TextAnalysis.textQuality(spark, sf)
+      .filter($"stop_ratio" < 0 || $"stop_ratio" > 1
+        || $"alpha_ratio" < 0 || $"alpha_ratio" > 1).count()
+    assert(bad === 0)
+  }
+}

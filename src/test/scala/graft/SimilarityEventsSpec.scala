@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Events, Similarity}
+
+class SimilarityEventsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("dot/norm expressions match plain Scala arithmetic") {
+    val a = Seq(1.0, 2.0, 3.0)
+    val b = Seq(-1.0, 0.5, 2.0)
+    val df = Seq((a, b)).toDF("a", "b")
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")),
+      Similarity.norm(col("a"))).first()
+    assert(got.getDouble(0) === a.zip(b).map { case (x, y) => x * y }.sum)
+    assert(math.abs(got.getDouble(1) - math.sqrt(a.map(x => x * x).sum)) < 1e-12)
+  }
+
+  test("brute-force knn: self-similarity excluded, ranks dense, sim in [-1,1]") {
+    val knn = Similarity.knnBruteForce(spark, sf).collect()
+    assert(knn.length === 25) // 5 queries × top-5
+    assert(knn.forall(r => r.getLong(0) != r.getLong(2)))
+    assert(knn.forall { r =>
+      val s = r.getDouble(3); s >= -1.0001 && s <= 1.0001
+    })
+    val ranksPerQuery = knn.groupBy(_.getLong(0)).values
+      .map(_.map(_.getLong(1)).sorted.toSeq)
+    assert(ranksPerQuery.forall(_ == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("ANN-LSH candidates rank far above random (percentile vs brute force)") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val ann = Similarity.annLsh(spark, sf)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+    assert(ann.nonEmpty)
+    // percentile of each ANN candidate within its query's exact ranking
+    val pcts = ann.map { case (q, v) =>
+      val qv = vecs(q)
+      val simV = cos(qv, vecs(v))
+      val better = vecs.count { case (id, o) => id != q && cos(qv, o) > simV }
+      better.toDouble / (vecs.size - 1)
+    }
+    val meanPct = pcts.sum / pcts.length
+    // bucket-mates should be concentrated near the top of the exact
+    // ranking; random candidates would average percentile ~0.5
+    assert(meanPct < 0.25, s"mean ANN percentile $meanPct")
+  }
+
+  test("sessionization: hand-checked tiny stream") {
+    val min = 60L * 1000000000L // ns
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rows = Seq(
+      (1L, 0L * min), (1L, 10L * min), (1L, 50L * min), // session 1 (gap 40>30 splits)
+      (1L, 95L * min), // gap 45 → session 3
+      (2L, 0L * min)) // one event
+    val dir = java.nio.file.Files.createTempDirectory("events").toString
+    rows.toDF("user_id", "ts").select($"user_id", $"ts",
+        lit(1L).as("event_id"), lit("view").as("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Events.sessionize(spark, dir)
+      .select($"user_id", $"n_sessions").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("tumbling window counts cover all events exactly once") {
+    val total = Events.tumblingWindow(spark, sf)
+      .agg(sum("n_events")).first().getLong(0)
+    val raw = graft.util.Tables.events(spark, sf).count()
+    assert(total === raw)
+  }
+}
