@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Multimodal-column plumbing for a training-data pipeline: media
+  * (image/audio/video) as opaque BINARY columns with typed metadata,
+  * decoded/feature-extracted per partition.
+  *
+  * The Spark-side plumbing is REAL and tested: schema (binary +
+  * metadata struct), deterministic partitioning, typed
+  * `Dataset.mapPartitions` with a batch-shaped decode loop (the Scala
+  * analog of `mapInPandas` — one iterator per partition, vectorizable
+  * batch inside). The decode itself is a STUB: this container ships no
+  * image/audio codecs, so `fakeDecode` derives features
+  * deterministically from the bytes (clearly marked below). Swapping
+  * in a real codec touches ONLY `fakeDecode`.
+  *
+  * Scale notes: media bytes never shuffle — features are extracted in
+  * the scan stage and only the small feature rows move. At 100 TB the
+  * binary column lives in its own parquet column chunk; queries that
+  * skip `media` never read those pages (columnar pruning).
+  */
+object Multimodal {
+
+  /** A media row: binary payload + typed metadata. */
+  case class MediaRow(doc_id: Long, media_type: String, media: Array[Byte])
+
+  /** Extracted features (the stub's deterministic output shape). */
+  case class MediaFeatures(
+      doc_id: Long, media_type: String, byte_len: Long,
+      width: Long, height: Long, n_frames: Long, head_checksum: Long)
+
+  /** Media table synthesized deterministically from `documents`: the
+    * UTF-8 text bytes stand in for an encoded media payload; the type
+    * tag cycles by doc_id. (In a real pipeline this IS the stored
+    * layout: `binary` + metadata columns alongside.)
+    */
+  def mediaTable(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      element_at(
+        array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("media_type"),
+      encode(col("text"), "UTF-8").as("media"))
+
+  // ================================================================= //
+  // STUB DECODE — deterministic fake in place of a real codec.        //
+  // A production build replaces this body with e.g. ImageIO/ffmpeg    //
+  // calls; signature and the mapPartitions plumbing stay unchanged.   //
+  // ================================================================= //
+  private[ops] def fakeDecode(r: MediaRow): MediaFeatures = {
+    val b = r.media
+    val len = b.length.toLong
+    val first = java.lang.Byte.toUnsignedInt(b(0)).toLong
+    val second = java.lang.Byte.toUnsignedInt(b(1 min (b.length - 1))).toLong
+    val head = b.iterator.take(16)
+      .map(java.lang.Byte.toUnsignedInt).map(_.toLong).sum
+    MediaFeatures(
+      doc_id = r.doc_id,
+      media_type = r.media_type,
+      byte_len = len,
+      width = 32 + first % 224,
+      height = 32 + second % 224,
+      n_frames = if (r.media_type == "video") 1 + len % 30 else 1,
+      head_checksum = head)
+  }
+
+  /** Decode/feature-extract via typed mapPartitions: one decoder
+    * instance per partition (where a real codec would be initialized
+    * once), streaming over rows — the Scala analog of a Pandas-UDF
+    * `mapInPandas` batch loop.
+    */
+  def decodeFeatures(s: SparkSession, d: String): Dataset[MediaFeatures] = {
+    import s.implicits._
+    mediaTable(s, d).as[MediaRow].mapPartitions { rows =>
+      // per-partition init of the (stubbed) decoder happens here
+      rows.map(fakeDecode)
+    }
+  }
+
+  /** Feature extraction as a driver query, ordered for the oracle.
+    * The stub's arithmetic is byte-level and the payload is ASCII, so
+    * DuckDB can replay it exactly with ord()/string ops.
+    */
+  def features(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(s, d).toDF().orderBy("doc_id")
+  }
+
+  val featuresSql: String =
+    """SELECT doc_id,
+      |       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+      |       CAST(strlen(text) AS BIGINT) AS byte_len,
+      |       32 + ord(substr(text, 1, 1)) % 224 AS width,
+      |       32 + ord(substr(text, 2, 1)) % 224 AS height,
+      |       CASE WHEN ['image', 'audio', 'video'][(doc_id % 3) + 1] = 'video'
+      |            THEN 1 + strlen(text) % 30 ELSE 1 END AS n_frames,
+      |       CAST(list_sum(list_transform(string_split(substr(text, 1, 16), ''),
+      |                c -> CAST(ord(c) AS BIGINT))) AS BIGINT) AS head_checksum
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-type feature stats — grouped agg over extracted features
+    * (what a curation job aggregates before filtering).
+    */
+  def typeStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(s, d).toDF()
+      .groupBy(col("media_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("byte_len")).as("total_bytes"),
+        round(avg(col("width")), 4).as("avg_width"),
+        max(col("n_frames")).as("max_frames"))
+      .orderBy("media_type")
+  }
+
+  val typeStatsSql: String =
+    """WITH f AS (
+      |  SELECT ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+      |         CAST(strlen(text) AS BIGINT) AS byte_len,
+      |         32 + ord(substr(text, 1, 1)) % 224 AS width,
+      |         CASE WHEN ['image', 'audio', 'video'][(doc_id % 3) + 1] = 'video'
+      |              THEN 1 + strlen(text) % 30 ELSE 1 END AS n_frames
+      |  FROM documents
+      |)
+      |SELECT media_type, count(*) AS n,
+      |       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
+      |       round(avg(width), 4) AS avg_width, max(n_frames) AS max_frames
+      |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_decode_features" -> (features _),
+    "mm_type_stats"      -> (typeStats _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "mm_decode_features" -> featuresSql,
+    "mm_type_stats"      -> typeStatsSql,
+  )
+}

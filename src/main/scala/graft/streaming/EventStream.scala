@@ -1,0 +1,151 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` table: the same
+  * shapes as graft.ops.Events (tumbling windows, sessionization) but
+  * executed as streams — `readStream` file source → watermarked
+  * event-time window aggregation / `flatMapGroupsWithState`
+  * sessionization → memory sink, driven synchronously with
+  * `processAllAvailable` so the driver's batch harness can check them.
+  *
+  * Scale notes: the streaming window agg carries per-window partial
+  * state in the state store, keyed by (window, event_type) — shuffle
+  * once per micro-batch on the grouping key, watermark bounds state.
+  * Sessionization keys state by user_id (GroupStateTimeout evicts on
+  * gap at scale; here the bounded testdata drains in one batch).
+  */
+/** Row/state types for the stateful queries — top-level so Catalyst's
+  * generated encoder code can reach them (private nested classes fail
+  * SafeProjection codegen).
+  */
+case class Ev(user_id: Long, tsNs: Long)
+case class UserSessions(user_id: Long, n_sessions: Long, max_session_ms: Long)
+
+object EventStream {
+
+  private val qid = new AtomicInteger(0)
+
+  /** Run a streaming DataFrame to completion against the bounded
+    * file source and return the materialized result. Memory sink +
+    * processAllAvailable = deterministic synchronous drain.
+    */
+  private def runToCompletion(s: SparkSession, df: DataFrame,
+      mode: OutputMode): DataFrame = {
+    val name = s"graft_stream_${qid.incrementAndGet()}"
+    val q = df.writeStream.outputMode(mode)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  /** The events stream with `ts` surfaced as a real TIMESTAMP for
+    * event-time semantics (epoch-ns BIGINT → microsecond timestamp;
+    * integer division keeps both engines exact).
+    */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.util.Tables.events(s, dir).schema
+    // streaming file source monitors a DIRECTORY; select just the
+    // events file from the shared testdata dir via glob filter
+    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("event_time",
+        timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming tumbling 1-hour window: watermarked event-time groupBy
+    * window. Complete mode → every window in the memory sink after the
+    * drain. Output matches the batch/DuckDB form (bucket = epoch-hour).
+    */
+  def tumblingCounts(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+    runToCompletion(s, agg, OutputMode.Complete())
+      .select(
+        expr("unix_timestamp(window.start) div 3600").as("bucket"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("bucket", "event_type")
+  }
+
+  val tumblingCountsSql: String =
+    """SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
+      |       count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
+
+  /** Stateful sessionization with flatMapGroupsWithState: per-user
+    * state machine splitting on >30-min gaps. Bounded input drains in
+    * one batch; the state-machine logic is what a live stream runs.
+    */
+  def sessionCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val gapNs = 30L * 60 * 1000000000L
+    val ds = eventsStream(s, dir)
+      .select(col("user_id"), col("ts").as("tsNs")).as[Ev]
+    val sessions = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Long], UserSessions](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[List[Long]]) =>
+          val ts = (evs.map(_.tsNs) ++ state.getOption.getOrElse(Nil))
+            .toArray.sorted
+          state.update(ts.toList)
+          var n = 0L
+          var maxMs = 0L
+          var start = ts.head
+          var prev = ts.head
+          for (t <- ts.drop(1)) {
+            if (t - prev > gapNs) {
+              n += 1
+              maxMs = math.max(maxMs, (prev - start) / 1000000)
+              start = t
+            }
+            prev = t
+          }
+          n += 1
+          maxMs = math.max(maxMs, (prev - start) / 1000000)
+          Iterator(UserSessions(uid, n, maxMs))
+      }
+    runToCompletion(s, sessions.toDF(), OutputMode.Append())
+      .orderBy("user_id")
+  }
+
+  val sessionCountsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, epoch_ns(ts) AS tsn,
+      |         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
+      |                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))
+      |), sess AS (
+      |  SELECT user_id, tsn,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY tsn
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked
+      |), per_session AS (
+      |  SELECT user_id, session_id,
+      |         (max(tsn) - min(tsn)) // 1000000 AS duration_ms
+      |  FROM sess GROUP BY 1, 2
+      |)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       max(duration_ms) AS max_session_ms
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling_window" -> (tumblingCounts _),
+    "stream_sessionize"      -> (sessionCounts _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling_window" -> tumblingCountsSql,
+    "stream_sessionize"      -> sessionCountsSql,
+  )
+}
