@@ -1,0 +1,48 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Ad-hoc profiling entry for development (not part of the driver
+  * contract). Usage: runMain graft.tools.Profile <sfDir> <what>
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = if (args.length > 1) args(1) else "minhash"
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      r
+    }
+
+    what match {
+      case "minhash" =>
+        import org.apache.spark.sql.functions._
+        val docs = graft.util.Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("text"))
+        time("shingles only") {
+          docs.select(graft.ops.Dedup.shingles(col("text")).as("sh"))
+            .agg(sum(size(col("sh")))).first()
+        }
+        time("signatures") {
+          graft.ops.Dedup.minhashSignatures(docs)
+            .agg(sum(size(col("sig")))).first()
+        }
+        time("full lsh") {
+          graft.ops.Dedup.minhashLsh(spark, sfDir).count()
+        }
+      case "explain" =>
+        graft.ops.Dedup.minhashLsh(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

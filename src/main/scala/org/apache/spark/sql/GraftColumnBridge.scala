@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to Spark 4's `private[sql]` Column ↔ Expression conversions
+  * (`org.apache.spark.sql.classic.ExpressionUtils`) so graft's custom
+  * Catalyst expressions can expose a public Column API. This is the
+  * standard extension-library pattern for Spark 4's split
+  * sql-api/classic layering; no Spark internals are modified.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

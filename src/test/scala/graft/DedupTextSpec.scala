@@ -31,6 +31,16 @@ class DedupTextSpec extends SparkTestBase {
     assert(got === Seq("a b c", "b c d", "c d a", "c d c", "d a b", "d c d"))
   }
 
+  test("custom WordShingles expression equals the declarative HOF form on the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mismatches = docs.select(
+        Dedup.shingles(col("text")).as("fused"),
+        Dedup.shinglesDeclarative(col("text")).as("declarative"))
+      .filter(not(col("fused") === col("declarative")))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("shingles of short docs fall back to the full token join") {
     val got = docsDf((1L, "only two"))
       .select(Dedup.shingles(col("text"))).first().getSeq[String](0)
