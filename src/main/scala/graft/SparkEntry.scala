@@ -25,8 +25,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.TextAnalysis.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Events.queries ++
-      ops.Multimodal.queries ++ streaming.EventStream.queries ++
-      recommend.AlsPipeline.queries
+      ops.Multimodal.queries ++ ops.Udfs.queries ++
+      streaming.EventStream.queries ++ recommend.AlsPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -36,6 +36,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.TextAnalysis.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Events.oracle ++
-      ops.Multimodal.oracle ++ streaming.EventStream.oracle ++
-      recommend.AlsPipeline.oracle
+      ops.Multimodal.oracle ++ ops.Udfs.oracle ++
+      streaming.EventStream.oracle ++ recommend.AlsPipeline.oracle
 }

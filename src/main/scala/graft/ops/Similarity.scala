@@ -123,6 +123,37 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs: the dedup-by-embedding
+    * primitive (top-100 most-similar pairs over a bounded block so
+    * DuckDB can replay it; the LSH-bucketed form above is the
+    * at-scale candidate generator). Ranking on the ROUNDED similarity
+    * with id tie-breaks, as everywhere.
+    */
+  def embCosinePairs(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(dot(col("a_v"), col("b_v"))
+          / (norm(col("a_v")) * norm(col("b_v"))), 6).as("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("a_id"), asc("b_id"))
+      .limit(100)
+  }
+
+  val embCosinePairsSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |  WHERE vec_id < 300
+      |)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |       round(list_dot_product(a.v, b.v)
+      |             / (sqrt(list_dot_product(a.v, a.v))
+      |                * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |ORDER BY cos_sim DESC, a_id, b_id LIMIT 100""".stripMargin
+
   /** Per-label embedding statistics: count, mean L2 norm, and mean
     * per-dimension absolute centroid coordinate. Demonstrates grouped
     * aggregation over array columns; all folds sequential.
@@ -152,14 +183,16 @@ object Similarity {
       |FROM e GROUP BY label ORDER BY label""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_knn_brute"  -> (knnBruteForce _),
-    "sim_ann_lsh"    -> (annLsh _),
-    "sim_embed_stats" -> (embedStats _),
+    "sim_knn_brute"      -> (knnBruteForce _),
+    "sim_ann_lsh"        -> (annLsh _),
+    "sim_embed_stats"    -> (embedStats _),
+    "dedup_embed_cosine" -> (embCosinePairs _),
   )
 
   val oracle: Map[String, String] = Map(
-    "sim_knn_brute"  -> knnBruteForceSql,
-    "sim_embed_stats" -> embedStatsSql,
+    "sim_knn_brute"      -> knnBruteForceSql,
+    "sim_embed_stats"    -> embedStatsSql,
+    "dedup_embed_cosine" -> embCosinePairsSql,
     // sim_ann_lsh: approximate by construction → rows-only; recall
     // vs. sim_knn_brute asserted in SimilaritySpec.
   )

@@ -1,0 +1,120 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** User-defined function surface (SURVEY.md §2 op 22 generalized):
+  * scalar Scala UDF, typed Aggregator UDAF, and the SQL entry point
+  * (spark.sql over registered views).
+  *
+  * Engine guidance stands (functions > UDFs — a UDF is an opaque box
+  * to Catalyst: no pushdown through it, no codegen fusion); these
+  * queries exist to prove the extension surface works end-to-end, and
+  * each one's math is chosen to stay DuckDB-replayable.
+  */
+object Udfs {
+
+  /** Scalar UDF: vowel count per part name — oracle-replayable via
+    * length arithmetic. Demonstrates registration + column use.
+    */
+  def scalarUdf(s: SparkSession, d: String): DataFrame = {
+    val vowels = udf((name: String) => name.count("aeiou".contains(_)).toLong)
+    s.udf.register("vowel_count", vowels) // SQL-callable too
+    part(s, d)
+      .select(col("p_partkey"), col("p_name"),
+        vowels(col("p_name")).as("n_vowels"))
+      .orderBy("p_partkey")
+  }
+
+  val scalarUdfSql: String =
+    """SELECT p_partkey, p_name,
+      |       CAST(length(p_name) - length(
+      |         regexp_replace(p_name, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Typed Aggregator UDAF: discount-weighted mean quantity per return
+    * flag — a custom two-accumulator aggregate with merge (the
+    * distributed-combine contract), exactly what a custom mean/ratio
+    * metric needs. Buffer is (weightedSum, weightSum); merge is
+    * associative so partial aggregation works map-side.
+    */
+  case class WAccum(var num: Double, var den: Double)
+
+  object WeightedMeanQty
+      extends Aggregator[(Double, Double), WAccum, Double] {
+    override def zero: WAccum = WAccum(0.0, 0.0)
+    override def reduce(b: WAccum, in: (Double, Double)): WAccum = {
+      b.num += in._1 * in._2; b.den += in._2; b
+    }
+    override def merge(a: WAccum, b: WAccum): WAccum = {
+      a.num += b.num; a.den += b.den; a
+    }
+    override def finish(r: WAccum): Double = r.num / r.den
+    override def bufferEncoder = Encoders.product[WAccum]
+    override def outputEncoder = Encoders.scalaDouble
+  }
+
+  def udafWeightedMean(s: SparkSession, d: String): DataFrame = {
+    val wmean = udaf(WeightedMeanQty)
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(wmean(col("l_quantity"), col("l_discount")), 4)
+        .as("disc_weighted_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val udafWeightedMeanSql: String =
+    """SELECT l_returnflag,
+      |       round(sum(l_quantity * l_discount) / sum(l_discount), 4)
+      |         AS disc_weighted_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** SQL entry point: register the testdata as views and run ANSI SQL
+    * through spark.sql — TPC-H Q3 shape. One plan: the SQL text and
+    * the DataFrame DSL meet in the same Catalyst pipeline.
+    */
+  def sqlApi(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("v_customer")
+    orders(s, d).createOrReplaceTempView("v_orders")
+    lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT o_orderkey,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |       o_orderdate
+        |FROM v_customer
+        |JOIN v_orders   ON c_custkey = o_custkey
+        |JOIN v_lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 20""".stripMargin)
+  }
+
+  val sqlApiSql: String =
+    """SELECT o_orderkey,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |       o_orderdate
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1996-01-01'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "udf_scalar"        -> (scalarUdf _),
+    "udaf_weighted_mean" -> (udafWeightedMean _),
+    "sql_api_q3"        -> (sqlApi _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "udf_scalar"        -> scalarUdfSql,
+    "udaf_weighted_mean" -> udafWeightedMeanSql,
+    "sql_api_q3"        -> sqlApiSql,
+  )
+}
