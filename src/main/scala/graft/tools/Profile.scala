@@ -41,7 +41,11 @@ object Profile {
           graft.ops.Dedup.minhashLsh(spark, sfDir).count()
         }
       case "explain" =>
-        graft.ops.Dedup.minhashLsh(spark, sfDir).explain("formatted")
+        for (name <- Seq("rel_topk", "rel_groupby_agg", "rel_join_multi_agg",
+          "rel_filter", "sim_knn_brute", "events_tumbling_window")) {
+          println(s"========== $name ==========")
+          graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+        }
     }
     spark.stop()
   }
