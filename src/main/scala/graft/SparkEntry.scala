@@ -23,7 +23,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ops.Relational.queries ++ ops.TextAnalysis.queries ++
+    ops.Relational.queries ++ ops.Relational2.queries ++
+      ops.TextAnalysis.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Events.queries ++
       ops.Multimodal.queries ++ ops.Udfs.queries ++
       streaming.EventStream.queries ++ recommend.AlsPipeline.queries
@@ -34,7 +35,8 @@ object SparkEntry {
     * rows-only check.
     */
   def oracleSql: Map[String, String] =
-    ops.Relational.oracle ++ ops.TextAnalysis.oracle ++
+    ops.Relational.oracle ++ ops.Relational2.oracle ++
+      ops.TextAnalysis.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Events.oracle ++
       ops.Multimodal.oracle ++ ops.Udfs.oracle ++
       streaming.EventStream.oracle ++ recommend.AlsPipeline.oracle
