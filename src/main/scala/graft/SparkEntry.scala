@@ -27,6 +27,7 @@ object SparkEntry {
       ops.TextAnalysis.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Events.queries ++
       ops.Multimodal.queries ++ ops.Udfs.queries ++
+      sources.Sources.queries ++
       streaming.EventStream.queries ++ recommend.AlsPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -39,5 +40,6 @@ object SparkEntry {
       ops.TextAnalysis.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Events.oracle ++
       ops.Multimodal.oracle ++ ops.Udfs.oracle ++
+      sources.Sources.oracle ++
       streaming.EventStream.oracle ++ recommend.AlsPipeline.oracle
 }

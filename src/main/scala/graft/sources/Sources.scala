@@ -1,0 +1,149 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Source/sink surface: csv + json + partitioned parquet round-trips
+  * and bucketed tables. Each query WRITES through the engine's sink
+  * path into a scratch dir, reads back through the matching source,
+  * and returns the re-read relation — so the driver's oracle (which
+  * replays from the original parquet) verifies the full
+  * write→read round-trip preserved the data exactly.
+  *
+  * Scale notes:
+  *  - partitioned writes (`partitionBy`) give partition pruning on
+  *    read: the filtered query below scans ONLY the matching
+  *    directory (spec asserts the pruned plan);
+  *  - bucketed tables (`bucketBy` on the join key) pre-shuffle data at
+  *    write time: the subsequent join plans with ZERO Exchange nodes
+  *    (spec-asserted) — at 100 TB this converts every recurring join
+  *    on the bucket key from a full shuffle into a local zip.
+  */
+object Sources {
+
+  /** Session-scoped scratch root (fresh per JVM; safe under parallel
+    * suites; never inside the repo).
+    */
+  private lazy val scratch: String =
+    Files.createTempDirectory("graft_sources").toString
+
+  /** CSV sink → CSV source round-trip with explicit schema (header
+    * off, typed read-back — the engine-default parse path of
+    * SURVEY §1.3).
+    */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratch/orders_csv"
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    orders(s, d).select(cols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).option("header", "false").csv(out)
+    s.read
+      .schema("o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE")
+      .csv(out)
+      .orderBy("o_orderkey")
+  }
+
+  val csvRoundtripSql: String =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** JSON sink → JSON source round-trip (schema-on-read). */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratch/nation_json"
+    nation(s, d).write.mode(SaveMode.Overwrite).json(out)
+    s.read.schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .json(out)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .orderBy("n_nationkey")
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT n_nationkey, n_name, n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** Hive-style partitioned parquet write + partition-pruned read:
+    * only the `event_type=purchase` directory is scanned (the plan's
+    * PartitionFilters — asserted in SourcesSpec).
+    */
+  def partitionedWrite(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratch/events_by_type"
+    events(s, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("event_type"))
+      .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(out)
+    s.read.parquet(out)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("total"))
+      .orderBy("user_id")
+  }
+
+  val partitionedWriteSql: String =
+    """SELECT user_id, count(*) AS n, round(sum(value), 4) AS total
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Bucketed-table join: both sides bucketed 8-ways on the join key
+    * at write time → the sort-merge join needs NO Exchange (verified
+    * in SourcesSpec). The managed tables live in the session's
+    * warehouse dir.
+    */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val db = "graft_buckets"
+    // the warehouse dir outlives the (per-JVM, Derby) metastore: drop
+    // any prior physical locations or saveAsTable refuses to overwrite
+    for (t <- Seq("orders_b", "linecounts_b")) {
+      s.sql(s"DROP TABLE IF EXISTS $db.$t")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = new java.io.File(s"$wh/$db.db/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(s"$db.orders_b")
+    lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(s"$db.linecounts_b")
+    s.table(s"$db.orders_b")
+      .join(s.table(s"$db.linecounts_b"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"), col("n_lines"))
+      .orderBy("o_orderkey")
+  }
+
+  val bucketedJoinSql: String =
+    """SELECT o_orderkey, o_custkey, n_lines
+      |FROM orders
+      |JOIN (SELECT l_orderkey, count(*) AS n_lines
+      |      FROM lineitem GROUP BY l_orderkey) lc
+      |  ON o_orderkey = l_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_csv_roundtrip"    -> (csvRoundtrip _),
+    "src_json_roundtrip"   -> (jsonRoundtrip _),
+    "src_partitioned_scan" -> (partitionedWrite _),
+    "src_bucketed_join"    -> (bucketedJoin _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "src_csv_roundtrip"    -> csvRoundtripSql,
+    "src_json_roundtrip"   -> jsonRoundtripSql,
+    "src_partitioned_scan" -> partitionedWriteSql,
+    "src_bucketed_join"    -> bucketedJoinSql,
+  )
+}
