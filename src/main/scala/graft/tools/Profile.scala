@@ -40,6 +40,19 @@ object Profile {
         time("full lsh") {
           graft.ops.Dedup.minhashLsh(spark, sfDir).count()
         }
+      case "als" =>
+        import org.apache.spark.ml.recommendation.ALS
+        val ratings = graft.recommend.AlsPipeline.ratings(spark)
+        ratings.count()
+        for (blocks <- Seq(10, 4, 2)) {
+          time(s"fit rank4 blocks=$blocks") {
+            new ALS().setUserCol("userId").setItemCol("movieId")
+              .setRatingCol("rating").setRank(4).setMaxIter(10)
+              .setRegParam(0.1).setSeed(5).setColdStartStrategy("drop")
+              .setNumUserBlocks(blocks).setNumItemBlocks(blocks)
+              .fit(ratings)
+          }
+        }
       case "explain" =>
         for (name <- Seq("rel_topk", "rel_groupby_agg", "rel_join_multi_agg",
           "rel_filter", "sim_knn_brute", "events_tumbling_window")) {
