@@ -10,14 +10,17 @@ import graft.util.Tables._
   * quirk). Batch forms here; the Structured Streaming surface over the
   * same shapes lives in graft.streaming.
   *
-  * All timestamp arithmetic stays in integer nanoseconds (BIGINT) so
-  * both engines compute identical values (DuckDB side uses
-  * epoch_ns(ts)).
+  * All timestamp arithmetic is integer (BIGINT) on a microsecond
+  * basis — see the note below on DuckDB's epoch_ns() precision.
   */
 object Events {
 
-  private val HourNs = 3600L * 1000 * 1000 * 1000
-  private val SessionGapNs = 30L * 60 * 1000 * 1000 * 1000 // 30 min
+  // All event-time arithmetic runs on a MICROSECOND basis: DuckDB's
+  // epoch_ns() truncates TIMESTAMP_NS to µs precision (verified), so
+  // both engines floor ts to µs first (Spark `ts div 1000` ==
+  // DuckDB `epoch_us(ts)`) and derive buckets/gaps from that.
+  private val HourUs = 3600L * 1000 * 1000
+  private val SessionGapUs = 30L * 60 * 1000 * 1000 // 30 min
 
   /** Tumbling 1-hour window aggregation by event type: the batch
     * equivalent of `groupBy(window($"ts", "1 hour"), $"event_type")`.
@@ -26,7 +29,7 @@ object Events {
     */
   def tumblingWindow(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("bucket", expr(s"ts div ${HourNs}L"))
+      .withColumn("bucket", expr(s"(ts div 1000) div ${HourUs}L"))
       .groupBy(col("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"),
@@ -34,7 +37,7 @@ object Events {
       .orderBy("bucket", "event_type")
 
   val tumblingWindowSql: String =
-    """SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
+    """SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
       |       count(*) AS n_events,
       |       round(sum(value), 4) AS sum_value,
       |       count(DISTINCT user_id) AS n_users
@@ -47,12 +50,13 @@ object Events {
     * graft.streaming).
     */
   def sessionize(s: SparkSession, d: String): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
     events(s, d)
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull
-          || col("ts") - col("prev_ts") > SessionGapNs, 1L).otherwise(0L))
+          || col("ts_us") - col("prev_ts") > SessionGapUs, 1L).otherwise(0L))
       .withColumn("session_id",
         sum(col("new_session")).over(
           byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -60,7 +64,7 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         // integer division in BOTH engines (Spark `div`, DuckDB `//`):
         // float-division-then-cast truncates in Spark but rounds in DuckDB
-        expr("(max(ts) - min(ts)) div 1000000").as("duration_ms"))
+        expr("(max(ts_us) - min(ts_us)) div 1000").as("duration_ms"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
         max(col("n_events")).as("max_session_events"),
@@ -70,12 +74,12 @@ object Events {
 
   val sessionizeSql: String =
     """WITH marked AS (
-      |  SELECT user_id, epoch_ns(ts) AS tsn,
-      |         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-      |                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+      |  SELECT user_id, epoch_us(ts) AS tsn,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
       |), sess AS (
       |  SELECT user_id, tsn,
       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY tsn
@@ -83,7 +87,7 @@ object Events {
       |  FROM marked
       |), per_session AS (
       |  SELECT user_id, session_id, count(*) AS n_events,
-      |         (max(tsn) - min(tsn)) // 1000000 AS duration_ms
+      |         (max(tsn) - min(tsn)) // 1000 AS duration_ms
       |  FROM sess GROUP BY 1, 2
       |)
       |SELECT user_id, count(*) AS n_sessions,
@@ -113,15 +117,58 @@ object Events {
       |  FROM events
       |) WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** AS-OF join — an operator Spark lacks natively (DuckDB has `ASOF
+    * JOIN`; pandas has merge_asof). For each purchase event, attach
+    * the user's most recent view event at-or-before it.
+    *
+    * Spark-first composition instead of a custom SparkPlan: tag-union
+    * both sides, then `last(view_ts, ignoreNulls) OVER (PARTITION BY
+    * user ORDER BY ts, side)` — views sort before purchases on ts
+    * ties, giving exact `>=` as-of semantics. ONE shuffle on user_id
+    * (same as any keyed window), no range self-join blowup; at 100 TB
+    * this is the plan a purpose-built AsOfJoinExec would produce
+    * (co-partition by key, per-partition ordered sweep).
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val tagged = ev
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"),
+        when(col("event_type") === "view", col("ts")).as("view_ts"),
+        when(col("event_type") === "view", 0).otherwise(1).as("side"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase"
+        && col("last_view_ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        expr("((ts div 1000) - (last_view_ts div 1000)) div 1000")
+          .as("gap_ms"))
+      .orderBy("event_id")
+  }
+
+  val asofJoinSql: String =
+    """SELECT p.event_id, p.user_id,
+      |       (epoch_us(p.ts) - epoch_us(v.ts)) // 1000 AS gap_ms
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND p.ts >= v.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_tumbling_window" -> (tumblingWindow _),
     "events_sessionize"      -> (sessionize _),
     "events_top_per_user"    -> (topEventPerUser _),
+    "events_asof_join"       -> (asofJoin _),
   )
 
   val oracle: Map[String, String] = Map(
     "events_tumbling_window" -> tumblingWindowSql,
     "events_sessionize"      -> sessionizeSql,
     "events_top_per_user"    -> topEventPerUserSql,
+    "events_asof_join"       -> asofJoinSql,
   )
 }

@@ -23,7 +23,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * generated encoder code can reach them (private nested classes fail
   * SafeProjection codegen).
   */
-case class Ev(user_id: Long, tsNs: Long)
+case class Ev(user_id: Long, tsUs: Long)
 case class UserSessions(user_id: Long, n_sessions: Long, max_session_ms: Long)
 
 object EventStream {
@@ -76,7 +76,7 @@ object EventStream {
   }
 
   val tumblingCountsSql: String =
-    """SELECT epoch_ns(ts) // 3600000000000 AS bucket, event_type,
+    """SELECT epoch_us(ts) // 3600000000 AS bucket, event_type,
       |       count(*) AS n_events,
       |       round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
@@ -87,14 +87,14 @@ object EventStream {
     */
   def sessionCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val gapNs = 30L * 60 * 1000000000L
+    val gapUs = 30L * 60 * 1000000L // µs basis, see ops.Events scaladoc
     val ds = eventsStream(s, dir)
-      .select(col("user_id"), col("ts").as("tsNs")).as[Ev]
+      .select(col("user_id"), expr("ts div 1000").as("tsUs")).as[Ev]
     val sessions = ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[Long], UserSessions](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[List[Long]]) =>
-          val ts = (evs.map(_.tsNs) ++ state.getOption.getOrElse(Nil))
+          val ts = (evs.map(_.tsUs) ++ state.getOption.getOrElse(Nil))
             .toArray.sorted
           state.update(ts.toList)
           var n = 0L
@@ -102,15 +102,15 @@ object EventStream {
           var start = ts.head
           var prev = ts.head
           for (t <- ts.drop(1)) {
-            if (t - prev > gapNs) {
+            if (t - prev > gapUs) {
               n += 1
-              maxMs = math.max(maxMs, (prev - start) / 1000000)
+              maxMs = math.max(maxMs, (prev - start) / 1000)
               start = t
             }
             prev = t
           }
           n += 1
-          maxMs = math.max(maxMs, (prev - start) / 1000000)
+          maxMs = math.max(maxMs, (prev - start) / 1000)
           Iterator(UserSessions(uid, n, maxMs))
       }
     runToCompletion(s, sessions.toDF(), OutputMode.Append())
@@ -119,12 +119,12 @@ object EventStream {
 
   val sessionCountsSql: String =
     """WITH marked AS (
-      |  SELECT user_id, epoch_ns(ts) AS tsn,
-      |         CASE WHEN lag(epoch_ns(ts)) OVER w IS NULL
-      |                OR epoch_ns(ts) - lag(epoch_ns(ts)) OVER w > 1800000000000
+      |  SELECT user_id, epoch_us(ts) AS tsn,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events
-      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts))
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
       |), sess AS (
       |  SELECT user_id, tsn,
       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY tsn
@@ -132,7 +132,7 @@ object EventStream {
       |  FROM marked
       |), per_session AS (
       |  SELECT user_id, session_id,
-      |         (max(tsn) - min(tsn)) // 1000000 AS duration_ms
+      |         (max(tsn) - min(tsn)) // 1000 AS duration_ms
       |  FROM sess GROUP BY 1, 2
       |)
       |SELECT user_id, count(*) AS n_sessions,

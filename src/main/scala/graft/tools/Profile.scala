@@ -40,6 +40,13 @@ object Profile {
         time("full lsh") {
           graft.ops.Dedup.minhashLsh(spark, sfDir).count()
         }
+      case "warm" =>
+        val name = args(2)
+        for (round <- 1 to 3) {
+          time(s"$name round $round") {
+            graft.SparkEntry.queries(name)(spark, sfDir).count()
+          }
+        }
       case "als" =>
         import org.apache.spark.ml.recommendation.ALS
         val ratings = graft.recommend.AlsPipeline.ratings(spark)
