@@ -26,7 +26,7 @@ object SparkEntry {
     ops.Relational.queries ++ ops.Relational2.queries ++
       ops.TextAnalysis.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Events.queries ++
-      ops.Multimodal.queries ++ ops.Udfs.queries ++
+      ops.Multimodal.queries ++ ops.Udfs.queries ++ ops.Skew.queries ++
       sources.Sources.queries ++
       streaming.EventStream.queries ++ recommend.AlsPipeline.queries
 
@@ -39,7 +39,7 @@ object SparkEntry {
     ops.Relational.oracle ++ ops.Relational2.oracle ++
       ops.TextAnalysis.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Events.oracle ++
-      ops.Multimodal.oracle ++ ops.Udfs.oracle ++
+      ops.Multimodal.oracle ++ ops.Udfs.oracle ++ ops.Skew.oracle ++
       sources.Sources.oracle ++
       streaming.EventStream.oracle ++ recommend.AlsPipeline.oracle
 }

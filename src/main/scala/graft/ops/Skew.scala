@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Skew-handling and sketch aggregates.
+  *
+  * `saltedAgg` is the canonical hot-key pattern: lineitem grouped by
+  * l_returnflag has only 3 keys, so a direct groupBy concentrates all
+  * 600k rows (100 TB: billions) onto 3 reducers. Salting splits each
+  * key into 16 sub-keys for the partial aggregate, then merges the
+  * partials in a second (tiny) aggregate — the classic two-phase
+  * rewrite AQE's skew mitigation automates for joins but NOT for
+  * aggregations with low-cardinality keys. The result is bit-identical
+  * to the direct groupBy (associative aggregates only), which is
+  * exactly what the DuckDB oracle checks.
+  */
+object Skew {
+
+  private val SaltBuckets = 16
+
+  def saltedAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      // deterministic salt (not rand(): reproducible plans, and the
+      // line number is already uniformly distributed)
+      .withColumn("salt", pmod(col("l_orderkey") * 31 + col("l_linenumber"),
+        lit(SaltBuckets)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(col("l_quantity")).as("p_qty"),
+        count(lit(1)).as("p_n"),
+        max(col("l_extendedprice")).as("p_max"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(col("p_qty")), 2).as("sum_qty"),
+        sum(col("p_n")).as("n"),
+        max(col("p_max")).as("max_price"))
+      .orderBy("l_returnflag")
+
+  val saltedAggSql: String =
+    """SELECT l_returnflag,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       count(*) AS n,
+      |       max(l_extendedprice) AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Sketch aggregates: HyperLogLog++ distinct counts and quantile
+    * sketches — the 100-TB substitutes for exact countDistinct /
+    * median. Approximate by construction → rows-only for the driver;
+    * SketchSpec bounds the error against exact values.
+    */
+  def sketchAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02)
+          .as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median_price"))
+      .orderBy("l_returnflag")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew_salted_agg" -> (saltedAgg _),
+    "sketch_agg"      -> (sketchAgg _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "skew_salted_agg" -> saltedAggSql,
+    // sketch_agg: approximate → rows-only; error-bounded in SketchSpec
+  )
+}

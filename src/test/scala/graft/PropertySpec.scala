@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based tier (SURVEY.md §5): operator laws over generated
+  * data, executed through the real engine (small local plans).
+  * Uses scalacheck directly (Prop.forAll + Test.check) — the
+  * scalatestplus bridge isn't in the offline cache.
+  */
+class PropertySpec extends SparkTestBase {
+
+  import spark.implicits._
+  import Prop.propBoolean
+
+  private def check(p: Prop, n: Int = 10): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val doubles: Gen[List[Double]] =
+    Gen.listOfN(40, Gen.choose(-1e6, 1e6))
+
+  test("min-max scaling maps into [1,5], hits both bounds, preserves order") {
+    check(Prop.forAll(doubles) { xs =>
+      xs.distinct.size > 1 ==> {
+        val df = xs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+        val mm = df.agg(min($"v").as("lo"), max($"v").as("hi"))
+        val scaled = df.crossJoin(mm)
+          .select($"v", (($"v" - $"lo") / ($"hi" - $"lo") * 4.0 + 1.0).as("s"))
+          .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+        val inBounds = scaled.forall { case (_, s) =>
+          s >= 1.0 - 1e-9 && s <= 5.0 + 1e-9 }
+        val hitsBounds =
+          math.abs(scaled.map(_._2).max - 5.0) < 1e-9 &&
+            math.abs(scaled.map(_._2).min - 1.0) < 1e-9
+        val sorted = scaled.sortBy(_._1).map(_._2)
+        val monotone = sorted.zip(sorted.drop(1)).forall { case (a, b) => a <= b }
+        inBounds && hitsBounds && monotone
+      }
+    })
+  }
+
+  test("top-k equals full-sort prefix for generated relations") {
+    check(Prop.forAll(doubles) { xs =>
+      xs.nonEmpty ==> {
+        val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+          .toDF("id", "v")
+        val topk = df.orderBy(desc("v"), asc("id")).limit(5)
+          .collect().map(_.getLong(0)).toSeq
+        val full = df.collect().map(r => (r.getLong(0), r.getDouble(1)))
+          .sortBy { case (id, v) => (-v, id) }.take(5).map(_._1).toSeq
+        topk == full
+      }
+    })
+  }
+
+  test("union-all cardinality is additive; distinct union matches set union") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(0, 20)),
+      Gen.listOf(Gen.choose(0, 20))) { (a, b) =>
+      val da = a.toDF("v"); val db = b.toDF("v")
+      (da.union(db).count() == a.size + b.size) &&
+        (da.union(db).distinct().count() == (a ++ b).distinct.size)
+    })
+  }
+
+  test("anti-join + semi-join partition any keyed relation") {
+    check(Prop.forAll(Gen.listOf(Gen.choose(0, 30)),
+      Gen.listOf(Gen.choose(0, 30))) { (l, r) =>
+      val left = l.zipWithIndex.map { case (k, i) => (i.toLong, k) }
+        .toDF("id", "k")
+      val right = r.toDF("k")
+      val anti = left.join(right, Seq("k"), "left_anti").count()
+      val semi = left.join(right, Seq("k"), "left_semi").count()
+      anti + semi == l.size
+    })
+  }
+
+  test("rolling-hash fingerprint matches a plain fold on generated strings") {
+    check(Prop.forAll(Gen.alphaLowerStr.suchThat(_.nonEmpty)) { s0 =>
+      val expected = s0.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+      val got = Seq(s0).toDF("t")
+        .select(aggregate(
+          filter(split($"t", ""), c => c =!= lit("")), lit(0L),
+          (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L))
+        .first().getLong(0)
+      got == expected
+    }, n = 10)
+  }
+}

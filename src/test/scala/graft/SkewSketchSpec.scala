@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Skew
+
+class SkewSketchSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("salted aggregation equals direct groupBy exactly") {
+    val salted = Skew.saltedAgg(spark, sf)
+      .as[(String, Double, Long, Double)].collect().toSet
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"),
+        max($"l_extendedprice").as("max_price"))
+      .as[(String, Double, Long, Double)].collect().toSet
+    assert(salted === direct)
+  }
+
+  test("HLL distinct counts are within the configured error bound") {
+    val rows = Skew.sketchAgg(spark, sf)
+      .select($"approx_orders", $"exact_orders")
+      .as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err < 0.10, s"HLL err $err (approx=$approx exact=$exact)")
+    }
+  }
+
+  test("approximate median lands between group min and max") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val bounds = li.groupBy($"l_returnflag")
+      .agg(min($"l_extendedprice"), max($"l_extendedprice"))
+      .as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    Skew.sketchAgg(spark, sf)
+      .select($"l_returnflag", $"approx_median_price")
+      .as[(String, Double)].collect()
+      .foreach { case (flag, med) =>
+        val (lo, hi) = bounds(flag)
+        assert(med >= lo && med <= hi)
+      }
+  }
+}
