@@ -5,7 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.util.Tables._
 
 /** Deduplication operators over `documents` — the core of any LLM
-  * training-data pipeline:
+  * training-data pipeline. Algorithms follow the canonical
+  * literature: MinHash resemblance (Broder, "On the resemblance and
+  * containment of documents", SEQUENCES 1997) with banded LSH
+  * (Indyk & Motwani, STOC 1998; the banding analysis as in Leskovec/
+  * Rajaraman/Ullman, Mining of Massive Datasets ch. 3), and SimHash
+  * (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002):
   *
   *  - exact dedup (hash groupBy on content),
   *  - normalized-fingerprint dedup (md5 of canonical text),

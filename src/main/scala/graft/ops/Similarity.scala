@@ -77,7 +77,8 @@ object Similarity {
       |SELECT q_id, rank, vec_id, cos_sim FROM ranked
       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
-  /** Sign-random-projection LSH ANN. `NumPlanes` deterministic
+  /** Sign-random-projection LSH ANN (Charikar, STOC 2002: the
+    * random-hyperplane family for cosine). `NumPlanes` deterministic
     * hyperplanes: plane p's weight on dim i is a fixed pseudo-random
     * ±1/±3 derived from (p, i) by integer mixing — reproducible on any
     * cluster with no RNG state. Bucket = the sign-bit string; top-3
@@ -116,6 +117,62 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))), 6)
           .as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF (inverted-file) ANN — the other standard scale path
+    * (IVF-Flat as in Jégou, Douze & Schmid, "Product quantization for
+    * nearest neighbor search", TPAMI 2011): a coarse quantizer assigns
+    * every vector
+    * to its nearest centroid's posting list; a query probes only the
+    * `nprobe` nearest lists and ranks those candidates exactly.
+    *
+    * The coarse centroids here are a deterministic sample (vec_id <
+    * 16) so results are reproducible with no RNG/k-means state; a
+    * production build would k-means them (same plan shape). Cost at
+    * scale follows sum-of-probed-list sizes, not corpus size; the
+    * assignment pass is one broadcast-join + max_by aggregate, no
+    * shuffle of the corpus.
+    */
+  private val IvfProbes = 2
+
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+
+    // nearest-centroid assignment: broadcast the tiny centroid set,
+    // one max_by aggregate per vector (no sort, partial combine)
+    val scoredCents = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        (dot(col("v"), col("cv"))
+          / (norm(col("v")) * norm(col("cv")))).as("csim"))
+    val assigned = scoredCents
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), (-col("cent_id")).as("n"))).as("cent_id"))
+
+    // queries probe their nprobe nearest lists
+    val qProbe = scoredCents.filter(col("vec_id") < 20)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_id"))
+          .orderBy(desc("csim"), asc("cent_id"))))
+      .filter(col("rk") <= IvfProbes)
+      .select(col("vec_id").as("q_id"), col("v").as("q"), col("cent_id"))
+
+    val cand = qProbe
+      .join(assigned, Seq("cent_id"))
+      .join(emb, Seq("vec_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))), 6)
+          .as("cos_sim"))
+      .distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
     cand.withColumn("rank", row_number().over(w).cast("long"))
@@ -185,6 +242,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_knn_brute"      -> (knnBruteForce _),
     "sim_ann_lsh"        -> (annLsh _),
+    "sim_ann_ivf"        -> (annIvf _),
     "sim_embed_stats"    -> (embedStats _),
     "dedup_embed_cosine" -> (embCosinePairs _),
   )

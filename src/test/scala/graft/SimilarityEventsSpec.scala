@@ -40,20 +40,27 @@ class SimilarityEventsSpec extends SparkTestBase {
       while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       d / math.sqrt(na * nb)
     }
-    val ann = Similarity.annLsh(spark, sf)
-      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
-    assert(ann.nonEmpty)
-    // percentile of each ANN candidate within its query's exact ranking
-    val pcts = ann.map { case (q, v) =>
-      val qv = vecs(q)
-      val simV = cos(qv, vecs(v))
-      val better = vecs.count { case (id, o) => id != q && cos(qv, o) > simV }
-      better.toDouble / (vecs.size - 1)
+    def meanPercentile(ann: Array[(Long, Long)]): Double = {
+      val pcts = ann.map { case (q, v) =>
+        val qv = vecs(q)
+        val simV = cos(qv, vecs(v))
+        val better = vecs.count { case (id, o) => id != q && cos(qv, o) > simV }
+        better.toDouble / (vecs.size - 1)
+      }
+      pcts.sum / pcts.length
     }
-    val meanPct = pcts.sum / pcts.length
+    val lsh = Similarity.annLsh(spark, sf)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+    assert(lsh.nonEmpty)
     // bucket-mates should be concentrated near the top of the exact
     // ranking; random candidates would average percentile ~0.5
-    assert(meanPct < 0.25, s"mean ANN percentile $meanPct")
+    val lshPct = meanPercentile(lsh)
+    assert(lshPct < 0.25, s"mean LSH percentile $lshPct")
+    val ivf = Similarity.annIvf(spark, sf)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+    assert(ivf.nonEmpty)
+    val ivfPct = meanPercentile(ivf)
+    assert(ivfPct < 0.25, s"mean IVF percentile $ivfPct")
   }
 
   test("sessionization: hand-checked tiny stream") {
@@ -71,6 +78,18 @@ class SimilarityEventsSpec extends SparkTestBase {
     val got = Events.sessionize(spark, dir)
       .select($"user_id", $"n_sessions").as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 3L, 2L -> 1L))
+  }
+
+  test("grouped top-1: max_by aggregate equals the window formulation") {
+    val agg = Events.topEventPerUser(spark, sf)
+      .as[(Long, String, Long, Double)].collect().toSet
+    val win = Events.topEventPerUserWindow(spark, sf)
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(agg === win)
+    // and the aggregate plan must not sort anything
+    val plan = Events.topEventPerUser(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), s"unexpected window op:\n$plan")
   }
 
   test("tumbling window counts cover all events exactly once") {
