@@ -182,7 +182,96 @@ object Events {
       |  ON p.user_id = v.user_id AND p.ts >= v.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Native session windows (`session_window`, Spark 3.2+): the
+    * built-in form of the lag/cumsum sessionization above — merges
+    * events closer than the gap into one window, batch or streaming.
+    * Output matches the hand-rolled form (same oracle SQL shape).
+    */
+  def sessionWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy("user_id")
+
+  val sessionWindowSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, epoch_us(ts) AS tsn,
+      |         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+      |), sess AS (
+      |  SELECT user_id, tsn,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY tsn
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM marked
+      |), per_session AS (
+      |  SELECT user_id, session_id, count(*) AS n_events
+      |  FROM sess GROUP BY 1, 2
+      |)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       max(n_events) AS max_session_events
+      |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Sliding windows (1 h window, 15 min slide) in batch form: each
+    * event explodes into window/slide = 4 buckets — the same
+    * assignment Spark's `window(t, "1 hour", "15 minutes")` performs.
+    * One narrow explode + grouped agg; oracle replays the explosion
+    * with unnest.
+    */
+  def slidingWindow(s: SparkSession, d: String): DataFrame = {
+    val slideUs = 900L * 1000 * 1000
+    events(s, d)
+      .withColumn("tus", expr("ts div 1000"))
+      .select(col("event_type"), col("value"), col("tus"),
+        explode(sequence(lit(0), lit(3))).as("k"))
+      .withColumn("win_start",
+        (expr(s"tus div ${slideUs}L") - col("k")) * slideUs)
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  val slidingWindowSql: String =
+    """SELECT (epoch_us(ts) // 900000000 - k) * 900000000 AS win_start,
+      |       event_type,
+      |       count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events, unnest([0, 1, 2, 3]) AS t(k)
+      |GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** Pivot (grouped cross-tab): event counts per user × type as
+    * columns — groupBy().pivot() with an explicit column list (never
+    * the two-pass value-discovery form at scale).
+    */
+  def pivotCounts(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type",
+        Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  val pivotCountsSql: String =
+    """SELECT user_id,
+      |       count(*) FILTER (WHERE event_type = 'click')    AS click,
+      |       count(*) FILTER (WHERE event_type = 'error')    AS error,
+      |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+      |       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+      |       count(*) FILTER (WHERE event_type = 'view')     AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_session_window" -> (sessionWindow _),
+    "events_sliding_window" -> (slidingWindow _),
+    "events_pivot"          -> (pivotCounts _),
     "events_tumbling_window" -> (tumblingWindow _),
     "events_sessionize"      -> (sessionize _),
     "events_top_per_user"    -> (topEventPerUser _),
@@ -190,6 +279,9 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_session_window" -> sessionWindowSql,
+    "events_sliding_window" -> slidingWindowSql,
+    "events_pivot"          -> pivotCountsSql,
     "events_tumbling_window" -> tumblingWindowSql,
     "events_sessionize"      -> sessionizeSql,
     "events_top_per_user"    -> topEventPerUserSql,

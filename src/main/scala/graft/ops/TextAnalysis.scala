@@ -167,7 +167,40 @@ object TextAnalysis {
       |         (acc, c) -> (acc * 31 + c) % 1000000007) AS roll_fp
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Explode / lateral-view surface: unnest every doc's shingle set
+    * (via the fused WordShingles expression), count global shingle
+    * frequencies, top-20. The explode is narrow; the count is one
+    * hash-shuffle on the shingle — the inverted-index build step of
+    * any n-gram pipeline.
+    */
+  def topShingles(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(
+        graft.functions.TextFunctions.word_shingles(col("text"), 3))
+        .as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_docs"), asc("shingle"))
+      .limit(20)
+
+  val topShinglesSql: String =
+    """WITH t AS (
+      |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT unnest(list_distinct(
+      |           CASE WHEN len(toks) >= 3
+      |                THEN list_transform(range(1, len(toks) - 1),
+      |                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |                ELSE [list_aggr(toks, 'string_agg', ' ')] END)) AS shingle
+      |  FROM t
+      |)
+      |SELECT shingle, count(*) AS n_docs
+      |FROM sh GROUP BY shingle
+      |ORDER BY n_docs DESC, shingle ASC LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_top_shingles" -> (topShingles _),
     "text_quality"    -> (textQuality _),
     "text_lang_id"    -> (langId _),
     "text_token_count" -> (tokenCount _),
@@ -175,6 +208,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_top_shingles" -> topShinglesSql,
     "text_quality"    -> textQualitySql,
     "text_lang_id"    -> langIdSql,
     "text_token_count" -> tokenCountSql,
