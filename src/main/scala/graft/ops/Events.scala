@@ -268,7 +268,33 @@ object Events {
       |       count(*) FILTER (WHERE event_type = 'view')     AS view
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Grouped top-K (K=3) via the custom TypedImperativeAggregate
+    * (graft.functions.TopKByValue): one hash aggregate with a bounded
+    * K-heap buffer per group — no per-group sort, map-side combine
+    * contributes ≤K rows per group to the shuffle. Oracle replays it
+    * with the window row_number formulation.
+    */
+  def topKCustomAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"))
+      .agg(graft.functions.TopKByValue.top_k_by_value(
+        struct(col("value").cast("double"), col("event_id").cast("long")),
+        3).as("ids"))
+      .select(col("user_id"), posexplode(col("ids")))
+      .select(col("user_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col").as("event_id"))
+      .orderBy("user_id", "rank")
+
+  val topKCustomAggSql: String =
+    """SELECT user_id, rk AS rank, event_id FROM (
+      |  SELECT user_id, event_id,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY value DESC, event_id) AS rk
+      |  FROM events
+      |) WHERE rk <= 3 ORDER BY user_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_topk_custom_agg" -> (topKCustomAgg _),
     "events_session_window" -> (sessionWindow _),
     "events_sliding_window" -> (slidingWindow _),
     "events_pivot"          -> (pivotCounts _),
@@ -279,6 +305,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_topk_custom_agg" -> topKCustomAggSql,
     "events_session_window" -> sessionWindowSql,
     "events_sliding_window" -> slidingWindowSql,
     "events_pivot"          -> pivotCountsSql,

@@ -48,7 +48,11 @@ object Skew {
   /** Sketch aggregates: HyperLogLog++ distinct counts and quantile
     * sketches — the 100-TB substitutes for exact countDistinct /
     * median. Approximate by construction → rows-only for the driver;
-    * SketchSpec bounds the error against exact values.
+    * SkewSketchSpec bounds the error against exact values. (HLL
+    * register-max merging is partition-order-independent; the
+    * percentile sketch is NOT — its exact value can shift with
+    * parallelism, verified empirically — which is precisely why this
+    * query is excluded from the hash oracle.)
     */
   def sketchAgg(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
