@@ -23,19 +23,10 @@ class SourcesSpec extends SparkTestBase {
   test("bucketed join plans with no shuffle exchange") {
     val df = Sources.bucketedJoin(spark, sf)
     assert(df.count() > 0)
-    val inner = {
-      // strip the final presentation orderBy: look at the join subtree
-      val joined = Sources.bucketedJoin(spark, sf)
-        .queryExecution.executedPlan.toString()
-      joined
-    }
-    val joinPart = inner.split("AdaptiveSparkPlan|== Final Plan ==").last
-    // the bucketed join itself must not re-shuffle on the join key:
-    // the only allowed exchange is the final global orderBy's range
-    // repartition
-    val exchanges = "Exchange (hashpartitioning)".r
-      .findAllIn(joinPart).length
-    assert(!joinPart.contains("Exchange hashpartitioning"),
-      s"unexpected hash exchange in bucketed join plan:\n$joinPart")
+    // the bucketed join must not re-shuffle on the join key: the only
+    // allowed exchange is the final orderBy's range repartition
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected hash exchange in bucketed join plan:\n$plan")
   }
 }
