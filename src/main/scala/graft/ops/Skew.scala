@@ -65,13 +65,72 @@ object Skew {
           .as("approx_median_price"))
       .orderBy("l_returnflag")
 
+  /** Runtime bloom-filter join pruning: a selective creation side
+    * (filtered orders) injects a `might_contain` bloom probe into the
+    * lineitem scan, discarding non-joining rows BEFORE the shuffle —
+    * at 100 TB this is the difference between shuffling the whole
+    * fact table and shuffling the ~1% that can match.
+    *
+    * Spark only injects when the creation side is NOT broadcastable,
+    * so broadcast is disabled for the duration of this query's
+    * EXECUTION (hence the materialize-inside / restore-conf dance —
+    * plans re-optimize at action time) and restored after. The bloom
+    * plan is asserted in SkewSketchSpec; results are exact (bloom is
+    * false-positive-only, the join re-checks), so the oracle is plain
+    * SQL.
+    */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val restore = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        s.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        s.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val out = bloomJoinPlan(s, d)
+      // materialize while the confs are live (optimization happens at
+      // action time, not DataFrame-construction time)
+      val rows = out.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), out.schema)
+    } finally restore.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
+  /** The lazy plan (separate so the spec can explain() it under the
+    * bloom confs).
+    */
+  private[graft] def bloomJoinPlan(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(
+        orders(s, d).filter(col("o_orderpriority") === "1-URGENT"
+          && col("o_totalprice") > 80000.0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy("o_orderpriority")
+
+  val bloomJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 80000.0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_salted_agg" -> (saltedAgg _),
     "sketch_agg"      -> (sketchAgg _),
+    "bloom_join"      -> (bloomJoin _),
   )
 
   val oracle: Map[String, String] = Map(
     "skew_salted_agg" -> saltedAggSql,
+    "bloom_join"      -> bloomJoinSql,
     // sketch_agg: approximate → rows-only; error-bounded in SketchSpec
   )
 }

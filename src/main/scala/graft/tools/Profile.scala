@@ -40,6 +40,20 @@ object Profile {
         time("full lsh") {
           graft.ops.Dedup.minhashLsh(spark, sfDir).count()
         }
+      case "bloom" =>
+        import org.apache.spark.sql.functions._
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val li = graft.util.Tables.lineitem(spark, sfDir)
+        val sel = graft.util.Tables.orders(spark, sfDir)
+          .filter(col("o_orderpriority") === "1-URGENT"
+            && col("o_totalprice") > 80000.0)
+        val q = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"))
+        q.explain(true)
       case "warm" =>
         val name = args(2)
         for (round <- 1 to 3) {

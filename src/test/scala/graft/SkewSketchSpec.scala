@@ -19,6 +19,20 @@ class SkewSketchSpec extends SparkTestBase {
     assert(salted === direct)
   }
 
+  test("bloom-filter join injects a might_contain probe into the fact scan") {
+    val conf = spark.conf
+    val restore = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val plan = Skew.bloomJoinPlan(spark, sf)
+        .queryExecution.optimizedPlan.toString()
+      assert(plan.contains("might_contain"),
+        s"expected runtime bloom filter in:\n$plan")
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+  }
+
   test("HLL distinct counts are within the configured error bound") {
     val rows = Skew.sketchAgg(spark, sf)
       .select($"approx_orders", $"exact_orders")
