@@ -106,15 +106,44 @@ object Udfs {
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 20""".stripMargin
 
+  /** Subquery surface: an uncorrelated scalar subquery (global avg)
+    * and a correlated EXISTS, both through spark.sql. Catalyst plans
+    * the scalar subquery as a one-row broadcast and decorrelates the
+    * EXISTS into a semi-join.
+    */
+  def sqlSubqueries(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("v_orders")
+    lineitem(s, d).createOrReplaceTempView("v_lineitem")
+    s.sql(
+      """SELECT o_orderkey, o_totalprice
+        |FROM v_orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM v_orders)
+        |  AND EXISTS (SELECT 1 FROM v_lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_quantity >= 45)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  val sqlSubqueriesSql: String =
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders o
+      |WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_quantity >= 45)
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udf_scalar"        -> (scalarUdf _),
     "udaf_weighted_mean" -> (udafWeightedMean _),
     "sql_api_q3"        -> (sqlApi _),
+    "sql_subqueries"    -> (sqlSubqueries _),
   )
 
   val oracle: Map[String, String] = Map(
     "udf_scalar"        -> scalarUdfSql,
     "udaf_weighted_mean" -> udafWeightedMeanSql,
     "sql_api_q3"        -> sqlApiSql,
+    "sql_subqueries"    -> sqlSubqueriesSql,
   )
 }

@@ -139,13 +139,52 @@ object EventStream {
       |       max(duration_ms) AS max_session_ms
       |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Stream-stream interval join: purchases joined to the same
+    * user's views from the preceding hour. Both sides watermarked —
+    * the state store retains only an hour of views per key, the
+    * standard bounded-state recipe for stream-stream joins. Bounded
+    * input drains in one micro-batch, so the append-mode result is
+    * the complete interval join (oracle = plain SQL interval join on
+    * the µs basis).
+    */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val views = eventsStream(s, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("v_id"),
+        col("event_time").as("v_time"))
+      .withWatermark("v_time", "1 hour")
+    val purchases = eventsStream(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("event_time").as("p_time"))
+      .withWatermark("p_time", "1 hour")
+    val joined = purchases.join(views,
+      expr("""p_user = v_user AND
+              v_time >= p_time - INTERVAL 1 HOUR AND
+              v_time <= p_time"""))
+      .select(col("p_id"), col("v_id"), col("p_user").as("user_id"))
+    runToCompletion(s, joined, OutputMode.Append())
+      .orderBy("p_id", "v_id")
+  }
+
+  val streamStreamJoinSql: String =
+    """SELECT p.event_id AS p_id, v.event_id AS v_id, p.user_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id
+      | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+      | AND epoch_us(v.ts) <= epoch_us(p.ts)
+      |ORDER BY p_id, v_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_window" -> (tumblingCounts _),
     "stream_sessionize"      -> (sessionCounts _),
+    "stream_stream_join"     -> (streamStreamJoin _),
   )
 
   val oracle: Map[String, String] = Map(
     "stream_tumbling_window" -> tumblingCountsSql,
     "stream_sessionize"      -> sessionCountsSql,
+    "stream_stream_join"     -> streamStreamJoinSql,
   )
 }
