@@ -46,6 +46,27 @@ class AlsPipelineSpec extends SparkTestBase {
     assert(e > 0.92 && e < 0.97, s"rank-4 val RMSE $e")
   }
 
+  test("vector-fidelity MinMaxScaler equals the scalar rescale (SURVEY op 24)") {
+    import org.apache.spark.ml.feature.MinMaxScaler
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.sql.functions._
+    val df = Seq(2.0, 7.5, 3.25, 9.0, 4.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "p")
+      .withColumn("pv", array_to_vector(array(col("p"))))
+    val scaled = new MinMaxScaler().setMin(1.0).setMax(5.0)
+      .setInputCol("pv").setOutputCol("sv")
+      .fit(df).transform(df)
+      .select($"id",
+        element_at(org.apache.spark.ml.functions.vector_to_array($"sv"), 1)
+          .as("vecScaled"))
+    val mm = df.agg(min($"p").as("lo"), max($"p").as("hi"))
+    val scalar = df.crossJoin(mm)
+      .select($"id", (($"p" - $"lo") / ($"hi" - $"lo") * 4.0 + 1.0).as("s"))
+    val joined = scaled.join(scalar, "id")
+      .select($"vecScaled", $"s").as[(Double, Double)].collect()
+    joined.foreach { case (v, s) => assert(math.abs(v - s) < 1e-9) }
+  }
+
   test("new-user pipeline: prediction count in the 9,057 band, scaled range [1,5]") {
     val top = AlsPipeline.newUserTop10(spark).collect()
     assert(top.length === 10)
