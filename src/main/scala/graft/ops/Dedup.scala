@@ -226,7 +226,96 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Near-dup CLUSTERING: connected components over the Jaccard≥0.5
+    * edge set (bounded block, so DuckDB can replay it with a recursive
+    * CTE), via iterative min-label propagation — each round is one
+    * join + aggregate; labels converge in O(component diameter)
+    * rounds. This is the step that turns pair mining into dedup
+    * groups (keep cluster_id = min doc_id as canonical).
+    *
+    * At 100 TB: same loop over the LSH candidate edges, persisted per
+    * round with AQE sizing the joins; near-dup components are tiny,
+    * so convergence stays at a handful of rounds.
+    */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).filter(col("doc_id") < 300)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+      .filter(size(array_intersect(col("a_sh"), col("b_sh")))
+        .cast("double")
+        / size(array_union(col("a_sh"), col("b_sh"))) >= 0.5)
+      .select(col("a_id"), col("b_id"))
+    // symmetric edge list
+    val edges = pairs
+      .unionByName(pairs.select(col("b_id").as("a_id"),
+        col("a_id").as("b_id")))
+      .persist()
+
+    var labels = docs.select(col("doc_id"),
+      col("doc_id").as("label")).persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges
+        .join(labels, col("b_id") === col("doc_id"))
+        .groupBy(col("a_id"))
+        .agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, col("doc_id") === col("a_id"), "left_outer")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label")))
+            .as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"),
+        "doc_id").filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
+    val out = labels.join(sizes, "label")
+      .select(col("doc_id"), col("label").as("cluster_id"),
+        col("n").as("cluster_size"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         $shinglesSql AS sh
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+       |        FROM documents WHERE doc_id < 300)
+       |), pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+       |), e AS (
+       |  SELECT a_id, b_id FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs
+       |  UNION ALL SELECT doc_id, doc_id FROM t
+       |), reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT a_id, b_id FROM e
+       |    UNION
+       |    SELECT r.a, e.b_id FROM r JOIN e ON r.b = e.a_id
+       |  ) SELECT * FROM r
+       |), labels AS (
+       |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+       |)
+       |SELECT l.doc_id, l.cluster_id, s.n AS cluster_size
+       |FROM labels l
+       |JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1) s
+       |  USING (cluster_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters"    -> (dedupClusters _),
     "dedup_exact"       -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_jaccard"     -> (jaccardPairs _),
@@ -235,6 +324,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_clusters"    -> dedupClustersSql,
     "dedup_exact"       -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_jaccard"     -> jaccardPairsSql,

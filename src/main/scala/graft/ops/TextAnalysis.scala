@@ -199,7 +199,74 @@ object TextAnalysis {
       |FROM sh GROUP BY shingle
       |ORDER BY n_docs DESC, shingle ASC LIMIT 20""".stripMargin
 
+  /** TF-IDF: term frequency × inverse document frequency over the
+    * corpus, top-5 terms per document for the first 50 docs.
+    * Three shuffles total — (doc,term) counts, per-term document
+    * frequency, per-doc totals — each a partial-combined hash
+    * aggregate; the IDF side (|vocab| rows) broadcasts back. Ranking
+    * on the ROUNDED score with term tie-break keeps both engines
+    * ordering identically (ln() can differ in the last ulp).
+    */
+  def tfIdf(s: SparkSession, d: String): DataFrame = {
+    val terms = documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("n_td"))
+    val docLen = terms.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_d"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(docLen, "doc_id")
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("term"),
+        round((col("n_td").cast("double") / col("n_d"))
+          * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(desc("tfidf"), asc("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val tfIdfSql: String =
+    """WITH terms AS (
+      |  SELECT doc_id,
+      |         unnest(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+      |           AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS n_td FROM terms GROUP BY 1, 2
+      |), dl AS (
+      |  SELECT doc_id, count(*) AS n_d FROM terms GROUP BY 1
+      |), idf AS (
+      |  SELECT term, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1
+      |), n AS (
+      |  SELECT count(*) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |         round((CAST(n_td AS DOUBLE) / n_d)
+      |               * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+      |  FROM tf JOIN dl USING (doc_id) JOIN idf USING (term) CROSS JOIN n
+      |  WHERE tf.doc_id < 50
+      |), ranked AS (
+      |  SELECT doc_id, term, tfidf,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY tfidf DESC, term) AS rank
+      |  FROM scored
+      |)
+      |SELECT doc_id, rank, term, tfidf FROM ranked
+      |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tfidf"        -> (tfIdf _),
     "text_top_shingles" -> (topShingles _),
     "text_quality"    -> (textQuality _),
     "text_lang_id"    -> (langId _),
@@ -208,6 +275,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_tfidf"        -> tfIdfSql,
     "text_top_shingles" -> topShinglesSql,
     "text_quality"    -> textQualitySql,
     "text_lang_id"    -> langIdSql,
