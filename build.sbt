@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep sbt's "[success] Total time: ..." footer off stdout so the
+// Bench JSON contract line stays the LAST thing printed (the driver
+// parses it from a bounded stdout tail).
+Global / showSuccess := false
+Global / showTiming := false
+// Pass the forked run's stdout through verbatim — without this sbt
+// logs it with an "[info] " prefix, which breaks a strict JSON parse
+// of the Bench contract line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

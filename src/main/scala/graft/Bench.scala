@@ -3,13 +3,24 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: times every SparkEntry query at
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  * SPARK_GRAFT_SF_DIR and prints the contract JSON.
+  *
+  * Two lines are printed: a verbose line first (full-precision cold +
+  * warm per-query seconds, for humans reading the log), then the
+  * driver-contract line LAST — compact (2-decimal values, no per-query
+  * warm map) so it fits entirely inside the driver's 2000-char stdout
+  * tail buffer even as the query count grows (round-1's single verbose
+  * line overflowed that buffer and the driver recorded `parsed: null`).
   *
   * `value`/`queries` are COLD first-run times (includes Catalyst
   * planning + whole-stage-codegen compilation — the driver-comparable
-  * number). `warm_total`/`queries_warm` time an immediate second run
-  * of the same plan: steady-state cost with codegen compiled and ALS
-  * models memoized, i.e. what a long-lived session/cluster pays.
+  * number). `warm_total` times an immediate second run of the same
+  * plans: steady-state cost with codegen compiled and ALS models
+  * memoized, i.e. what a long-lived session/cluster pays.
+  *
+  * A query that throws is NOT given a fake timing: its name goes into
+  * `failed` and it is excluded from `queries`/totals, so a regression
+  * shows up as a failure instead of flattering the sweep.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,29 +34,78 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // name -> Right(seconds) | Left(error head)
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+        : Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(80))
+      }
     }
 
-    val cold = SparkEntry.queries.map { case (name, fn) =>
-      name -> timeOne(fn)
-    }
-    val warm = SparkEntry.queries.map { case (name, fn) =>
-      name -> timeOne(fn)
+    def sweep(): (Map[String, Double], List[String]) = {
+      val results = SparkEntry.queries.map { case (name, fn) =>
+        name -> timeOne(fn)
+      }
+      val ok = results.collect { case (n, Right(s)) => n -> s }
+      val bad = results.collect { case (n, Left(err)) =>
+        System.err.println(s"[bench] $n FAILED: $err")
+        n
+      }.toList.sorted
+      (ok, bad)
     }
 
-    def jmap(m: Map[String, Double]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val (cold, coldFailed) = sweep()
+    val (warm, _) = sweep()
+
+    def jmap(m: Map[String, Double], fmt: Double => String): String =
+      m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    def jlist(xs: List[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def r2(v: Double): String = f"$v%.2f"
+
+    // Per-query entries, slowest first, until the char budget is hit;
+    // the tail of fast queries collapses into one "others" bucket so
+    // the line stays inside the driver's 2000-char stdout tail no
+    // matter how many queries the engine grows.
+    def compactQueries(m: Map[String, Double], budget: Int): String = {
+      val byTime = m.toSeq.sortBy(-_._2)
+      val sb = new StringBuilder("{")
+      var taken = 0
+      var full = false
+      byTime.foreach { case (k, v) =>
+        val entry = (if (taken > 0) "," else "") + "\"" + k + "\":" + r2(v)
+        if (!full && sb.length + entry.length < budget) {
+          sb ++= entry; taken += 1
+        } else full = true // stop at first non-fit so `taken` is a prefix
+      }
+      if (taken < byTime.size)
+        sb ++= (if (taken > 0) "," else "") +
+          "\"others\":" + r2(m.values.sum - byTime.take(taken).map(_._2).sum)
+      sb ++= "}"
+      sb.toString
+    }
 
     val total = cold.values.sum
     val warmTotal = warm.values.sum
+    // Verbose (full precision, cold + warm) — informational only.
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":${jmap(cold)},"warm_total":$warmTotal,""" +
-      s""""queries_warm":${jmap(warm)},"sf":"$sfDir"}""")
+      s""""queries":${jmap(cold, _.toString)},"warm_total":$warmTotal,""" +
+      s""""queries_warm":${jmap(warm, _.toString)},""" +
+      s""""failed":${jlist(coldFailed)},"sf":"$sfDir"}""")
+    // Driver-contract line: compact, printed LAST.
+    val failedPart =
+      if (coldFailed.isEmpty) "" else s""""failed":${jlist(coldFailed)},"""
+    println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
+      s""""queries":${compactQueries(cold, 1700)},""" +
+      s""""warm_total":${r2(warmTotal)},$failedPart"n":${cold.size},""" +
+      s""""sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -50,15 +50,22 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 object WordShingles {
-  /** Static hot path — called from both eval and generated code. */
+  /** Static hot path — called from both eval and generated code.
+    * Sorts in UTF8String (UTF-8 byte / code-point) order, NOT Java
+    * String (UTF-16 code-unit) order — supplementary characters sort
+    * differently between the two, and the contract is to mirror both
+    * the declarative `sort_array` form and DuckDB's `list_sort`, which
+    * compare UTF-8 bytes.
+    */
   def compute(text: UTF8String, n: Int): ArrayData = {
     val toks = text.toString.split("\\s+").filter(_.nonEmpty)
     val shingles: Array[String] =
       if (toks.length >= n)
-        toks.sliding(n).map(_.mkString(" ")).toArray.distinct.sorted
+        toks.sliding(n).map(_.mkString(" ")).toArray.distinct
       else Array(toks.mkString(" "))
-    new GenericArrayData(
-      shingles.map(UTF8String.fromString).asInstanceOf[Array[Any]])
+    val utf8 = shingles.map(UTF8String.fromString)
+    java.util.Arrays.sort(utf8, (a: UTF8String, b: UTF8String) => a.compareTo(b))
+    new GenericArrayData(utf8.asInstanceOf[Array[Any]])
   }
 }
 

@@ -187,7 +187,7 @@ object Dedup {
       .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
         col("sh").as("b_sh")), "b_id")
 
-    withSets.select(
+    val out = withSets.select(
         col("a_id"), col("b_id"),
         round(aggregate(zip_with(col("a_sig"), col("b_sig"),
             (x, y) => when(x === y, 1L).otherwise(0L)),
@@ -197,6 +197,20 @@ object Dedup {
           / size(array_union(col("a_sh"), col("b_sh"))), 6).as("jaccard"))
       .orderBy(desc("est_jaccard"), desc("jaccard"), asc("a_id"), asc("b_id"))
       .limit(50)
+    // top-50 is tiny: materialize it so the signature cache can be
+    // released instead of accumulating across a bench sweep
+    localized(s, out, { sigs.unpersist(); () })
+  }
+
+  /** Collect a small bounded result, run `release` (unpersist of the
+    * intermediates that produced it), and return the rows as a local
+    * DataFrame with the same schema.
+    */
+  private def localized(s: SparkSession, df: DataFrame,
+      release: => Unit): DataFrame = {
+    val rows = df.collect()
+    release
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
   }
 
   /** SimHash: 32-bit sign-aggregated fingerprint over murmur3 token
@@ -257,7 +271,8 @@ object Dedup {
       col("doc_id").as("label")).persist()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    val maxRounds = 50
+    while (changed > 0 && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels, col("b_id") === col("doc_id"))
         .groupBy(col("a_id"))
@@ -274,13 +289,18 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // the oracle computes the FULL recursive closure — returning
+    // partially-propagated labels would be a silent mismatch, so a
+    // component whose diameter exceeds the round cap fails loudly
+    require(changed == 0,
+      s"dedupClusters: label propagation not converged after $maxRounds rounds")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
     val out = labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"),
         col("n").as("cluster_size"))
       .orderBy("doc_id")
-    edges.unpersist()
-    out
+    val labelsFinal = labels
+    localized(s, out, { edges.unpersist(); labelsFinal.unpersist(); () })
   }
 
   val dedupClustersSql: String =

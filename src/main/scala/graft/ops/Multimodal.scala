@@ -53,8 +53,12 @@ object Multimodal {
   private[ops] def fakeDecode(r: MediaRow): MediaFeatures = {
     val b = r.media
     val len = b.length.toLong
-    val first = java.lang.Byte.toUnsignedInt(b(0)).toLong
-    val second = java.lang.Byte.toUnsignedInt(b(1 min (b.length - 1))).toLong
+    // empty payloads decode as all-zero features (convention mirrored
+    // in the DuckDB oracle SQL below)
+    def byteAt(i: Int): Long =
+      if (b.isEmpty) 0L else java.lang.Byte.toUnsignedInt(b(i min (b.length - 1))).toLong
+    val first = byteAt(0)
+    val second = byteAt(1)
     val head = b.iterator.take(16)
       .map(java.lang.Byte.toUnsignedInt).map(_.toLong).sum
     MediaFeatures(
@@ -93,12 +97,15 @@ object Multimodal {
     """SELECT doc_id,
       |       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
       |       CAST(strlen(text) AS BIGINT) AS byte_len,
-      |       32 + ord(substr(text, 1, 1)) % 224 AS width,
-      |       32 + ord(substr(text, 2, 1)) % 224 AS height,
+      |       32 + (CASE WHEN strlen(text) >= 1
+      |             THEN ord(substr(text, 1, 1)) ELSE 0 END) % 224 AS width,
+      |       32 + (CASE WHEN strlen(text) >= 1
+      |             THEN ord(substr(text, LEAST(2, strlen(text)), 1))
+      |             ELSE 0 END) % 224 AS height,
       |       CASE WHEN ['image', 'audio', 'video'][(doc_id % 3) + 1] = 'video'
       |            THEN 1 + strlen(text) % 30 ELSE 1 END AS n_frames,
-      |       CAST(list_sum(list_transform(string_split(substr(text, 1, 16), ''),
-      |                c -> CAST(ord(c) AS BIGINT))) AS BIGINT) AS head_checksum
+      |       COALESCE(CAST(list_sum(list_transform(string_split(substr(text, 1, 16), ''),
+      |                c -> CAST(ord(c) AS BIGINT))) AS BIGINT), 0) AS head_checksum
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Per-type feature stats — grouped agg over extracted features
@@ -120,7 +127,8 @@ object Multimodal {
     """WITH f AS (
       |  SELECT ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
       |         CAST(strlen(text) AS BIGINT) AS byte_len,
-      |         32 + ord(substr(text, 1, 1)) % 224 AS width,
+      |         32 + (CASE WHEN strlen(text) >= 1
+      |               THEN ord(substr(text, 1, 1)) ELSE 0 END) % 224 AS width,
       |         CASE WHEN ['image', 'audio', 'video'][(doc_id % 3) + 1] = 'video'
       |              THEN 1 + strlen(text) % 30 ELSE 1 END AS n_frames
       |  FROM documents
