@@ -113,8 +113,8 @@ object Dedup {
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
-          / size(array_union(col("a_sh"), col("b_sh"))), 6).as("jaccard"))
+        round(graft.functions.SetSimilarityFunctions
+          .jaccard_sorted(col("a_sh"), col("b_sh")), 6).as("jaccard"))
       .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
       .limit(100)
   }
@@ -193,8 +193,8 @@ object Dedup {
             (x, y) => when(x === y, 1L).otherwise(0L)),
             lit(0L), (acc, v) => acc + v).cast("double") / NumHashes, 4)
           .as("est_jaccard"),
-        round(size(array_intersect(col("a_sh"), col("b_sh"))).cast("double")
-          / size(array_union(col("a_sh"), col("b_sh"))), 6).as("jaccard"))
+        round(graft.functions.SetSimilarityFunctions
+          .jaccard_sorted(col("a_sh"), col("b_sh")), 6).as("jaccard"))
       .orderBy(desc("est_jaccard"), desc("jaccard"), asc("a_id"), asc("b_id"))
       .limit(50)
     // top-50 is tiny: materialize it so the signature cache can be
@@ -257,9 +257,8 @@ object Dedup {
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     val pairs = a.join(b, col("a_id") < col("b_id"))
-      .filter(size(array_intersect(col("a_sh"), col("b_sh")))
-        .cast("double")
-        / size(array_union(col("a_sh"), col("b_sh"))) >= 0.5)
+      .filter(graft.functions.SetSimilarityFunctions
+        .jaccard_sorted(col("a_sh"), col("b_sh")) >= 0.5)
       .select(col("a_id"), col("b_id"))
     // symmetric edge list
     val edges = pairs
@@ -267,8 +266,9 @@ object Dedup {
         col("a_id").as("b_id")))
       .persist()
 
-    var labels = docs.select(col("doc_id"),
-      col("doc_id").as("label")).persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .persist()
+    var persisted = labels // cached handle backing `labels`
     var changed = 1L
     var rounds = 0
     val maxRounds = 50
@@ -277,16 +277,19 @@ object Dedup {
         .join(labels, col("b_id") === col("doc_id"))
         .groupBy(col("a_id"))
         .agg(min(col("label")).as("nmin"))
+      // carry the previous label through so convergence is a filter on
+      // the cached result, not another join against the old labels
       val next = labels
         .join(neighborMin, col("doc_id") === col("a_id"), "left_outer")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"))
+            .as("label"),
+          col("label").as("prev"))
         .persist()
-      changed = next.join(labels.withColumnRenamed("label", "old"),
-        "doc_id").filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      persisted.unpersist()
+      persisted = next
+      labels = next.select(col("doc_id"), col("label"))
       rounds += 1
     }
     // the oracle computes the FULL recursive closure — returning
@@ -299,7 +302,7 @@ object Dedup {
       .select(col("doc_id"), col("label").as("cluster_id"),
         col("n").as("cluster_size"))
       .orderBy("doc_id")
-    val labelsFinal = labels
+    val labelsFinal = persisted
     localized(s, out, { edges.unpersist(); labelsFinal.unpersist(); () })
   }
 

@@ -37,9 +37,21 @@ object EventStream {
   private def runToCompletion(s: SparkSession, df: DataFrame,
       mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${qid.incrementAndGet()}"
-    val q = df.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    // Stateful streaming cost per micro-batch scales with the number
+    // of state-store partitions (a stream-stream join commits 4 stores
+    // per partition per batch), not with data volume — clamp the
+    // stream's shuffle partitions so state overhead stays proportional
+    // to the actual key cardinality. The partition count is fixed into
+    // the checkpoint at first batch; a production job sizes it for
+    // peak key cardinality up front (state stores rescale via shuffle,
+    // not by re-partitioning the checkpoint).
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
