@@ -138,13 +138,58 @@ object Multimodal {
       |       round(avg(width), 4) AS avg_width, max(n_frames) AS max_frames
       |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin
 
+  /** One sampled frame (stub: a byte standing in for a decoded frame). */
+  case class FrameSample(
+      doc_id: Long, frame_idx: Int, byte_off: Int, frame_byte: Long)
+
+  /** Frame sampling over video payloads: up to 4 evenly-spaced frames
+    * per video via typed flatMap (0..n rows per input — the shape a
+    * real ffmpeg frame sampler has). Only the video rows are decoded;
+    * the frame "content" is the payload byte at the sampled offset
+    * (same stub convention as fakeDecode — a real build swaps the
+    * byte-read for a frame decode, plumbing unchanged).
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).filter(col("media_type") === "video").as[MediaRow]
+      .flatMap { r =>
+        val len = r.media.length
+        if (len == 0) Iterator.empty
+        else {
+          val nFrames = 1 + len % 30
+          val m = math.min(4, nFrames)
+          (0 until m).iterator.map { k =>
+            val off = k * len / m
+            FrameSample(r.doc_id, k, off,
+              java.lang.Byte.toUnsignedInt(r.media(off)).toLong)
+          }
+        }
+      }
+      .toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  val frameSampleSql: String =
+    """WITH v AS (
+      |  SELECT doc_id, text, strlen(text) AS len,
+      |         LEAST(4, 1 + strlen(text) % 30) AS m
+      |  FROM documents WHERE doc_id % 3 = 2 AND strlen(text) > 0
+      |)
+      |SELECT doc_id, CAST(k AS INT) AS frame_idx,
+      |       CAST((k * len) // m AS INT) AS byte_off,
+      |       CAST(ord(substr(text, CAST((k * len) // m AS INT) + 1, 1))
+      |            AS BIGINT) AS frame_byte
+      |FROM v, LATERAL (SELECT unnest(generate_series(0, m - 1)) AS k) u
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> (features _),
     "mm_type_stats"      -> (typeStats _),
+    "mm_frame_sample"    -> (frameSample _),
   )
 
   val oracle: Map[String, String] = Map(
     "mm_decode_features" -> featuresSql,
     "mm_type_stats"      -> typeStatsSql,
+    "mm_frame_sample"    -> frameSampleSql,
   )
 }

@@ -1,0 +1,234 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Third relational batch — the remaining standard-taxonomy surface:
+  * CUBE grouping sets, navigation window functions, generators
+  * (explode/UNNEST), range joins, map- and array-typed computation,
+  * and exact decimal aggregation. Same determinism contract as
+  * Relational (rounded floats ranked on the rounded value; integer
+  * arithmetic wherever both engines can be exact).
+  */
+object Relational3 {
+
+  /** CUBE aggregation — all 2^k grouping-set combinations in one
+    * pass (Catalyst expands to a single Expand + hash agg: one
+    * shuffle regardless of the number of grouping sets).
+    */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+        coalesce(col("l_linestatus"), lit("<all>")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  val cubeAggSql: String =
+    """SELECT coalesce(l_returnflag, '<all>') AS flag,
+      |       coalesce(l_linestatus, '<all>') AS status,
+      |       count(*) AS n,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  /** Navigation window functions: lag/lead/first_value/row_number/
+    * ntile/cume_dist over each customer's order history. The ORDER BY
+    * inside the window is made total (date, then key) so both engines
+    * see identical frames. cume_dist over percent_rank: a single-row
+    * partition is 1.0 in both engines (percent_rank divides by n-1).
+    */
+  def windowNav(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d).filter(col("o_custkey") < 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first_value(col("o_orderkey")).over(w).as("first_key"),
+        row_number().over(w).as("rn"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val windowNavSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |       lag(o_totalprice, 1) OVER w AS prev_price,
+      |       lead(o_totalprice, 1) OVER w AS next_price,
+      |       first_value(o_orderkey) OVER w AS first_key,
+      |       CAST(row_number() OVER w AS INT) AS rn,
+      |       CAST(ntile(4) OVER w AS INT) AS quartile,
+      |       round(cume_dist() OVER w, 6) AS cd
+      |FROM orders WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** Generator / UNNEST: one output row per token with its position
+    * (posexplode). The generator runs inside the scan stage — no
+    * shuffle; at scale output size is input-bound (rows × tokens), so
+    * the bounded block keeps the oracle replayable.
+    */
+  def explodeTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      .orderBy("doc_id", "pos")
+
+  val explodeTokensSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+      |  FROM documents WHERE doc_id < 100
+      |)
+      |SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+      |FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) u
+      |ORDER BY doc_id, pos""".stripMargin
+
+  /** Range (theta) join: lineitem rows land in literal quantity
+    * buckets via `lo <= q < hi`. The bucket side is tiny → Spark
+    * broadcasts it and the non-equi condition evaluates inside a
+    * BroadcastNestedLoopJoin — the right plan when one side is a
+    * handful of ranges (each probe row scans 5 buckets, not a
+    * cartesian blow-up).
+    */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buckets = Seq((0, 10), (10, 20), (20, 30), (30, 40), (40, 51))
+      .toDF("lo", "hi")
+    lineitem(s, d).join(broadcast(buckets),
+        col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("lo"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy("lo")
+  }
+
+  val rangeJoinSql: String =
+    """SELECT lo, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |JOIN (SELECT * FROM (VALUES (0, 10), (10, 20), (20, 30), (30, 40),
+      |                            (40, 51)) b(lo, hi))
+      |  ON l_quantity >= lo AND l_quantity < hi
+      |GROUP BY lo ORDER BY lo""".stripMargin
+
+  /** Map-typed computation: per-user map of event_type → count built
+    * with map_from_entries, then interrogated via map_keys /
+    * element_at. Key order inside a map is engine-internal, so every
+    * output derives from sorted keys or point lookups (the oracle
+    * computes the same facts relationally — DuckDB needn't build a
+    * map for the comparison to be exact).
+    */
+  def mapFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d).filter(col("user_id") < 100)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("user_id"))
+      .agg(map_from_entries(collect_list(struct(col("event_type"), col("n"))))
+        .as("m"))
+      .select(
+        col("user_id"),
+        size(col("m")).as("n_types"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("types"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+        coalesce(element_at(col("m"), "view"), lit(0L)).as("n_view"))
+      .orderBy("user_id")
+
+  val mapFuncsSql: String =
+    """WITH pt AS (
+      |  SELECT user_id, event_type, count(*) AS n
+      |  FROM events WHERE user_id < 100 GROUP BY 1, 2
+      |)
+      |SELECT user_id, count(*) AS n_types,
+      |       string_agg(event_type, ',' ORDER BY event_type) AS types,
+      |       CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN n END), 0)
+      |            AS BIGINT) AS n_purchase,
+      |       CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN n END), 0)
+      |            AS BIGINT) AS n_view
+      |FROM pt GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Array-typed computation: per-order sorted quantity array, then
+    * order statistics by position plus a higher-order-function sum.
+    * All values are integer-valued doubles → exact in both engines.
+    * (HOF lambdas evaluate interpreted — fine on short per-row arrays;
+    * the fused-expression escape hatch is functions/TextExpressions.)
+    */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).filter(col("l_orderkey") < 2000)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qs"))
+      .select(
+        col("l_orderkey"),
+        size(col("qs")).as("n_items"),
+        element_at(col("qs"), 1).as("min_qty"),
+        element_at(col("qs"), -1).as("max_qty"),
+        element_at(col("qs"),
+          ((size(col("qs")) + 1) / 2).cast("int")).as("med_lo_qty"),
+        array_contains(col("qs"), 40.0).as("has_forty"),
+        aggregate(col("qs"), lit(0.0), (acc, x) => acc + x).as("sum_qty"))
+      .orderBy("l_orderkey")
+
+  val arrayFuncsSql: String =
+    """WITH t AS (
+      |  SELECT l_orderkey, list_sort(list(l_quantity)) AS qs
+      |  FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey
+      |)
+      |SELECT l_orderkey,
+      |       len(qs) AS n_items,
+      |       qs[1] AS min_qty,
+      |       qs[-1] AS max_qty,
+      |       qs[CAST(floor((len(qs) + 1) / 2) AS INT)] AS med_lo_qty,
+      |       list_contains(qs, 40.0) AS has_forty,
+      |       CAST(list_sum(qs) AS DOUBLE) AS sum_qty
+      |FROM t ORDER BY l_orderkey""".stripMargin
+
+  /** Exact decimal aggregation: prices as DECIMAL(12,2) so the grouped
+    * sums are exact integer arithmetic in both engines (no float
+    * accumulation-order drift); only the final already-exact values
+    * cast to DOUBLE for the comparison.
+    */
+  def decimalAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(12,2)").as("p"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("p")).cast("double").as("sum_price"),
+        min(col("p")).cast("double").as("min_price"),
+        max(col("p")).cast("double").as("max_price"))
+      .orderBy("l_returnflag")
+
+  val decimalAggSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      |       CAST(min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+      |       CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_cube"        -> (cubeAgg _),
+    "rel_window_nav"  -> (windowNav _),
+    "rel_explode"     -> (explodeTokens _),
+    "rel_range_join"  -> (rangeJoin _),
+    "rel_map_funcs"   -> (mapFuncs _),
+    "rel_array_funcs" -> (arrayFuncs _),
+    "rel_decimal_agg" -> (decimalAgg _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "rel_cube"        -> cubeAggSql,
+    "rel_window_nav"  -> windowNavSql,
+    "rel_explode"     -> explodeTokensSql,
+    "rel_range_join"  -> rangeJoinSql,
+    "rel_map_funcs"   -> mapFuncsSql,
+    "rel_array_funcs" -> arrayFuncsSql,
+    "rel_decimal_agg" -> decimalAggSql,
+  )
+}

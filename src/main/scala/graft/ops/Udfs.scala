@@ -133,9 +133,39 @@ object Udfs {
       |                AND l.l_quantity >= 45)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** UDTF analog: typed `Dataset.flatMap` — arbitrary Scala producing
+    * 0..n rows per input row (the table-function contract). Runs in
+    * the scan stage like a generator; unlike `explode` the row logic
+    * is open-ended imperative code.
+    */
+  def flatMapUdtf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    part(s, d).filter(col("p_partkey") < 500)
+      .select(col("p_partkey"), col("p_name")).as[(Long, String)]
+      .flatMap { case (key, name) =>
+        name.split(" ").iterator.filter(_.nonEmpty).zipWithIndex.map {
+          case (word, i) => (key, i, word, word.length.toLong)
+        }
+      }
+      .toDF("p_partkey", "word_idx", "word", "word_len")
+      .orderBy("p_partkey", "word_idx")
+  }
+
+  val flatMapUdtfSql: String =
+    """WITH t AS (
+      |  SELECT p_partkey,
+      |         list_filter(string_split(p_name, ' '), x -> x != '') AS ws
+      |  FROM part WHERE p_partkey < 500
+      |)
+      |SELECT p_partkey, i - 1 AS word_idx, ws[i] AS word,
+      |       CAST(length(ws[i]) AS BIGINT) AS word_len
+      |FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) u
+      |ORDER BY p_partkey, word_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "udf_scalar"        -> (scalarUdf _),
     "udaf_weighted_mean" -> (udafWeightedMean _),
+    "udtf_flatmap"      -> (flatMapUdtf _),
     "sql_api_q3"        -> (sqlApi _),
     "sql_subqueries"    -> (sqlSubqueries _),
   )
@@ -143,6 +173,7 @@ object Udfs {
   val oracle: Map[String, String] = Map(
     "udf_scalar"        -> scalarUdfSql,
     "udaf_weighted_mean" -> udafWeightedMeanSql,
+    "udtf_flatmap"      -> flatMapUdtfSql,
     "sql_api_q3"        -> sqlApiSql,
     "sql_subqueries"    -> sqlSubqueriesSql,
   )

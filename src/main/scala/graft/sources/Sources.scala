@@ -125,6 +125,20 @@ object Sources {
       .orderBy("o_orderkey")
   }
 
+  /** ORC sink → ORC source round-trip (the second columnar format the
+    * engine speaks; same pushdown/pruning machinery as parquet). The
+    * oracle replays from the original parquet — a value-exact check
+    * that the ORC write/read preserved every column.
+    */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratch/supplier_orc"
+    supplier(s, d).write.mode(SaveMode.Overwrite).orc(out)
+    s.read.orc(out).orderBy("s_suppkey")
+  }
+
+  val orcRoundtripSql: String =
+    "SELECT * FROM supplier ORDER BY s_suppkey"
+
   val bucketedJoinSql: String =
     """SELECT o_orderkey, o_custkey, n_lines
       |FROM orders
@@ -138,6 +152,7 @@ object Sources {
     "src_json_roundtrip"   -> (jsonRoundtrip _),
     "src_partitioned_scan" -> (partitionedWrite _),
     "src_bucketed_join"    -> (bucketedJoin _),
+    "src_orc_roundtrip"    -> (orcRoundtrip _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -145,5 +160,6 @@ object Sources {
     "src_json_roundtrip"   -> jsonRoundtripSql,
     "src_partitioned_scan" -> partitionedWriteSql,
     "src_bucketed_join"    -> bucketedJoinSql,
+    "src_orc_roundtrip"    -> orcRoundtripSql,
   )
 }

@@ -188,14 +188,41 @@ object EventStream {
       | AND epoch_us(v.ts) <= epoch_us(p.ts)
       |ORDER BY p_id, v_id""".stripMargin
 
+  /** Streaming sliding window: 1-hour windows every 30 minutes —
+    * each event lands in exactly 2 overlapping windows (the window()
+    * generator expands rows before the keyed state agg). Oracle
+    * replays the expansion relationally: offsets {0,1} per event.
+    */
+  def slidingCounts(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+    runToCompletion(s, agg, OutputMode.Complete())
+      .select(
+        expr("unix_timestamp(window.start)").as("win_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("win_start")
+  }
+
+  val slidingCountsSql: String =
+    """SELECT (epoch_us(ts) // 1800000000 - off) * 1800 AS win_start,
+      |       count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events, LATERAL (SELECT unnest([0, 1]) AS off) o
+      |GROUP BY 1 ORDER BY win_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_window" -> (tumblingCounts _),
+    "stream_sliding_window"  -> (slidingCounts _),
     "stream_sessionize"      -> (sessionCounts _),
     "stream_stream_join"     -> (streamStreamJoin _),
   )
 
   val oracle: Map[String, String] = Map(
     "stream_tumbling_window" -> tumblingCountsSql,
+    "stream_sliding_window"  -> slidingCountsSql,
     "stream_sessionize"      -> sessionCountsSql,
     "stream_stream_join"     -> streamStreamJoinSql,
   )

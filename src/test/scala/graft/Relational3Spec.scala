@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Relational3
+
+class Relational3Spec extends SparkTestBase {
+
+  test("cube emits every grouping-set combination incl. grand total") {
+    import spark.implicits._
+    val rows = Relational3.cubeAgg(spark, sf)
+    val flags = rows.select("flag").as[String].collect().toSet
+    val statuses = rows.select("status").as[String].collect().toSet
+    assert(flags.contains("<all>") && statuses.contains("<all>"))
+    // grand total row count == table count
+    val total = rows.filter($"flag" === "<all>" && $"status" === "<all>")
+      .select("n").as[Long].head()
+    assert(total === spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
+  test("window nav: lag/lead invert each other along the frame") {
+    import spark.implicits._
+    val df = Relational3.windowNav(spark, sf).cache()
+    // row k's next_price must equal row k+1's o_totalprice per custkey
+    val pairs = df.select($"o_custkey", $"rn", $"o_totalprice", $"next_price")
+    val shifted = df.select($"o_custkey", ($"rn" - 1).as("rn"),
+      $"o_totalprice".as("successor_price"))
+    val joined = pairs.join(shifted, Seq("o_custkey", "rn"))
+    assert(joined.filter($"next_price" =!= $"successor_price").count() === 0)
+    assert(df.filter($"rn" === 1 && $"prev_price".isNotNull).count() === 0)
+    df.unpersist()
+  }
+
+  test("explode emits exactly one row per token") {
+    import spark.implicits._
+    val exploded = Relational3.explodeTokens(spark, sf)
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" < 100)
+      .select(size(graft.ops.TextAnalysis.tokens($"text")).as("n"))
+      .agg(sum($"n")).as[Long].head()
+    assert(exploded.count() === expected)
+  }
+
+  test("range join buckets partition the table exactly") {
+    import spark.implicits._
+    val buckets = Relational3.rangeJoin(spark, sf)
+    val n = buckets.agg(sum($"n")).as[Long].head()
+    assert(n === spark.read.parquet(s"$sf/lineitem.parquet").count())
+    // broadcast of the tiny bucket side, not a shuffled join
+    val plan = buckets.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("map funcs: per-type counts recoverable from the map") {
+    import spark.implicits._
+    val m = Relational3.mapFuncs(spark, sf)
+    val purchases = graft.util.Tables.events(spark, sf)
+      .filter($"user_id" < 100 && $"event_type" === "purchase")
+      .groupBy($"user_id").count()
+    val joined = m.join(purchases, Seq("user_id"))
+    assert(joined.filter($"n_purchase" =!= $"count").count() === 0)
+  }
+
+  test("array funcs order statistics agree with direct aggregates") {
+    import spark.implicits._
+    val a = Relational3.arrayFuncs(spark, sf)
+    val direct = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter($"l_orderkey" < 2000)
+      .groupBy($"l_orderkey")
+      .agg(min($"l_quantity").as("dmin"), max($"l_quantity").as("dmax"),
+        sum($"l_quantity").as("dsum"))
+    val j = a.join(direct, Seq("l_orderkey"))
+    assert(j.filter($"min_qty" =!= $"dmin" || $"max_qty" =!= $"dmax"
+      || $"sum_qty" =!= $"dsum").count() === 0)
+  }
+
+  test("decimal agg sums are exact (match DECIMAL-typed recompute)") {
+    import spark.implicits._
+    val d = Relational3.decimalAgg(spark, sf)
+    val expect = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_returnflag", $"l_extendedprice".cast("decimal(12,2)").as("p"))
+      .groupBy($"l_returnflag").agg(sum($"p").cast("double").as("s"))
+    val j = d.join(expect, Seq("l_returnflag"))
+    assert(j.filter($"sum_price" =!= $"s").count() === 0)
+  }
+
+  test("orc round-trip preserves the supplier relation") {
+    val back = graft.sources.Sources.orcRoundtrip(spark, sf)
+    val orig = spark.read.parquet(s"$sf/supplier.parquet")
+    assert(back.count() === orig.count())
+    assert(back.columns.sorted.sameElements(orig.columns.sorted))
+  }
+
+  test("flatMap UDTF emits one row per word with stable indexing") {
+    import spark.implicits._
+    val rows = graft.ops.Udfs.flatMapUdtf(spark, sf)
+    assert(rows.filter($"word_len" =!= length($"word").cast("long"))
+      .count() === 0)
+    assert(rows.groupBy($"p_partkey").agg(min($"word_idx").as("lo"))
+      .filter($"lo" =!= 0).count() === 0)
+  }
+
+  test("frame sample: ≤4 frames per video, offsets within payload") {
+    import spark.implicits._
+    val fs = graft.ops.Multimodal.frameSample(spark, sf).cache()
+    assert(fs.groupBy($"doc_id").count().filter($"count" > 4).count() === 0)
+    val withLen = fs.join(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select($"doc_id", length($"text").as("len")), Seq("doc_id"))
+    assert(withLen.filter($"byte_off" >= $"len").count() === 0)
+    // only video rows (doc_id % 3 == 2) are sampled
+    assert(fs.filter(pmod($"doc_id", lit(3)) =!= 2).count() === 0)
+    fs.unpersist()
+  }
+
+  test("streaming sliding window matches the batch expansion") {
+    import spark.implicits._
+    val stream = graft.streaming.EventStream.slidingCounts(spark, sf)
+    val batch = graft.util.Tables.events(spark, sf)
+      .select(expr("ts div 1000").as("us"))
+      .select(explode(array(lit(0), lit(1))).as("off"), $"us")
+      .select(((expr("us div 1800000000") - $"off") * lit(1800L))
+        .as("win_start"))
+      .groupBy("win_start").agg(count(lit(1)).as("bn"))
+    val j = stream.select($"win_start", $"n_events")
+      .join(batch, Seq("win_start"), "full_outer")
+    assert(j.filter($"n_events".isNull || $"bn".isNull
+      || $"n_events" =!= $"bn").count() === 0)
+  }
+}
