@@ -47,7 +47,7 @@ object Similarity {
     val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))), 6)
+        round(graft.functions.VectorFunctions.cosine_sim(col("q"), col("v")), 6)
           .as("cos_sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
@@ -108,14 +108,15 @@ object Similarity {
     val emb = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket",
-        concat(planes.map(pl => when(dot(col("v"), pl) >= 0, "1")
-          .otherwise("0")): _*))
+        concat(planes.map(pl =>
+          when(graft.functions.VectorFunctions.dot_product(col("v"), pl) >= 0,
+            "1").otherwise("0")): _*))
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("q"), col("bucket"))
     val cand = emb.join(queries, Seq("bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))), 6)
+        round(graft.functions.VectorFunctions.cosine_sim(col("q"), col("v")), 6)
           .as("cos_sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
@@ -126,53 +127,91 @@ object Similarity {
 
   /** IVF (inverted-file) ANN — the other standard scale path
     * (IVF-Flat as in Jégou, Douze & Schmid, "Product quantization for
-    * nearest neighbor search", TPAMI 2011): a coarse quantizer assigns
-    * every vector
-    * to its nearest centroid's posting list; a query probes only the
-    * `nprobe` nearest lists and ranks those candidates exactly.
+    * nearest neighbor search", TPAMI 2011): a k-means coarse quantizer
+    * assigns every vector to its nearest centroid's posting list; a
+    * query probes only the `nprobe` nearest lists and ranks those
+    * candidates exactly.
     *
-    * The coarse centroids here are a deterministic sample (vec_id <
-    * 16) so results are reproducible with no RNG/k-means state; a
-    * production build would k-means them (same plan shape). Cost at
-    * scale follows sum-of-probed-list sizes, not corpus size; the
-    * assignment pass is one broadcast-join + max_by aggregate, no
-    * shuffle of the corpus.
+    * The quantizer is deterministic spherical k-means: init = the
+    * first `IvfK` vectors by vec_id (no RNG state), then Lloyd
+    * rounds where (a) assignment is a SHUFFLE-FREE narrow projection —
+    * the centroids ride into the plan as literals and an
+    * `array_max(array(struct(csim, cent_id)…))` picks the argmax per
+    * row — and (b) the mean recompute is one small groupBy (k×dim
+    * cells to the driver). Centroid coords round to 6 decimals each
+    * round so float-sum order can never leak into the model. Cosine
+    * assignment needs no centroid normalization beyond the constant
+    * norm (cos(q,c) is scale-invariant in c).
+    *
+    * Cost at scale: build = iters × (corpus pass + k×dim agg);
+    * query = sum of probed posting-list sizes, not corpus size.
     */
   private val IvfProbes = 2
+  private val IvfK = 16
+  private val IvfIters = 3
+
+  private val centroidMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]
+
+  /** Nearest-centroid id column for the row's vector column `v`;
+    * centroids enter as one nested-array literal (see
+    * functions.NearestCentroids for why that matters for codegen).
+    */
+  private def bestCentroid(cents: Array[Array[Double]]): Column =
+    element_at(graft.functions.VectorFunctions.nearest_centroids(
+      col("v"), typedLit(cents.map(_.toSeq).toSeq), 1), 1)
+
+  /** Deterministic k-means centroids for an sf dir (memoized: the
+    * model is built once per corpus, exactly like a real IVF index).
+    */
+  def ivfCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    centroidMemo.getOrElseUpdate(d, {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      var cents: Array[Array[Double]] = emb.filter(col("vec_id") < IvfK)
+        .orderBy("vec_id").select("v").collect()
+        .map(_.getSeq[Double](0).toArray)
+      for (_ <- 1 to IvfIters) {
+        val means = emb
+          .withColumn("cent_id", bestCentroid(cents))
+          .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy(col("cent_id"), col("dim"))
+          .agg(avg(col("x")).as("m"))
+          .collect()
+        val next = Array.tabulate(IvfK)(c => cents(c).clone()) // empty lists keep coords
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1)) =
+            BigDecimal(r.getDouble(2))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        cents = next
+      }
+      cents
+    })
 
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv"))
+    val cents = ivfCentroids(s, d)
 
-    // nearest-centroid assignment: broadcast the tiny centroid set,
-    // one max_by aggregate per vector (no sort, partial combine)
-    val scoredCents = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        (dot(col("v"), col("cv"))
-          / (norm(col("v")) * norm(col("cv")))).as("csim"))
-    val assigned = scoredCents
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("cent_id"),
-        struct(col("csim"), (-col("cent_id")).as("n"))).as("cent_id"))
+    // posting-list assignment: narrow projection, no shuffle
+    val assigned = emb.withColumn("cent_id", bestCentroid(cents))
 
-    // queries probe their nprobe nearest lists
-    val qProbe = scoredCents.filter(col("vec_id") < 20)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("vec_id"))
-          .orderBy(desc("csim"), asc("cent_id"))))
-      .filter(col("rk") <= IvfProbes)
+    // queries probe their nprobe nearest lists — same fused expression
+    // with nprobe > 1, again without a shuffle
+    val qProbe = emb.filter(col("vec_id") < 20)
+      .withColumn("cent_id",
+        explode(graft.functions.VectorFunctions.nearest_centroids(
+          col("v"), typedLit(cents.map(_.toSeq).toSeq), IvfProbes)))
       .select(col("vec_id").as("q_id"), col("v").as("q"), col("cent_id"))
 
-    val cand = qProbe
-      .join(assigned, Seq("cent_id"))
-      .join(emb, Seq("vec_id"))
+    // each vector lives in exactly one list and probes are distinct →
+    // no dedup needed; the tiny query side broadcasts
+    val cand = assigned.join(broadcast(qProbe), Seq("cent_id"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
-        round(dot(col("q"), col("v")) / (norm(col("q")) * norm(col("v"))), 6)
+        round(graft.functions.VectorFunctions.cosine_sim(col("q"), col("v")), 6)
           .as("cos_sim"))
-      .distinct()
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
     cand.withColumn("rank", row_number().over(w).cast("long"))
@@ -193,8 +232,8 @@ object Similarity {
     val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(dot(col("a_v"), col("b_v"))
-          / (norm(col("a_v")) * norm(col("b_v"))), 6).as("cos_sim"))
+        round(graft.functions.VectorFunctions
+          .cosine_sim(col("a_v"), col("b_v")), 6).as("cos_sim"))
       .orderBy(desc("cos_sim"), asc("a_id"), asc("b_id"))
       .limit(100)
   }
@@ -218,7 +257,8 @@ object Similarity {
   def embedStats(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .select(col("label"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm(col("v")))
+      .withColumn("nrm",
+        sqrt(graft.functions.VectorFunctions.dot_product(col("v"), col("v"))))
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n"),
