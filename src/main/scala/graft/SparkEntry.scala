@@ -25,6 +25,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Relational2.queries ++
       ops.Relational3.queries ++ ops.TextAnalysis.queries ++
+      ops.Curation.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Events.queries ++
       ops.Multimodal.queries ++ ops.Udfs.queries ++ ops.Skew.queries ++
       sources.Sources.queries ++
@@ -38,6 +39,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ops.Relational.oracle ++ ops.Relational2.oracle ++
       ops.Relational3.oracle ++ ops.TextAnalysis.oracle ++
+      ops.Curation.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Events.oracle ++
       ops.Multimodal.oracle ++ ops.Udfs.oracle ++ ops.Skew.oracle ++
       sources.Sources.oracle ++

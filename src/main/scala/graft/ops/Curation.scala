@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.util.Tables._
+
+/** Corpus-curation operators — the composition layer of an LLM
+  * training-data pipeline: deterministic dataset splitting,
+  * benchmark decontamination, and an end-to-end quality+dedup
+  * retention summary.
+  *
+  * Scale design: every per-doc decision is a narrow expression over
+  * the scan (hash bucketing, quality scoring); the only shuffles are
+  * the final small aggregates, the exact-dup fingerprint grouping,
+  * and a broadcast join against the (small) benchmark shingle set.
+  */
+object Curation {
+
+  import TextAnalysis.tokens
+
+  /** Deterministic content-hash split: md5-bucket every document into
+    * train/val/test (8/1/1). Content-keyed (not id-keyed) so exact
+    * duplicates always land in the SAME split — the property that
+    * prevents train/test leakage through dup pairs; stable under
+    * re-partitioning, re-ordering and re-ingestion of the corpus.
+    */
+  def hashSplit(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("bucket",
+        conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 10)
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      .orderBy("split")
+
+  val hashSplitSql: String =
+    """WITH b AS (
+      |  SELECT ('0x' || substr(md5(text), 1, 4))::BIGINT % 10 AS bucket,
+      |         len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+      |           AS n_toks
+      |  FROM documents
+      |)
+      |SELECT CASE WHEN bucket < 8 THEN 'train'
+      |            WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
+      |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+
+  /** Benchmark decontamination: word-3-gram overlap between every
+    * corpus document and a benchmark set (here: docs 0-4 stand in for
+    * an eval benchmark). The benchmark's distinct shingles are tiny →
+    * broadcast; each doc reports how many of its shingles appear in
+    * the benchmark and the contaminated fraction. Top-50 most
+    * contaminated docs (rounded ratio, doc_id tie-break).
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val bench = docs.filter(col("doc_id") < 5)
+      .select(explode(col("sh")).as("shingle")).distinct()
+    docs.filter(col("doc_id") >= 5)
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        explode(col("sh")).as("shingle"))
+      .join(broadcast(bench), Seq("shingle"))
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("doc_id"), col("n_hits"),
+        round(col("n_hits").cast("double") / col("n_shingles"), 6)
+          .as("contamination"))
+      .orderBy(desc("contamination"), asc("doc_id"))
+      .limit(50)
+  }
+
+  val contaminationSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Dedup.shinglesSql} AS sh
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+       |        FROM documents)
+       |), bench AS (
+       |  SELECT DISTINCT unnest(sh) AS shingle FROM t WHERE doc_id < 5
+       |), probe AS (
+       |  SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS shingle
+       |  FROM t WHERE doc_id >= 5
+       |)
+       |SELECT doc_id, count(*) AS n_hits,
+       |       round(CAST(count(*) AS DOUBLE) / any_value(n_shingles), 6)
+       |         AS contamination
+       |FROM probe JOIN bench USING (shingle)
+       |GROUP BY doc_id
+       |ORDER BY contamination DESC, doc_id LIMIT 50""".stripMargin
+
+  /** End-to-end curation summary: exact-dup removal (content
+    * fingerprint, keep smallest doc_id) composed with quality gates
+    * (token-count band + alphabetic ratio), reported per language.
+    * This is the pipeline a curation job runs before training: what
+    * survives, and why, by slice.
+    */
+  def curationSummary(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("alpha_ratio",
+        length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+          / length(col("text")))
+      .withColumn("fp", md5(concat_ws(" ", col("toks"))))
+    val keep = scored
+      .withColumn("keep_id",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))))
+      .withColumn("is_canonical", col("doc_id") === col("keep_id"))
+      .withColumn("passes",
+        col("is_canonical") && col("n_tokens").between(20, 500)
+          && col("alpha_ratio") >= 0.4)
+    keep.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_kept"),
+        round(sum(when(col("passes"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 4).as("kept_ratio"),
+        round(avg(when(col("passes"), col("n_tokens"))), 4)
+          .as("avg_kept_tokens"))
+      .orderBy("lang")
+  }
+
+  val curationSummarySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang, text,
+      |         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+      |  FROM documents
+      |), sc AS (
+      |  SELECT doc_id, lang, len(toks) AS n_tokens,
+      |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+      |           / length(text) AS alpha_ratio,
+      |         md5(list_aggr(toks, 'string_agg', ' ')) AS fp
+      |  FROM t
+      |), k AS (
+      |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
+      |  FROM sc
+      |), p AS (
+      |  SELECT lang, n_tokens,
+      |         is_canonical AND n_tokens BETWEEN 20 AND 500
+      |           AND alpha_ratio >= 0.4 AS passes
+      |  FROM k
+      |)
+      |SELECT lang, count(*) AS n_total,
+      |       CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       round(CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*), 4) AS kept_ratio,
+      |       round(avg(CASE WHEN passes THEN n_tokens END), 4)
+      |         AS avg_kept_tokens
+      |FROM p GROUP BY lang ORDER BY lang""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_hash_split"    -> (hashSplit _),
+    "cur_contamination" -> (contamination _),
+    "cur_summary"       -> (curationSummary _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "cur_hash_split"    -> hashSplitSql,
+    "cur_contamination" -> contaminationSql,
+    "cur_summary"       -> curationSummarySql,
+  )
+}

@@ -54,7 +54,7 @@ object Dedup {
         .otherwise(array(concat_ws(" ", toks)))))
   }
 
-  private val shinglesSql: String =
+  private[ops] val shinglesSql: String =
     """list_sort(list_distinct(
       |  CASE WHEN len(toks) >= 3
       |       THEN list_transform(range(1, len(toks) - 1),
