@@ -189,6 +189,39 @@ object Relational3 {
       |       CAST(list_sum(qs) AS DOUBLE) AS sum_qty
       |FROM t ORDER BY l_orderkey""".stripMargin
 
+  /** Bag-semantics set operations — INTERSECT ALL / EXCEPT ALL keep
+    * multiplicity (count-min per key) instead of deduplicating;
+    * Catalyst plans them as a row_number-augmented join rather than
+    * the semi/anti joins of the set-semantics forms.
+    */
+  def setOpsBag(s: SparkSession, d: String): DataFrame = {
+    val early = orders(s, d)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val highValue = orders(s, d).filter(col("o_totalprice") > 30000.0)
+      .select(col("o_custkey"))
+    early.intersectAll(highValue)
+      .withColumn("tag", lit("both"))
+      .unionByName(
+        early.exceptAll(highValue).withColumn("tag", lit("early_only")))
+      .groupBy(col("tag"), col("o_custkey"))
+      .agg(count(lit(1)).as("multiplicity"))
+      .orderBy("tag", "o_custkey")
+  }
+
+  val setOpsBagSql: String =
+    """SELECT tag, o_custkey, count(*) AS multiplicity FROM (
+      |  SELECT o_custkey, 'both' AS tag FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |    INTERSECT ALL
+      |    SELECT o_custkey FROM orders WHERE o_totalprice > 30000.0)
+      |  UNION ALL
+      |  SELECT o_custkey, 'early_only' AS tag FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+      |    EXCEPT ALL
+      |    SELECT o_custkey FROM orders WHERE o_totalprice > 30000.0)
+      |) GROUP BY tag, o_custkey ORDER BY tag, o_custkey""".stripMargin
+
   /** Exact decimal aggregation: prices as DECIMAL(12,2) so the grouped
     * sums are exact integer arithmetic in both engines (no float
     * accumulation-order drift); only the final already-exact values
@@ -220,6 +253,7 @@ object Relational3 {
     "rel_map_funcs"   -> (mapFuncs _),
     "rel_array_funcs" -> (arrayFuncs _),
     "rel_decimal_agg" -> (decimalAgg _),
+    "rel_set_ops_bag" -> (setOpsBag _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -230,5 +264,6 @@ object Relational3 {
     "rel_map_funcs"   -> mapFuncsSql,
     "rel_array_funcs" -> arrayFuncsSql,
     "rel_decimal_agg" -> decimalAggSql,
+    "rel_set_ops_bag" -> setOpsBagSql,
   )
 }

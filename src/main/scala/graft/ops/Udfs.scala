@@ -133,6 +133,43 @@ object Udfs {
       |                AND l.l_quantity >= 45)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE, UNION ALL form): generate
+    * a month spine and left-join the order counts — months with no
+    * orders surface as explicit zeros. The recursion is acyclic
+    * (monotone date increment), which is exactly the shape Spark 4's
+    * recursive CTEs support; DuckDB replays the identical SQL.
+    */
+  def sqlRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("v_orders")
+    s.sql(
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT TIMESTAMP '1995-01-01'
+        |  UNION ALL
+        |  SELECT m + INTERVAL '1' MONTH FROM months
+        |  WHERE m < TIMESTAMP '2001-12-01'
+        |)
+        |SELECT m AS month, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+        |FROM months
+        |LEFT JOIN (SELECT date_trunc('month', o_orderdate) AS mo,
+        |                  count(*) AS n
+        |           FROM v_orders GROUP BY 1) o ON m = mo
+        |ORDER BY month""".stripMargin)
+  }
+
+  val sqlRecursiveCteSql: String =
+    """WITH RECURSIVE months(m) AS (
+      |  SELECT TIMESTAMP '1995-01-01'
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH FROM months
+      |  WHERE m < TIMESTAMP '2001-12-01'
+      |)
+      |SELECT m AS month, CAST(coalesce(n, 0) AS BIGINT) AS n_orders
+      |FROM months
+      |LEFT JOIN (SELECT date_trunc('month', o_orderdate) AS mo,
+      |                  count(*) AS n
+      |           FROM orders GROUP BY 1) o ON m = mo
+      |ORDER BY month""".stripMargin
+
   /** UDTF analog: typed `Dataset.flatMap` — arbitrary Scala producing
     * 0..n rows per input row (the table-function contract). Runs in
     * the scan stage like a generator; unlike `explode` the row logic
@@ -168,6 +205,7 @@ object Udfs {
     "udtf_flatmap"      -> (flatMapUdtf _),
     "sql_api_q3"        -> (sqlApi _),
     "sql_subqueries"    -> (sqlSubqueries _),
+    "sql_recursive_cte" -> (sqlRecursiveCte _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -176,5 +214,6 @@ object Udfs {
     "udtf_flatmap"      -> flatMapUdtfSql,
     "sql_api_q3"        -> sqlApiSql,
     "sql_subqueries"    -> sqlSubqueriesSql,
+    "sql_recursive_cte" -> sqlRecursiveCteSql,
   )
 }

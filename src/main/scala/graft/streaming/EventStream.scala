@@ -213,11 +213,46 @@ object EventStream {
       |FROM events, LATERAL (SELECT unnest([0, 1]) AS off) o
       |GROUP BY 1 ORDER BY win_start""".stripMargin
 
+  /** foreachBatch sink: the programmable-sink escape hatch — each
+    * micro-batch lands in a parquet sink partition via arbitrary
+    * batch-DataFrame code (here: append-mode parquet write, the
+    * pattern used for sinks Structured Streaming lacks natively:
+    * JDBC upserts, multi-table fanout, merge-into). The query then
+    * reads the sink back and aggregates it — verifying the full
+    * stream→sink→batch round trip against the batch oracle.
+    */
+  def foreachBatchSink(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_febatch").toString
+    val src = eventsStream(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val foreachBatchSinkSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_window" -> (tumblingCounts _),
     "stream_sliding_window"  -> (slidingCounts _),
     "stream_sessionize"      -> (sessionCounts _),
     "stream_stream_join"     -> (streamStreamJoin _),
+    "stream_foreachbatch"    -> (foreachBatchSink _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -225,5 +260,6 @@ object EventStream {
     "stream_sliding_window"  -> slidingCountsSql,
     "stream_sessionize"      -> sessionCountsSql,
     "stream_stream_join"     -> streamStreamJoinSql,
+    "stream_foreachbatch"    -> foreachBatchSinkSql,
   )
 }
