@@ -1,0 +1,72 @@
+package graft
+
+import graft.ops.{Relational, Relational3}
+
+/** Physical-plan assertions: the efficiency properties the engine
+  * claims (scan pushdown, column pruning, broadcast joins, map-side
+  * partial aggregation, whole-stage codegen) must be visible in
+  * `explain`, not just intended. A regression that silently turns a
+  * broadcast join into a shuffled one, or un-pushes a filter, fails
+  * here long before it shows up as a benchmark number.
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString()
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val p = plan(Relational.filterPredicates(spark, sf))
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.replaceAll("PushedFilters: \\[\\]", "").contains(
+      "PushedFilters: []") || p.contains("PushedFilters: [Is"),
+      s"no filter pushed into any scan:\n$p")
+  }
+
+  test("projection prunes the scan schema to selected columns") {
+    val p = plan(Relational.projectCast(spark, sf))
+    // lineitem has 7+ columns; the scan must read only the projected ones
+    // lineitem has 16 columns; the projection needs 5 — a scan that
+    // reads 7+ has lost column pruning
+    val readSchema = "ReadSchema: struct<([^>]*)".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.nonEmpty, s"no ReadSchema in:\n$p")
+    assert(readSchema.split(",").length <= 6,
+      s"scan reads more columns than the projection needs: $readSchema")
+  }
+
+  test("top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan(Relational.topK(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("small dimension side broadcasts in equi-joins") {
+    val p = plan(Relational.joinSingleKey(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("grouped aggregation is partial (map-side combine) + final") {
+    val p = plan(Relational.groupByAgg(spark, sf))
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"expected partial+final HashAggregate pair:\n$p")
+  }
+
+  test("hot relational plans run under whole-stage codegen") {
+    for (df <- Seq(Relational.groupByAgg(spark, sf),
+        Relational3.decimalAgg(spark, sf))) {
+      df.collect() // run THIS df's plan (count() would plan a new one)
+      // codegen stages print as "*(n) Node" in the executed plan
+      val p = df.queryExecution.executedPlan.toString()
+      assert(p.contains("isFinalPlan=true"), p)
+      assert("\\*\\(\\d+\\)".r.findFirstIn(p).isDefined,
+        s"no whole-stage-codegen stage in final plan:\n$p")
+    }
+  }
+
+  test("cube/rollup expand to a single shuffle, not one per grouping set") {
+    val p = plan(Relational3.cubeAgg(spark, sf))
+    assert(p.contains("Expand"), p)
+    // exchanges: one for the agg, one for the final orderBy — never 4
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"cube should not shuffle per grouping set:\n$p")
+  }
+}
