@@ -181,15 +181,64 @@ object Multimodal {
       |FROM v, LATERAL (SELECT unnest(generate_series(0, m - 1)) AS k) u
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Resize planning for image rows: aspect-preserving downscale to a
+    * 128-px long side, integer arithmetic only (`w*128 div max(w,h)`)
+    * so both engines agree exactly. In a real pipeline the computed
+    * target dims drive the decoder's scaler (e.g. ffmpeg -vf scale);
+    * here they derive from the stubbed decode dims — the plumbing
+    * (filter to images → decode → per-row resize policy → summary)
+    * is the real part.
+    */
+  def resizePlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeFeatures(s, d).toDF()
+      .filter(col("media_type") === "image")
+      .withColumn("long_side", greatest(col("width"), col("height")))
+      .withColumn("needs_resize", col("long_side") > 128)
+      .withColumn("out_w",
+        when(col("needs_resize"),
+          expr("width * 128 div long_side")).otherwise(col("width")))
+      .withColumn("out_h",
+        when(col("needs_resize"),
+          expr("height * 128 div long_side")).otherwise(col("height")))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("needs_resize"), col("out_w"), col("out_h"))
+      .orderBy("doc_id")
+  }
+
+  val resizePlanSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |         32 + (CASE WHEN strlen(text) >= 1
+      |               THEN ord(substr(text, 1, 1)) ELSE 0 END) % 224 AS width,
+      |         32 + (CASE WHEN strlen(text) >= 1
+      |               THEN ord(substr(text, LEAST(2, strlen(text)), 1))
+      |               ELSE 0 END) % 224 AS height
+      |  FROM documents WHERE doc_id % 3 = 0
+      |), g AS (
+      |  SELECT doc_id, width, height,
+      |         greatest(width, height) AS long_side,
+      |         greatest(width, height) > 128 AS needs_resize
+      |  FROM f
+      |)
+      |SELECT doc_id, width, height, needs_resize,
+      |       CASE WHEN needs_resize THEN (width * 128) // long_side
+      |            ELSE width END AS out_w,
+      |       CASE WHEN needs_resize THEN (height * 128) // long_side
+      |            ELSE height END AS out_h
+      |FROM g ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode_features" -> (features _),
     "mm_type_stats"      -> (typeStats _),
     "mm_frame_sample"    -> (frameSample _),
+    "mm_resize"          -> (resizePlan _),
   )
 
   val oracle: Map[String, String] = Map(
     "mm_decode_features" -> featuresSql,
     "mm_type_stats"      -> typeStatsSql,
     "mm_frame_sample"    -> frameSampleSql,
+    "mm_resize"          -> resizePlanSql,
   )
 }

@@ -245,6 +245,56 @@ object Relational3 {
       |       CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Null semantics: NULLIF-manufactured nulls interrogated with
+    * null-safe equality (`<=>` / IS NOT DISTINCT FROM), coalesce,
+    * null-skipping greatest/least and count(col) vs count(*) — the
+    * testdata itself is null-free, so the nulls are produced and
+    * consumed inside the query with identical rules in both engines.
+    */
+  def nullSemantics(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .withColumn("status_n", nullif(col("o_orderstatus"), lit("O")))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(col("status_n")).as("n_nonnull"),
+        sum(when(col("status_n") <=> lit(null), 1L).otherwise(0L))
+          .as("n_nullsafe_null"),
+        min(coalesce(col("status_n"), lit("<null>"))).as("min_coalesced"),
+        round(max(greatest(col("o_totalprice"), lit(50000.0))), 2)
+          .as("max_capped"))
+      .orderBy("o_orderpriority")
+
+  val nullSemanticsSql: String =
+    """SELECT o_orderpriority,
+      |       count(*) AS n_total,
+      |       count(nullif(o_orderstatus, 'O')) AS n_nonnull,
+      |       CAST(sum(CASE WHEN nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_nullsafe_null,
+      |       min(coalesce(nullif(o_orderstatus, 'O'), '<null>')) AS min_coalesced,
+      |       round(max(greatest(o_totalprice, 50000.0)), 2) AS max_capped
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Histogram via width_bucket: fixed-width value buckets (0..500 in
+    * 25 bins). DuckDB lacks width_bucket, so the oracle replays the
+    * definition arithmetically — same IEEE division and floor.
+    */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("bucket",
+        width_bucket(col("value"), lit(0.0), lit(500.0), lit(25)))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), round(min(col("value")), 4).as("lo"),
+        round(max(col("value")), 4).as("hi"))
+      .orderBy("bucket")
+
+  val histogramSql: String =
+    """SELECT CAST(LEAST(GREATEST(1 + floor(value / (500.0 / 25)), 0), 26)
+      |            AS BIGINT) AS bucket,
+      |       count(*) AS n,
+      |       round(min(value), 4) AS lo, round(max(value), 4) AS hi
+      |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_cube"        -> (cubeAgg _),
     "rel_window_nav"  -> (windowNav _),
@@ -254,6 +304,8 @@ object Relational3 {
     "rel_array_funcs" -> (arrayFuncs _),
     "rel_decimal_agg" -> (decimalAgg _),
     "rel_set_ops_bag" -> (setOpsBag _),
+    "rel_null_semantics" -> (nullSemantics _),
+    "rel_histogram"   -> (histogram _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -265,5 +317,7 @@ object Relational3 {
     "rel_array_funcs" -> arrayFuncsSql,
     "rel_decimal_agg" -> decimalAggSql,
     "rel_set_ops_bag" -> setOpsBagSql,
+    "rel_null_semantics" -> nullSemanticsSql,
+    "rel_histogram"   -> histogramSql,
   )
 }
