@@ -122,14 +122,99 @@ object Skew {
       |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 80000.0
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** AQE skew-join mitigation: a join key where ~80% of the fact rows
+    * collapse onto one value — the shape where one straggler reducer
+    * dominates the stage. With skew-join handling on (and broadcast
+    * off, so a shuffle join actually happens), AQE splits the
+    * oversized partition into parallel sub-joins at runtime
+    * (`AQEShuffleRead ... skewed` in the final plan — spec-asserted).
+    * Results are exact either way, so the oracle is plain SQL; the
+    * point is the PLAN under skew, the complement of saltedAgg's
+    * manual rewrite for aggregations.
+    */
+  def skewJoinAqe(s: SparkSession, d: String): DataFrame = {
+    val restore = Map(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        s.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+        s.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+        s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
+      "spark.sql.files.maxPartitionBytes" ->
+        s.conf.get("spark.sql.files.maxPartitionBytes"))
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // skew splits happen at per-mapper shuffle-block granularity: a
+    // single-file scan = one map task = one unsplittable block per
+    // reducer. Shrink input splits so the map stage has real width
+    // (a no-op at cluster scale, where the scan is already wide).
+    s.conf.set("spark.sql.files.maxPartitionBytes", "1MB")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+    // the post-join agg would otherwise veto the split (it forces an
+    // extra exchange); at real scale the trade is clearly worth it
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try {
+      val out = skewJoinAqePlan(s, d)
+      val rows = out.collect().toSeq // optimize+execute under skew confs
+      s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), out.schema)
+    } finally restore.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
+  /** The lazy plan (separate so the spec can run it under the skew
+    * confs and inspect the final adaptive plan).
+    *
+    * The dimension side is MATERIALIZED to parquet first:
+    * OptimizeSkewedJoin pattern-matches SMJ(Sort(Shuffle),
+    * Sort(Shuffle)) exactly, and an aggregate (e.g. an inline
+    * `distinct()`) between the Sort and the shuffle stage vetoes the
+    * rewrite. A precomputed dimension table is also the realistic
+    * shape of this join at scale.
+    */
+  private[graft] def skewJoinAqePlan(s: SparkSession, d: String): DataFrame = {
+    val skewKey = when(pmod(col("user_id"), lit(10)) < 8, 0L)
+      .otherwise(col("user_id"))
+    val dimPath = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_skew_dim_${d.hashCode.toHexString}").toString
+    events(s, d).select(skewKey.as("k")).distinct()
+      .withColumn("k_tag", concat(lit("u"), col("k")))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dimPath)
+    // skew splits operate on per-mapper shuffle blocks; the testdata
+    // is a single parquet row group (one map task), so widen the map
+    // stage explicitly — on a cluster the scan is already this wide
+    val fact = events(s, d).select(skewKey.as("k"), col("value"))
+      .repartition(8)
+    fact.join(s.read.parquet(dimPath), Seq("k"))
+      .groupBy(col("k"), col("k_tag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("k").limit(20)
+  }
+
+  val skewJoinAqeSql: String =
+    """WITH e AS (
+      |  SELECT CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id END AS k,
+      |         value
+      |  FROM events
+      |)
+      |SELECT k, 'u' || CAST(k AS VARCHAR) AS k_tag, count(*) AS n,
+      |       round(sum(value), 4) AS sum_value
+      |FROM e GROUP BY k ORDER BY k LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "skew_salted_agg" -> (saltedAgg _),
+    "skew_aqe_join"   -> (skewJoinAqe _),
     "sketch_agg"      -> (sketchAgg _),
     "bloom_join"      -> (bloomJoin _),
   )
 
   val oracle: Map[String, String] = Map(
     "skew_salted_agg" -> saltedAggSql,
+    "skew_aqe_join"   -> skewJoinAqeSql,
     "bloom_join"      -> bloomJoinSql,
     // sketch_agg: approximate → rows-only; error-bounded in SketchSpec
   )
