@@ -219,6 +219,106 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Product quantization (Jégou/Douze/Schmid, TPAMI 2011): split the
+    * 64-dim vector into `PqM` subspaces of 8 dims, k-means each
+    * subspace to `PqK` codewords, store each vector as `PqM` byte-size
+    * codes — 64 doubles → 8 small ints (a ~32-64× memory/IO
+    * compression; at 100 TB the codes fit where raw vectors cannot,
+    * and the ADC scan streams codes, not floats).
+    *
+    * Training mirrors ivfCentroids' determinism contract (init = first
+    * PqK vectors' sub-slices, per-round 6-dp centroid rounding) but
+    * trains ALL subspaces in one DataFrame pass per Lloyd round: rows
+    * explode to (m, subvector) and each row's codebook is selected
+    * with element_at on ONE nested codebook literal — the same
+    * compile-once property as NearestCentroids.
+    *
+    * Query path (`sim_ann_pq`): reconstruct v̂ from codes via nested
+    * element_at (pure built-ins, codegen'd), rank by CosineSim(q, v̂).
+    * Approximate by construction → rows-only; recall vs brute force
+    * is spec-bounded in SimilarityEventsSpec.
+    */
+  private val PqM = 8 // subspaces
+  private val PqSub = 8 // dims per subspace (PqM * PqSub = 64)
+  private val PqK = 16 // codewords per subspace
+  private val PqIters = 2
+
+  private val pqMemo = scala.collection.concurrent.TrieMap
+    .empty[String, Array[Array[Array[Double]]]] // [m][k][dsub]
+
+  private def pqLit(cb: Array[Array[Array[Double]]]): Column =
+    typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** (m, subvector) rows for every vector: one generator, no shuffle. */
+  private def subvectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), explode(array((0 until PqM).map { m =>
+      struct(lit(m).as("m"),
+        slice(col("v"), m * PqSub + 1, PqSub).as("sv"))
+    }: _*)).as("e"))
+      .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+
+  def pqCodebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    pqMemo.getOrElseUpdate(d, {
+      val emb = embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val init = emb.filter(col("vec_id") < PqK).orderBy("vec_id")
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      var cb: Array[Array[Array[Double]]] = Array.tabulate(PqM, PqK) {
+        (m, k) => init(k).slice(m * PqSub, (m + 1) * PqSub)
+      }
+      for (_ <- 1 to PqIters) {
+        val means = subvectors(emb)
+          .withColumn("code", element_at(
+            graft.functions.VectorFunctions.nearest_centroids(
+              col("sv"), element_at(pqLit(cb), col("m") + 1), 1), 1))
+          .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+          .groupBy(col("m"), col("code"), col("dim"))
+          .agg(avg(col("x")).as("mean"))
+          .collect()
+        val next = Array.tabulate(PqM, PqK)((m, k) => cb(m)(k).clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            BigDecimal(r.getDouble(3))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        cb = next
+      }
+      cb
+    })
+
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cb = pqLit(pqCodebooks(s, d))
+
+    // encode: PqM codes per vector (narrow); decode: reconstruct v̂
+    // by stitching the codewords back together — both pure built-ins
+    val codes = array((0 until PqM).map { m =>
+      element_at(graft.functions.VectorFunctions.nearest_centroids(
+        slice(col("v"), m * PqSub + 1, PqSub),
+        element_at(cb, m + 1), 1), 1)
+    }: _*)
+    val compressed = emb.select(col("vec_id"), codes.as("codes"))
+    val decoded = compressed.select(col("vec_id"),
+      flatten(array((0 until PqM).map { m =>
+        element_at(element_at(cb, m + 1),
+          element_at(col("codes"), m + 1) + 1)
+      }: _*)).as("vhat"))
+
+    val queries = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("q"))
+    val cand = decoded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions
+          .cosine_sim(col("q"), col("vhat")), 6).as("cos_approx"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_approx"), asc("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: the dedup-by-embedding
     * primitive (top-100 most-similar pairs over a bounded block so
     * DuckDB can replay it; the LSH-bucketed form above is the
@@ -283,6 +383,7 @@ object Similarity {
     "sim_knn_brute"      -> (knnBruteForce _),
     "sim_ann_lsh"        -> (annLsh _),
     "sim_ann_ivf"        -> (annIvf _),
+    "sim_ann_pq"         -> (annPq _),
     "sim_embed_stats"    -> (embedStats _),
     "dedup_embed_cosine" -> (embCosinePairs _),
   )

@@ -61,6 +61,11 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(ivf.nonEmpty)
     val ivfPct = meanPercentile(ivf)
     assert(ivfPct < 0.25, s"mean IVF percentile $ivfPct")
+    val pq = Similarity.annPq(spark, sf)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+    assert(pq.nonEmpty)
+    val pqPct = meanPercentile(pq)
+    assert(pqPct < 0.25, s"mean PQ percentile $pqPct")
   }
 
   test("sessionization: hand-checked tiny stream") {
