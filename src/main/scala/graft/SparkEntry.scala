@@ -29,7 +29,8 @@ object SparkEntry {
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Events.queries ++
       ops.Multimodal.queries ++ ops.Udfs.queries ++ ops.Skew.queries ++
       sources.Sources.queries ++
-      streaming.EventStream.queries ++ recommend.AlsPipeline.queries
+      streaming.EventStream.queries ++ streaming.DedupStream.queries ++
+      recommend.AlsPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -43,5 +44,6 @@ object SparkEntry {
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Events.oracle ++
       ops.Multimodal.oracle ++ ops.Udfs.oracle ++ ops.Skew.oracle ++
       sources.Sources.oracle ++
-      streaming.EventStream.oracle ++ recommend.AlsPipeline.oracle
+      streaming.EventStream.oracle ++ streaming.DedupStream.oracle ++
+      recommend.AlsPipeline.oracle
 }

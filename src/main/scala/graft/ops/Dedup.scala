@@ -144,14 +144,27 @@ object Dedup {
     * per row instead of 32 interpreted lambda sweeps (measured >100×;
     * see TextExpressions scaladoc).
     */
-  private val NumHashes = 32
-  private val BandSize = 4 // → 8 bands of 4 → catches J ≳ 0.5 pairs
+  private[graft] val NumHashes = 32
+  private[graft] val BandSize = 4 // → 8 bands of 4 → catches J ≳ 0.5 pairs
 
   /** doc_id → minhash signature (array of NumHashes longs). */
   def minhashSignatures(docs: DataFrame): DataFrame =
     docs.withColumn("sig",
       graft.functions.TextFunctions.minhash_signature(
         shingles(col("text")), NumHashes))
+
+  /** LSH band rows (doc_id, band_idx, band_sig) for a relation with a
+    * `sig` column — shared by the batch self-join and the streaming
+    * keyed-state dedup (identical banding ⇒ identical candidates).
+    */
+  def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)), j =>
+        md5(concat_ws(",",
+          slice(col("sig"), j * BandSize + 1, lit(BandSize)))))))
+      .toDF("doc_id", "sig", "band_idx", "band_sig")
+      .select(col("doc_id"), col("band_idx"), col("band_sig"), col("sig"))
 
   /** Near-dup candidate pairs via LSH banding + exact-Jaccard verify.
     * Emits the top-50 candidate pairs by estimated similarity.
@@ -167,12 +180,7 @@ object Dedup {
       .select(col("doc_id"), col("sig"), shingles(col("text")).as("sh"))
       .cache()
 
-    val bands = sigs.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)), j =>
-        md5(concat_ws(",",
-          slice(col("sig"), j * BandSize + 1, lit(BandSize)))))))
-      .toDF("doc_id", "band_idx", "band_sig")
+    val bands = bandsOf(sigs)
 
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx")

@@ -34,7 +34,7 @@ object EventStream {
     * file source and return the materialized result. Memory sink +
     * processAllAvailable = deterministic synchronous drain.
     */
-  private def runToCompletion(s: SparkSession, df: DataFrame,
+  private[streaming] def runToCompletion(s: SparkSession, df: DataFrame,
       mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${qid.incrementAndGet()}"
     // Stateful streaming cost per micro-batch scales with the number
