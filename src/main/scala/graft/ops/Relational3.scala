@@ -295,6 +295,50 @@ object Relational3 {
       |       round(min(value), 4) AS lo, round(max(value), 4) AS hi
       |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Exact interpolated percentiles (the non-sketch form): both
+    * engines use the same (n-1)·p linear interpolation, and the
+    * integer-valued quantities make every interpolated value exact in
+    * binary — so unlike percentile_approx (deliberately rows-only in
+    * sketch_agg), this hash-matches.
+    */
+  def quantiles(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("q25"),
+        expr("percentile(l_quantity, 0.5)").as("q50"),
+        expr("percentile(l_quantity, 0.75)").as("q75"),
+        count(lit(1)).as("n"))
+      .orderBy("l_linestatus")
+
+  val quantilesSql: String =
+    """SELECT l_linestatus,
+      |       quantile_cont(l_quantity, 0.25) AS q25,
+      |       quantile_cont(l_quantity, 0.5) AS q50,
+      |       quantile_cont(l_quantity, 0.75) AS q75,
+      |       count(*) AS n
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Join-strategy hints: the same equi-join forced through a
+    * shuffle-hash join (vs Catalyst's default choice) — the
+    * user-facing control surface for join planning; results are
+    * strategy-independent (oracle = plain join), the HINT is the
+    * point (spec-asserted plan).
+    */
+  def joinHinted(s: SparkSession, d: String): DataFrame =
+    customer(s, d).hint("shuffle_hash")
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy("c_mktsegment")
+
+  val joinHintedSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 2) AS total
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_cube"        -> (cubeAgg _),
     "rel_window_nav"  -> (windowNav _),
@@ -306,6 +350,8 @@ object Relational3 {
     "rel_set_ops_bag" -> (setOpsBag _),
     "rel_null_semantics" -> (nullSemantics _),
     "rel_histogram"   -> (histogram _),
+    "rel_quantiles"   -> (quantiles _),
+    "rel_join_hinted" -> (joinHinted _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -319,5 +365,7 @@ object Relational3 {
     "rel_set_ops_bag" -> setOpsBagSql,
     "rel_null_semantics" -> nullSemanticsSql,
     "rel_histogram"   -> histogramSql,
+    "rel_quantiles"   -> quantilesSql,
+    "rel_join_hinted" -> joinHintedSql,
   )
 }

@@ -31,6 +31,47 @@ class CurationSpec extends SparkTestBase {
     })
   }
 
+  test("chunking covers every token exactly: spans tile [0, n) with stride") {
+    val chunks = Curation.chunk(spark, sf).cache()
+    // chunk 0 starts at 0; consecutive starts differ by the stride;
+    // the last chunk's end reaches the doc's token count
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id",
+        org.apache.spark.sql.functions.size(
+          graft.ops.TextAnalysis.tokens($"text")).cast("long").as("n"))
+    val last = chunks.groupBy($"doc_id").agg(max($"end_tok").as("max_end"))
+      .join(toks, Seq("doc_id"))
+    assert(last.filter($"max_end" =!= $"n").count() === 0)
+    assert(chunks.filter($"chunk_idx" === 0 && $"start_tok" =!= 0)
+      .count() === 0)
+    assert(chunks.filter($"end_tok" - $"start_tok" > 128).count() === 0)
+    chunks.unpersist()
+  }
+
+  test("packing conserves tokens and respects the budget shape") {
+    val packed = Curation.packSequences(spark, sf).cache()
+    val total = packed.agg(sum($"bin_tokens")).as[Long].head()
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .select(org.apache.spark.sql.functions.size(
+        graft.ops.TextAnalysis.tokens($"text")).cast("long").as("n"))
+      .agg(sum($"n")).as[Long].head()
+    assert(total === expected) // every token lands in exactly one bin
+    // all bins but each source's last hold >= one budget's worth - slack
+    val perSource = packed.groupBy($"source").agg(max($"bin").as("last"))
+    val nonLast = packed.join(perSource, Seq("source"))
+      .filter($"bin" =!= $"last")
+    assert(nonLast.filter($"bin_tokens" < 1024).count() === 0,
+      "a non-final bin is badly underfilled")
+    packed.unpersist()
+  }
+
+  test("hinted join plans as ShuffledHashJoin") {
+    val df = graft.ops.Relational3.joinHinted(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("curation summary: kept never exceeds total, ratio consistent") {
     val rows = Curation.curationSummary(spark, sf).collect()
     assert(rows.nonEmpty)
