@@ -139,6 +139,31 @@ object Sources {
   val orcRoundtripSql: String =
     "SELECT * FROM supplier ORDER BY s_suppkey"
 
+  /** Custom DSv2 connector scan (see SyntheticSource): 100k
+    * generator rows across 8 real InputPartitions, filtered and
+    * aggregated. The oracle replays the generator arithmetic from
+    * generate_series — hash-matching proves the connector's
+    * partition planning and row generation end-to-end.
+    */
+  def syntheticScan(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-synthetic")
+      .option("rows", "100000").option("numPartitions", "8").load()
+      .filter(col("bucket") < 10)
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        max(col("id")).as("max_id"))
+      .orderBy("tag")
+
+  val syntheticScanSql: String =
+    """WITH g AS (
+      |  SELECT i, i % 97 AS bucket, (i * 31) % 1000 AS value,
+      |         't' || CAST(i % 10 AS VARCHAR) AS tag
+      |  FROM (SELECT unnest(generate_series(0, 99999)) AS i)
+      |)
+      |SELECT tag, count(*) AS n, CAST(sum(value) AS BIGINT) AS sum_value,
+      |       max(i) AS max_id
+      |FROM g WHERE bucket < 10 GROUP BY tag ORDER BY tag""".stripMargin
+
   val bucketedJoinSql: String =
     """SELECT o_orderkey, o_custkey, n_lines
       |FROM orders
@@ -153,6 +178,7 @@ object Sources {
     "src_partitioned_scan" -> (partitionedWrite _),
     "src_bucketed_join"    -> (bucketedJoin _),
     "src_orc_roundtrip"    -> (orcRoundtrip _),
+    "src_dsv2_synthetic"   -> (syntheticScan _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -161,5 +187,6 @@ object Sources {
     "src_partitioned_scan" -> partitionedWriteSql,
     "src_bucketed_join"    -> bucketedJoinSql,
     "src_orc_roundtrip"    -> orcRoundtripSql,
+    "src_dsv2_synthetic"   -> syntheticScanSql,
   )
 }

@@ -20,6 +20,20 @@ class SourcesSpec extends SparkTestBase {
       s"expected partition filters in:\n$scan")
   }
 
+  test("DSv2 synthetic source: real partitions, pruned generator schema") {
+    val raw = spark.read.format("graft-synthetic")
+      .option("rows", "1000").option("numPartitions", "8").load()
+    assert(raw.rdd.getNumPartitions === 8) // planInputPartitions width
+    assert(raw.count() === 1000)
+    // column pruning reaches the generator: a 2-column projection
+    // scans a 2-column schema
+    val pruned = raw.select("id", "value")
+    val scan = pruned.queryExecution.executedPlan.toString()
+    assert(scan.contains("BatchScan"), scan)
+    assert(!scan.replaceAll("\\s", "").contains("bucket"),
+      s"pruned scan still reads 'bucket':\n$scan")
+  }
+
   test("bucketed join plans with no shuffle exchange") {
     val df = Sources.bucketedJoin(spark, sf)
     assert(df.count() > 0)
