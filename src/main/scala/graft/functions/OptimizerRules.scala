@@ -1,0 +1,130 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, BinaryExpression, Expression, LambdaFunction, Literal, Multiply, NamedLambdaVariable, ZipWith}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** The optimizer-extension rung of the engine's escalation ladder
+  * (compose built-ins → custom Expression → custom Rule/Strategy):
+  * a `Rule[LogicalPlan]` that recognizes the declarative sequential-
+  * fold dot product
+  *
+  *   aggregate(zip_with(a, b, (x,y) => x*y), 0.0, (acc,v) => acc+v)
+  *
+  * and fuses it into one native loop. Users write the declarative
+  * form; the optimizer transparently removes the interpreted-lambda
+  * overhead (measured >100× on these folds, see VectorExpressions).
+  *
+  * Soundness: the rewrite fires only when both array types have
+  * non-null elements, and `DotProductStrict` mirrors the HOF
+  * semantics EXACTLY — unequal lengths yield NULL (zip_with pads the
+  * shorter side with null, which nulls the whole fold), unlike the
+  * min-length `DotProduct` used directly by the similarity operators.
+  *
+  * Injection: `SparkSessionExtensions.injectOptimizerRule` at
+  * session build (GraftExtensions, for `spark.sql.extensions`), or
+  * `experimental.extraOptimizations` on a live session — the demo
+  * query uses the latter since the driver owns session creation.
+  */
+object FuseDotProduct extends Rule[LogicalPlan] {
+
+  private def doubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case agg @ ArrayAggregate(
+            zw @ ZipWith(a, b,
+              LambdaFunction(mul: Multiply, Seq(x, y), _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(add: Add, Seq(acc, v), _),
+            LambdaFunction(fin: NamedLambdaVariable, Seq(finAcc), _))
+          if doubleArray(a) && doubleArray(b)
+            && sameVars(mul.left, x) && sameVars(mul.right, y)
+            && sameVars(add.left, acc) && sameVars(add.right, v)
+            && sameVars(fin, finAcc) =>
+        val _ = (agg, zw)
+        DotProductStrict(a, b)
+    }
+
+  private def sameVars(e: Expression,
+      declared: org.apache.spark.sql.catalyst.expressions.NamedExpression)
+      : Boolean =
+    e match {
+      case n: NamedLambdaVariable => n.exprId == declared.exprId
+      case _ => false
+    }
+}
+
+/** For spark.sql.extensions: session-build-time injection. */
+class GraftExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => FuseDotProduct)
+}
+
+object FuseDotProductRegistrar {
+  /** Idempotently register the rule on a live session (the runtime
+    * path when the session was built without spark.sql.extensions).
+    */
+  def ensure(s: SparkSession): Unit =
+    if (!s.experimental.extraOptimizations.contains(FuseDotProduct))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ FuseDotProduct
+}
+
+/** Dot product with zip_with/aggregate-compatible semantics: NULL
+  * when lengths differ (zip_with pads the short side with null) and
+  * NULL when any element is null (a null product nulls the whole
+  * fold) — so the rewrite is sound for every double-array input, one
+  * fused loop otherwise.
+  */
+case class DotProductStrict(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    DotProductStrict.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |Object r = graft.functions.DotProductStrict.compute($a, $b);
+         |if (r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ((Double) r).doubleValue();
+         |}
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DotProductStrict =
+    copy(left = l, right = r)
+}
+
+object DotProductStrict {
+  /** Static hot path — boxed Double, or null under fold semantics. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}

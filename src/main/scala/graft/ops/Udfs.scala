@@ -170,6 +170,34 @@ object Udfs {
       |           FROM orders GROUP BY 1) o ON m = mo
       |ORDER BY month""".stripMargin
 
+  /** Optimizer-extension demo: the query is written in the PURE
+    * declarative form (aggregate ∘ zip_with dot product); the
+    * injected FuseDotProduct rule (functions/OptimizerRules) rewrites
+    * it to the fused native loop at optimization time — same result,
+    * interpreted-lambda overhead gone. The rewrite is spec-asserted
+    * on the optimized plan; the oracle replays the arithmetic, which
+    * is rewrite-invariant by construction.
+    */
+  def optFusedDot(s: SparkSession, d: String): DataFrame = {
+    graft.functions.FuseDotProductRegistrar.ensure(s)
+    val a = transform(sequence(lit(1), lit(16)),
+      i => (pmod(col("p_partkey"), lit(7)) + i).cast("double"))
+    val b = transform(sequence(lit(1), lit(16)),
+      i => (pmod(col("p_partkey"), lit(11)) + i * 2).cast("double"))
+    part(s, d).filter(col("p_partkey") < 500)
+      .select(col("p_partkey"),
+        Similarity.dot(a, b).as("dot"))
+      .orderBy("p_partkey")
+  }
+
+  val optFusedDotSql: String =
+    """SELECT p_partkey,
+      |       CAST(list_sum(list_transform(generate_series(1, 16),
+      |         i -> CAST(p_partkey % 7 + i AS DOUBLE)
+      |              * CAST(p_partkey % 11 + 2 * i AS DOUBLE))) AS DOUBLE)
+      |         AS dot
+      |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin
+
   /** UDTF analog: typed `Dataset.flatMap` — arbitrary Scala producing
     * 0..n rows per input row (the table-function contract). Runs in
     * the scan stage like a generator; unlike `explode` the row logic
@@ -206,6 +234,7 @@ object Udfs {
     "sql_api_q3"        -> (sqlApi _),
     "sql_subqueries"    -> (sqlSubqueries _),
     "sql_recursive_cte" -> (sqlRecursiveCte _),
+    "opt_fused_dot"     -> (optFusedDot _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -215,5 +244,6 @@ object Udfs {
     "sql_api_q3"        -> sqlApiSql,
     "sql_subqueries"    -> sqlSubqueriesSql,
     "sql_recursive_cte" -> sqlRecursiveCteSql,
+    "opt_fused_dot"     -> optFusedDotSql,
   )
 }
