@@ -198,6 +198,29 @@ object Udfs {
       |         AS dot
       |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""".stripMargin
 
+  /** Whole-operator extension demo: grouped top-k through the custom
+    * GroupedTopK LogicalPlan → GroupedTopKStrategy → GroupedTopKExec
+    * pipeline (graft.plans) — one shuffle, bounded per-key heaps, no
+    * input sort. The oracle replays the semantics with the standard
+    * window formulation.
+    */
+  def optGroupedTopK(s: SparkSession, d: String): DataFrame =
+    graft.plans.GroupedTopKApi.topKPerKey(s,
+      orders(s, d).select(col("o_orderpriority"), col("o_orderkey"),
+        col("o_totalprice")),
+      Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+      .orderBy(col("o_orderpriority"), desc("o_totalprice"),
+        col("o_orderkey"))
+
+  val optGroupedTopKSql: String =
+    """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_orderpriority
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   /** UDTF analog: typed `Dataset.flatMap` — arbitrary Scala producing
     * 0..n rows per input row (the table-function contract). Runs in
     * the scan stage like a generator; unlike `explode` the row logic
@@ -235,6 +258,7 @@ object Udfs {
     "sql_subqueries"    -> (sqlSubqueries _),
     "sql_recursive_cte" -> (sqlRecursiveCte _),
     "opt_fused_dot"     -> (optFusedDot _),
+    "opt_grouped_topk"  -> (optGroupedTopK _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -245,5 +269,6 @@ object Udfs {
     "sql_subqueries"    -> sqlSubqueriesSql,
     "sql_recursive_cte" -> sqlRecursiveCteSql,
     "opt_fused_dot"     -> optFusedDotSql,
+    "opt_grouped_topk"  -> optGroupedTopKSql,
   )
 }

@@ -33,6 +33,36 @@ class OptimizerRuleSpec extends SparkTestBase {
     assert(fused === expected)
   }
 
+  test("GroupedTopK custom operator equals the window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+    val custom = graft.plans.GroupedTopKApi.topKPerKey(spark, src,
+      Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+      .as[(String, Long, Double)].collect().toSet
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    val windowed = src.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+      .as[(String, Long, Double)].collect().toSet
+    assert(custom === windowed)
+  }
+
+  test("GroupedTopK plans one exchange and no sort") {
+    val src = spark.read.parquet(s"$sf/orders.parquet")
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+    val df = graft.plans.GroupedTopKApi.topKPerKey(spark, src,
+      Seq("o_orderpriority"), "o_totalprice", "o_orderkey", 3)
+    df.collect()
+    // inspect only the final adaptive plan (the dump repeats the
+    // initial plan below it); the exec node prints as "GroupedTopK"
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("GroupedTopK"), plan)
+    assert(!plan.contains("Sort "), s"custom top-k must not sort:\n$plan")
+    assert("Exchange".r.findAllIn(plan).length === 1, plan)
+  }
+
   test("unequal lengths still yield NULL (zip_with semantics preserved)") {
     FuseDotProductRegistrar.ensure(spark)
     val a = transform(sequence(lit(1), lit(4)), i => i.cast("double"))
