@@ -241,12 +241,101 @@ object Curation {
        |       CAST(sum(n_toks) AS BIGINT) AS bin_tokens
        |FROM c GROUP BY 1, 2 ORDER BY source, bin""".stripMargin
 
+  /** PII scrubbing: email/phone redaction with patterns chosen to
+    * evaluate identically under Java regex (Spark) and RE2 (DuckDB) —
+    * plain character classes and counted repetition only, no
+    * backrefs/lookaround. Reports per-doc redaction counts plus the
+    * scrubbed length; the scrub itself is a narrow projection (the
+    * 100 TB case is a straight map over the scan).
+    */
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("scrubbed",
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          PhoneRe, "<PHONE>"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe)))
+          .cast("long").as("n_phones"),
+        length(col("scrubbed")).cast("long").as("scrubbed_len"),
+        md5(col("scrubbed")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT)
+       |         AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT)
+       |         AS n_phones,
+       |       CAST(length(regexp_replace(regexp_replace(text,
+       |              '$EmailRe', '<EMAIL>', 'g'),
+       |              '$PhoneRe', '<PHONE>', 'g')) AS BIGINT) AS scrubbed_len,
+       |       md5(regexp_replace(regexp_replace(text,
+       |              '$EmailRe', '<EMAIL>', 'g'),
+       |              '$PhoneRe', '<PHONE>', 'g')) AS scrubbed_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Paragraph-level exact dedup: fingerprint each 128-token chunk
+    * (cur_chunk's spans) and find chunks repeated across documents —
+    * the C4/RefinedWeb-style "remove boilerplate paragraphs" step.
+    * One shuffle on the 16-byte chunk fingerprint.
+    */
+  def paragraphDedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(col("toks")).as("n_toks"),
+        posexplode(transform(
+          sequence(lit(0),
+            greatest((size(col("toks")) + ChunkStride - 1)
+              .divide(ChunkStride).cast("int") - 1, lit(0))),
+          i => i * ChunkStride)).as(Seq("chunk_idx", "start")),
+        col("toks"))
+      .filter(col("start") < col("n_toks") || col("chunk_idx") === 0)
+      .select(col("doc_id"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("start") + 1, lit(ChunkSize)))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy("fp")
+
+  val paragraphDedupSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+      |  FROM documents
+      |), spans AS (
+      |  SELECT doc_id, toks, len(toks) AS n_toks, i AS chunk_idx,
+      |         i * 96 AS start
+      |  FROM t, LATERAL (SELECT unnest(generate_series(0,
+      |    greatest(CAST(ceil(CAST(len(toks) AS DOUBLE) / 96) AS INT) - 1, 0)))
+      |    AS i) u
+      |), fps AS (
+      |  SELECT doc_id,
+      |         md5(list_aggr(toks[start + 1 : start + 128],
+      |                       'string_agg', ' ')) AS fp
+      |  FROM spans WHERE start < n_toks OR chunk_idx = 0
+      |)
+      |SELECT fp, count(*) AS n_copies,
+      |       count(DISTINCT doc_id) AS n_docs,
+      |       min(doc_id) AS first_doc
+      |FROM fps GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_hash_split"    -> (hashSplit _),
     "cur_contamination" -> (contamination _),
     "cur_summary"       -> (curationSummary _),
     "cur_chunk"         -> (chunk _),
     "cur_pack"          -> (packSequences _),
+    "cur_pii_scrub"     -> (piiScrub _),
+    "cur_para_dedup"    -> (paragraphDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -255,5 +344,7 @@ object Curation {
     "cur_summary"       -> curationSummarySql,
     "cur_chunk"         -> chunkSql,
     "cur_pack"          -> packSequencesSql,
+    "cur_pii_scrub"     -> piiScrubSql,
+    "cur_para_dedup"    -> paragraphDedupSql,
   )
 }
