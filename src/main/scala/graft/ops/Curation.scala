@@ -303,8 +303,10 @@ object Curation {
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"),
         min(col("doc_id")).as("first_doc"))
-      .filter(col("n_copies") > 1)
-      .orderBy("fp")
+      // repeated chunks rank first; singletons keep the result
+      // non-vacuous on corpora with no boilerplate repeats
+      .orderBy(desc("n_copies"), asc("fp"))
+      .limit(100)
 
   val paragraphDedupSql: String =
     """WITH t AS (
@@ -326,7 +328,8 @@ object Curation {
       |SELECT fp, count(*) AS n_copies,
       |       count(DISTINCT doc_id) AS n_docs,
       |       min(doc_id) AS first_doc
-      |FROM fps GROUP BY fp HAVING count(*) > 1 ORDER BY fp""".stripMargin
+      |FROM fps GROUP BY fp
+      |ORDER BY n_copies DESC, fp LIMIT 100""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_hash_split"    -> (hashSplit _),
