@@ -339,6 +339,65 @@ object Relational3 {
       |FROM customer JOIN orders ON c_custkey = o_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** MERGE-style upsert (the lakehouse MERGE INTO re-expressed as a
+    * plan Spark can run anywhere): target full-outer-joined with a
+    * changes relation on the key; matched rows take the change's
+    * values, unmatched-by-source keep the target's, unmatched-by-
+    * target insert. One shuffle on the merge key — at scale the same
+    * plan MERGE INTO compiles to, minus the transactional commit.
+    * Changes here are derived deterministically (every 5th supplier
+    * gets a 10% balance bump; three synthetic inserts) so the oracle
+    * replays them.
+    */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val target = supplier(s, d)
+    val updates = target.filter(col("s_suppkey") % 5 === 0)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("s_acctbal") * 1.1, 4).as("s_acctbal"))
+    val inserts = Seq(
+      (9000001L, "Supplier#new1", 1, 100.0),
+      (9000002L, "Supplier#new2", 2, 200.0),
+      (9000003L, "Supplier#new3", 3, 300.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val changes = updates.unionByName(inserts)
+    target.as("t").join(changes.as("c"),
+        col("t.s_suppkey") === col("c.s_suppkey"), "full_outer")
+      .select(
+        coalesce(col("c.s_suppkey"), col("t.s_suppkey")).as("s_suppkey"),
+        coalesce(col("c.s_name"), col("t.s_name")).as("s_name"),
+        coalesce(col("c.s_nationkey"), col("t.s_nationkey"))
+          .as("s_nationkey"),
+        coalesce(col("c.s_acctbal"), col("t.s_acctbal")).as("s_acctbal"),
+        when(col("t.s_suppkey").isNull, "insert")
+          .when(col("c.s_suppkey").isNull, "keep")
+          .otherwise("update").as("action"))
+      .orderBy("s_suppkey")
+  }
+
+  val mergeUpsertSql: String =
+    """WITH changes AS (
+      |  SELECT s_suppkey, s_name, s_nationkey,
+      |         round(s_acctbal * 1.1, 4) AS s_acctbal
+      |  FROM supplier WHERE s_suppkey % 5 = 0
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (9000001, 'Supplier#new1', 1, 100.0),
+      |    (9000002, 'Supplier#new2', 2, 200.0),
+      |    (9000003, 'Supplier#new3', 3, 300.0))
+      |    v(s_suppkey, s_name, s_nationkey, s_acctbal)
+      |)
+      |SELECT coalesce(c.s_suppkey, t.s_suppkey) AS s_suppkey,
+      |       coalesce(c.s_name, t.s_name) AS s_name,
+      |       coalesce(c.s_nationkey, t.s_nationkey) AS s_nationkey,
+      |       coalesce(c.s_acctbal, t.s_acctbal) AS s_acctbal,
+      |       CASE WHEN t.s_suppkey IS NULL THEN 'insert'
+      |            WHEN c.s_suppkey IS NULL THEN 'keep'
+      |            ELSE 'update' END AS action
+      |FROM supplier t FULL OUTER JOIN changes c
+      |  ON t.s_suppkey = c.s_suppkey
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_cube"        -> (cubeAgg _),
     "rel_window_nav"  -> (windowNav _),
@@ -352,6 +411,7 @@ object Relational3 {
     "rel_histogram"   -> (histogram _),
     "rel_quantiles"   -> (quantiles _),
     "rel_join_hinted" -> (joinHinted _),
+    "rel_merge_upsert" -> (mergeUpsert _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -367,5 +427,6 @@ object Relational3 {
     "rel_histogram"   -> histogramSql,
     "rel_quantiles"   -> quantilesSql,
     "rel_join_hinted" -> joinHintedSql,
+    "rel_merge_upsert" -> mergeUpsertSql,
   )
 }

@@ -247,12 +247,39 @@ object EventStream {
     """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Streaming exact dedup: `dropDuplicatesWithinWatermark` keyed on
+    * event_id — the built-in stateful dedup operator, with the
+    * watermark bounding how long each key's fingerprint is retained
+    * (the at-scale requirement: unbounded dedup state is a leak). The
+    * input is the stream unioned with itself, so every event arrives
+    * twice and the operator provably halves it back; the oracle is
+    * the plain per-type aggregate over the original events.
+    */
+  def dedupExactStream(s: SparkSession, dir: String): DataFrame = {
+    def src = eventsStream(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("event_time"))
+    val doubled = src.unionByName(src)
+    val deduped = doubled
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    runToCompletion(s, deduped, OutputMode.Complete())
+      .orderBy("event_type")
+  }
+
+  val dedupExactStreamSql: String =
+    """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_window" -> (tumblingCounts _),
     "stream_sliding_window"  -> (slidingCounts _),
     "stream_sessionize"      -> (sessionCounts _),
     "stream_stream_join"     -> (streamStreamJoin _),
     "stream_foreachbatch"    -> (foreachBatchSink _),
+    "stream_dedup_exact"     -> (dedupExactStream _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -261,5 +288,6 @@ object EventStream {
     "stream_sessionize"      -> sessionCountsSql,
     "stream_stream_join"     -> streamStreamJoinSql,
     "stream_foreachbatch"    -> foreachBatchSinkSql,
+    "stream_dedup_exact"     -> dedupExactStreamSql,
   )
 }
