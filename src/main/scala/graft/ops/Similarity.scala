@@ -319,6 +319,54 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** IVF-PQ: the full composed index — IVF posting lists bound the
+    * candidate set (probe `nprobe` lists, not the corpus) AND each
+    * list stores only PQ codes (8 small ints, not 64 doubles). This
+    * is the memory/IO shape of a production-scale ANN index: at
+    * 100 TB the posting lists are ~32-64× smaller than the raw
+    * vectors, and a query touches two lists' worth of codes.
+    * Candidates rank by cosine against the PQ-reconstructed vector
+    * (asymmetric distance via decode). Rows-only; recall bound in
+    * SimilarityEventsSpec.
+    */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = ivfCentroids(s, d)
+    val cb = pqLit(pqCodebooks(s, d))
+
+    // the stored index: (cent_id, vec_id, codes) — narrow, no floats
+    val codes = array((0 until PqM).map { m =>
+      element_at(graft.functions.VectorFunctions.nearest_centroids(
+        slice(col("v"), m * PqSub + 1, PqSub),
+        element_at(cb, m + 1), 1), 1)
+    }: _*)
+    val index = emb
+      .withColumn("cent_id", bestCentroid(cents))
+      .select(col("cent_id"), col("vec_id"), codes.as("codes"))
+
+    val qProbe = emb.filter(col("vec_id") < 20)
+      .withColumn("cent_id",
+        explode(graft.functions.VectorFunctions.nearest_centroids(
+          col("v"), typedLit(cents.map(_.toSeq).toSeq), IvfProbes)))
+      .select(col("vec_id").as("q_id"), col("v").as("q"), col("cent_id"))
+
+    val cand = index.join(broadcast(qProbe), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("vhat", flatten(array((0 until PqM).map { m =>
+        element_at(element_at(cb, m + 1),
+          element_at(col("codes"), m + 1) + 1)
+      }: _*)))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions
+          .cosine_sim(col("q"), col("vhat")), 6).as("cos_approx"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_approx"), asc("vec_id"))
+    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("q_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: the dedup-by-embedding
     * primitive (top-100 most-similar pairs over a bounded block so
     * DuckDB can replay it; the LSH-bucketed form above is the
@@ -384,6 +432,7 @@ object Similarity {
     "sim_ann_lsh"        -> (annLsh _),
     "sim_ann_ivf"        -> (annIvf _),
     "sim_ann_pq"         -> (annPq _),
+    "sim_ann_ivfpq"      -> (annIvfPq _),
     "sim_embed_stats"    -> (embedStats _),
     "dedup_embed_cosine" -> (embCosinePairs _),
   )

@@ -139,6 +139,28 @@ object Sources {
   val orcRoundtripSql: String =
     "SELECT * FROM supplier ORDER BY s_suppkey"
 
+  /** Range-partitioned ordered export: `repartitionByRange` +
+    * `sortWithinPartitions` writes files whose key ranges are
+    * DISJOINT and internally sorted — the layout for ordered bulk
+    * export and downstream merge-readers (file k's max < file k+1's
+    * min, asserted in SourcesSpec). One range-exchange (sampling
+    * picks the bounds); the oracle verifies the round-tripped data,
+    * ordering re-imposed on read since parquet carries no order.
+    */
+  def rangeExport(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratch/orders_ranged"
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    s.read.parquet(out).orderBy("o_orderkey")
+  }
+
+  val rangeExportSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Custom DSv2 connector scan (see SyntheticSource): 100k
     * generator rows across 8 real InputPartitions, filtered and
     * aggregated. The oracle replays the generator arithmetic from
@@ -179,6 +201,7 @@ object Sources {
     "src_bucketed_join"    -> (bucketedJoin _),
     "src_orc_roundtrip"    -> (orcRoundtrip _),
     "src_dsv2_synthetic"   -> (syntheticScan _),
+    "src_range_export"     -> (rangeExport _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -188,5 +211,6 @@ object Sources {
     "src_bucketed_join"    -> bucketedJoinSql,
     "src_orc_roundtrip"    -> orcRoundtripSql,
     "src_dsv2_synthetic"   -> syntheticScanSql,
+    "src_range_export"     -> rangeExportSql,
   )
 }

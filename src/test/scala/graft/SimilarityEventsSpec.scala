@@ -66,6 +66,13 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(pq.nonEmpty)
     val pqPct = meanPercentile(pq)
     assert(pqPct < 0.25, s"mean PQ percentile $pqPct")
+    // IVF-PQ stacks two approximations — bound is looser but must
+    // still be far above random (0.5)
+    val ivfpq = Similarity.annIvfPq(spark, sf)
+      .select($"q_id", $"vec_id").as[(Long, Long)].collect()
+    assert(ivfpq.nonEmpty)
+    val ivfpqPct = meanPercentile(ivfpq)
+    assert(ivfpqPct < 0.3, s"mean IVF-PQ percentile $ivfpqPct")
   }
 
   test("sessionization: hand-checked tiny stream") {

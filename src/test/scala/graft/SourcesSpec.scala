@@ -34,6 +34,26 @@ class SourcesSpec extends SparkTestBase {
       s"pruned scan still reads 'bucket':\n$scan")
   }
 
+  test("range export writes disjoint, internally-sorted files") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Sources.rangeExport(spark, sf).count() // produce the export
+    // per-file min/max must be disjoint ranges
+    val files = Sources.rangeExport(spark, sf).inputFiles.sorted
+    assert(files.length > 1)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min($"o_orderkey"), max($"o_orderkey"))
+        .as[(Long, Long)].head()
+      r
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2,
+        s"file ranges overlap: $ranges")
+      case _ =>
+    }
+  }
+
   test("bucketed join plans with no shuffle exchange") {
     val df = Sources.bucketedJoin(spark, sf)
     assert(df.count() > 0)
