@@ -273,6 +273,26 @@ object EventStream {
     """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** The tumbling-window aggregation on the RocksDB state store —
+    * the state backend for large state at scale (spills to local
+    * disk + changelog instead of holding every key on-heap like the
+    * default HDFS-backed map). The provider is fixed into the query
+    * at stream start, so it's set for this run and restored after;
+    * results are backend-independent (same oracle as the HDFS-backed
+    * form — that IS the check).
+    */
+  def tumblingCountsRocksDb(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try tumblingCounts(s, dir)
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_window" -> (tumblingCounts _),
     "stream_sliding_window"  -> (slidingCounts _),
@@ -280,6 +300,7 @@ object EventStream {
     "stream_stream_join"     -> (streamStreamJoin _),
     "stream_foreachbatch"    -> (foreachBatchSink _),
     "stream_dedup_exact"     -> (dedupExactStream _),
+    "stream_rocksdb_window"  -> (tumblingCountsRocksDb _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -289,5 +310,6 @@ object EventStream {
     "stream_stream_join"     -> streamStreamJoinSql,
     "stream_foreachbatch"    -> foreachBatchSinkSql,
     "stream_dedup_exact"     -> dedupExactStreamSql,
+    "stream_rocksdb_window"  -> tumblingCountsSql,
   )
 }
