@@ -170,6 +170,33 @@ object Udfs {
       |           FROM orders GROUP BY 1) o ON m = mo
       |ORDER BY month""".stripMargin
 
+  /** Correlated LATERAL subquery: per-customer top-2 orders via a
+    * correlated ordered-limit subquery in the FROM clause — the SQL
+    * form of "top-n per key" (Catalyst decorrelates it into a ranked
+    * join). Identical syntax and semantics in DuckDB.
+    */
+  def sqlLateral(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("v_customer")
+    orders(s, d).createOrReplaceTempView("v_orders")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM v_customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM v_orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey < 100
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  val sqlLateralSql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |WHERE c.c_custkey < 100
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
   /** Optimizer-extension demo: the query is written in the PURE
     * declarative form (aggregate ∘ zip_with dot product); the
     * injected FuseDotProduct rule (functions/OptimizerRules) rewrites
@@ -257,6 +284,7 @@ object Udfs {
     "sql_api_q3"        -> (sqlApi _),
     "sql_subqueries"    -> (sqlSubqueries _),
     "sql_recursive_cte" -> (sqlRecursiveCte _),
+    "sql_lateral_topn"  -> (sqlLateral _),
     "opt_fused_dot"     -> (optFusedDot _),
     "opt_grouped_topk"  -> (optGroupedTopK _),
   )
@@ -268,6 +296,7 @@ object Udfs {
     "sql_api_q3"        -> sqlApiSql,
     "sql_subqueries"    -> sqlSubqueriesSql,
     "sql_recursive_cte" -> sqlRecursiveCteSql,
+    "sql_lateral_topn"  -> sqlLateralSql,
     "opt_fused_dot"     -> optFusedDotSql,
     "opt_grouped_topk"  -> optGroupedTopKSql,
   )

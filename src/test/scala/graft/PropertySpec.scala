@@ -77,6 +77,65 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("JaccardSorted equals the declarative set formulation on random sets") {
+    val words: Gen[List[String]] =
+      Gen.listOfN(30, Gen.oneOf((1 to 20).map(i => s"w$i")))
+    check(Prop.forAll(words, words) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      (sa.nonEmpty && sb.nonEmpty) ==> {
+        val df = Seq((sa, sb)).toDF("a", "b")
+        val fused = df.select(
+          graft.functions.SetSimilarityFunctions.jaccard_sorted($"a", $"b"))
+          .first().getDouble(0)
+        val declarative = df.select(
+          size(array_intersect($"a", $"b")).cast("double")
+            / size(array_union($"a", $"b"))).first().getDouble(0)
+        fused == declarative
+      }
+    }, n = 30)
+  }
+
+  test("CosineSim/DotProduct are bit-equal to the HOF folds") {
+    val vecs: Gen[List[Double]] =
+      Gen.listOfN(16, Gen.choose(-100.0, 100.0))
+    check(Prop.forAll(vecs, vecs) { (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val fusedDot = df.select(
+        graft.functions.VectorFunctions.dot_product($"a", $"b"))
+        .first().getDouble(0)
+      val hofDot = df.select(graft.ops.Similarity.dot($"a", $"b"))
+        .first().getDouble(0)
+      val fusedCos = df.select(
+        graft.functions.VectorFunctions.cosine_sim($"a", $"b"))
+        .first().getDouble(0)
+      val hofCos = df.select(graft.ops.Similarity.dot($"a", $"b")
+        / (graft.ops.Similarity.norm($"a") * graft.ops.Similarity.norm($"b")))
+        .first().getDouble(0)
+      // bit equality, not tolerance: identical fold order is the claim
+      java.lang.Double.doubleToLongBits(fusedDot) ==
+        java.lang.Double.doubleToLongBits(hofDot) &&
+      java.lang.Double.doubleToLongBits(fusedCos) ==
+        java.lang.Double.doubleToLongBits(hofCos)
+    }, n = 30)
+  }
+
+  test("WordShingles equals the declarative shingle formulation") {
+    val texts: Gen[String] = for {
+      n <- Gen.choose(0, 12)
+      ws <- Gen.listOfN(n, Gen.oneOf((1 to 8).map(i => s"t$i")))
+    } yield ws.mkString(" ")
+    check(Prop.forAll(texts) { t =>
+      val df = Seq(t).toDF("text")
+      val fused = df.select(graft.ops.Dedup.shingles($"text"))
+        .first().getSeq[String](0)
+      val declarative = df.select(
+        graft.ops.Dedup.shinglesDeclarative($"text"))
+        .first().getSeq[String](0)
+      fused == declarative
+    }, n = 30)
+  }
+
   test("rolling-hash fingerprint matches a plain fold on generated strings") {
     check(Prop.forAll(Gen.alphaLowerStr.suchThat(_.nonEmpty)) { s0 =>
       val expected = s0.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
