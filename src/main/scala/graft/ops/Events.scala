@@ -293,7 +293,68 @@ object Events {
       |  FROM events
       |) WHERE rk <= 3 ORDER BY user_id, rank""".stripMargin
 
+  /** Conversion funnel: view → click → purchase in STRICT event-time
+    * order per user (each stage's first occurrence must be at or
+    * after the previous stage's). Three keyed aggregates chained by
+    * co-partitioned joins on user_id — at scale every step shuffles
+    * on the same key, so AQE reuses the partitioning; no windows, no
+    * global state. Single-row summary: users reaching each stage +
+    * mean view→purchase latency (integer-µs arithmetic, so the
+    * cross-engine average is exact before the final round).
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_type"),
+        expr("ts div 1000").as("tsu"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tsu")).as("tv"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("tsu") >= col("tv"))
+      .groupBy(col("user_id"))
+      .agg(min(col("tsu")).as("tc"), first(col("tv")).as("tv"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("tsu") >= col("tc"))
+      .groupBy(col("user_id"))
+      .agg(min(col("tsu")).as("tp"), first(col("tv")).as("tv"))
+    val nv = v.count()
+    val nc = c.count()
+    // avg over exact integer µs, ONE division at the end — both
+    // engines compute bit-identical doubles (element-wise /1000.0
+    // before summing would accumulate engine-order-dependent error)
+    val summary = p
+      .select((col("tp") - col("tv")).as("latency_us"))
+      .agg(count(lit(1)).as("n_purchase"),
+        round(avg(col("latency_us")) / 1000.0, 4)
+          .as("avg_view_to_purchase_ms"))
+    summary.select(lit(nv).as("n_view"), lit(nc).as("n_click"),
+      col("n_purchase"), col("avg_view_to_purchase_ms"))
+  }
+
+  val funnelSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tsu FROM events
+      |), v AS (
+      |  SELECT user_id, min(tsu) AS tv FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id
+      |), c AS (
+      |  SELECT e.user_id, min(tsu) AS tc, any_value(tv) AS tv
+      |  FROM e JOIN v ON e.user_id = v.user_id
+      |  WHERE event_type = 'click' AND tsu >= tv GROUP BY e.user_id
+      |), p AS (
+      |  SELECT e.user_id, min(tsu) AS tp, any_value(tv) AS tv
+      |  FROM e JOIN c ON e.user_id = c.user_id
+      |  WHERE event_type = 'purchase' AND tsu >= tc GROUP BY e.user_id
+      |)
+      |SELECT (SELECT count(*) FROM v) AS n_view,
+      |       (SELECT count(*) FROM c) AS n_click,
+      |       count(*) AS n_purchase,
+      |       round(avg(tp - tv) / 1000.0, 4) AS avg_view_to_purchase_ms
+      |FROM p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel"          -> (funnel _),
     "events_topk_custom_agg" -> (topKCustomAgg _),
     "events_session_window" -> (sessionWindow _),
     "events_sliding_window" -> (slidingWindow _),
@@ -305,6 +366,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_funnel"          -> funnelSql,
     "events_topk_custom_agg" -> topKCustomAggSql,
     "events_session_window" -> sessionWindowSql,
     "events_sliding_window" -> slidingWindowSql,
