@@ -353,8 +353,44 @@ object Events {
       |       round(avg(tp - tv) / 1000.0, 4) AS avg_view_to_purchase_ms
       |FROM p""".stripMargin
 
+  /** Cohort retention: users cohorted by first-active day, retention
+    * = distinct users from the cohort active again k days later.
+    * Two keyed aggregates + one self-join on user_id (co-partitioned
+    * with the cohort assignment); all day arithmetic is integer so
+    * both engines agree exactly. The standard product-analytics
+    * matrix, bounded to offsets 0-7 for a stable oracle.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 86400L * 1000000L
+    val ev = events(s, d)
+      .select(col("user_id"), expr(s"(ts div 1000) div ${DayUs}L").as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val active = ev.select(col("user_id"), col("day")).distinct()
+    active.join(firstDay, Seq("user_id"))
+      .withColumn("offset", col("day") - col("cohort"))
+      .filter(col("offset").between(0, 7))
+      .groupBy(col("cohort"), col("offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort", "offset")
+  }
+
+  val cohortRetentionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), fd AS (
+      |  SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id
+      |), act AS (
+      |  SELECT DISTINCT user_id, day FROM ev
+      |)
+      |SELECT cohort, day - cohort AS "offset",
+      |       count(DISTINCT act.user_id) AS n_active
+      |FROM act JOIN fd ON act.user_id = fd.user_id
+      |WHERE day - cohort BETWEEN 0 AND 7
+      |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"          -> (funnel _),
+    "events_cohort"          -> (cohortRetention _),
     "events_topk_custom_agg" -> (topKCustomAgg _),
     "events_session_window" -> (sessionWindow _),
     "events_sliding_window" -> (slidingWindow _),
@@ -367,6 +403,7 @@ object Events {
 
   val oracle: Map[String, String] = Map(
     "events_funnel"          -> funnelSql,
+    "events_cohort"          -> cohortRetentionSql,
     "events_topk_custom_agg" -> topKCustomAggSql,
     "events_session_window" -> sessionWindowSql,
     "events_sliding_window" -> slidingWindowSql,

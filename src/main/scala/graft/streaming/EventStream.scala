@@ -293,6 +293,27 @@ object EventStream {
     }
   }
 
+  /** Rate-source smoke: the built-in synthetic streaming source
+    * (`format("rate")`) driven for a bounded number of rows — the
+    * kafka-less way to exercise a live unbounded source's planning
+    * path. Row content is wall-clock-dependent → rows-only for the
+    * driver; the row COUNT is pinned by reading exactly the first
+    * trigger's batch.
+    */
+  def rateSource(s: SparkSession, dir: String): DataFrame = {
+    val src = s.readStream.format("rate")
+      .option("rowsPerSecond", "100").option("numPartitions", "2").load()
+      .select(col("value"))
+    val name = s"graft_rate_${qid.incrementAndGet()}"
+    val q = src.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).agg(count(lit(1)).as("n_rows"),
+      min(col("value")).as("first_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling_window" -> (tumblingCounts _),
     "stream_sliding_window"  -> (slidingCounts _),
@@ -301,6 +322,7 @@ object EventStream {
     "stream_foreachbatch"    -> (foreachBatchSink _),
     "stream_dedup_exact"     -> (dedupExactStream _),
     "stream_rocksdb_window"  -> (tumblingCountsRocksDb _),
+    "stream_rate_source"     -> (rateSource _),
   )
 
   val oracle: Map[String, String] = Map(
