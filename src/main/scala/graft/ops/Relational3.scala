@@ -398,6 +398,32 @@ object Relational3 {
       |  ON t.s_suppkey = c.s_suppkey
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Spark 4 VariantType: semi-structured payloads parsed ONCE into
+    * the binary variant encoding, then field-extracted with typed
+    * variant_get — the open-format successor to string-walking
+    * get_json_object (rel_json_extract keeps the classic form for
+    * comparison). The oracle replays extraction relationally from the
+    * JSON text.
+    */
+  def variantJson(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"), sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val variantJsonSql: String =
+    """SELECT event_type,
+      |       count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |         AS n_with_k,
+      |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+      |            AS BIGINT) AS sum_k,
+      |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_cube"        -> (cubeAgg _),
     "rel_window_nav"  -> (windowNav _),
@@ -412,6 +438,7 @@ object Relational3 {
     "rel_quantiles"   -> (quantiles _),
     "rel_join_hinted" -> (joinHinted _),
     "rel_merge_upsert" -> (mergeUpsert _),
+    "rel_variant_json" -> (variantJson _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -428,5 +455,6 @@ object Relational3 {
     "rel_quantiles"   -> quantilesSql,
     "rel_join_hinted" -> joinHintedSql,
     "rel_merge_upsert" -> mergeUpsertSql,
+    "rel_variant_json" -> variantJsonSql,
   )
 }

@@ -63,6 +63,29 @@ class OptimizerRuleSpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(plan).length === 1, plan)
   }
 
+  test("GroupedTopK edge cases: k larger than groups, ties, empty input") {
+    import spark.implicits._
+    // groups smaller than k: every row survives
+    val small = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0))
+      .toDF("g", "id", "v")
+    val allRows = graft.plans.GroupedTopKApi
+      .topKPerKey(spark, small, Seq("g"), "v", "id", 5)
+      .as[(String, Long, Double)].collect().toSet
+    assert(allRows ===
+      Set(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0)))
+    // exact ties on the order column resolve by the tie column (asc)
+    val tied = Seq(("a", 3L, 9.0), ("a", 1L, 9.0), ("a", 2L, 9.0))
+      .toDF("g", "id", "v")
+    val top2 = graft.plans.GroupedTopKApi
+      .topKPerKey(spark, tied, Seq("g"), "v", "id", 2)
+      .as[(String, Long, Double)].collect().map(_._2).toSet
+    assert(top2 === Set(1L, 2L))
+    // empty input: empty output, no failure
+    val empty = graft.plans.GroupedTopKApi.topKPerKey(spark,
+      small.filter($"v" > 1000), Seq("g"), "v", "id", 3)
+    assert(empty.count() === 0)
+  }
+
   test("unequal lengths still yield NULL (zip_with semantics preserved)") {
     FuseDotProductRegistrar.ensure(spark)
     val a = transform(sequence(lit(1), lit(4)), i => i.cast("double"))
