@@ -424,6 +424,68 @@ object Relational3 {
       |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Error-safe scalar functions: try_cast / try_divide return NULL
+    * instead of failing the job — the semantics a pipeline needs when
+    * a handful of malformed rows must not kill a 100 TB scan. The
+    * malformed input is manufactured in-query (numeric-or-not
+    * substrings of p_name) so both engines see identical data.
+    */
+  def tryFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      // "maybe a number": digits of the partkey for even keys, a word
+      // for odd keys — try_cast succeeds on exactly the even half
+      .withColumn("raw",
+        when(col("p_partkey") % 2 === 0, col("p_partkey").cast("string"))
+          .otherwise(substring(col("p_name"), 1, 3)))
+      .select(
+        col("p_partkey"),
+        expr("try_cast(raw AS BIGINT)").as("parsed"),
+        expr("try_divide(p_retailprice, p_partkey % 3)").as("risky_div"))
+      .groupBy(lit(1).as("grp"))
+      .agg(count(col("parsed")).as("n_parsed"),
+        count(lit(1)).as("n_total"),
+        count(col("risky_div")).as("n_divided"),
+        round(sum(col("risky_div")), 4).as("sum_div"))
+      .drop("grp")
+
+  val tryFuncsSql: String =
+    """WITH t AS (
+      |  SELECT p_partkey,
+      |         CASE WHEN p_partkey % 2 = 0 THEN CAST(p_partkey AS VARCHAR)
+      |              ELSE substring(p_name, 1, 3) END AS raw,
+      |         p_retailprice
+      |  FROM part
+      |)
+      |SELECT count(try_cast(raw AS BIGINT)) AS n_parsed,
+      |       count(*) AS n_total,
+      |       count(p_retailprice / nullif(p_partkey % 3, 0)) AS n_divided,
+      |       round(sum(p_retailprice / nullif(p_partkey % 3, 0)), 4)
+      |         AS sum_div
+      |FROM t""".stripMargin
+
+  /** Interval arithmetic: timestamp ± INTERVAL, day difference, and
+    * month truncation windows — the calendar algebra both engines
+    * define identically (calendar months, day-grain datediff).
+    */
+  def intervalArith(s: SparkSession, d: String): DataFrame =
+    orders(s, d).filter(col("o_custkey") < 100)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate"),
+        expr("o_orderdate + INTERVAL '30' DAY").as("due_date"),
+        expr("datediff(o_orderdate, TIMESTAMP '1995-01-01')")
+          .cast("long").as("days_since_epoch_start"),
+        expr("date_trunc('quarter', o_orderdate)").as("quarter_start"))
+      .orderBy("o_orderkey")
+
+  val intervalArithSql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |       o_orderdate + INTERVAL 30 DAY AS due_date,
+      |       CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+      |            AS BIGINT) AS days_since_epoch_start,
+      |       date_trunc('quarter', o_orderdate) AS quarter_start
+      |FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_cube"        -> (cubeAgg _),
     "rel_window_nav"  -> (windowNav _),
@@ -439,6 +501,8 @@ object Relational3 {
     "rel_join_hinted" -> (joinHinted _),
     "rel_merge_upsert" -> (mergeUpsert _),
     "rel_variant_json" -> (variantJson _),
+    "rel_try_funcs"    -> (tryFuncs _),
+    "rel_interval_arith" -> (intervalArith _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -456,5 +520,7 @@ object Relational3 {
     "rel_join_hinted" -> joinHintedSql,
     "rel_merge_upsert" -> mergeUpsertSql,
     "rel_variant_json" -> variantJsonSql,
+    "rel_try_funcs"    -> tryFuncsSql,
+    "rel_interval_arith" -> intervalArithSql,
   )
 }
