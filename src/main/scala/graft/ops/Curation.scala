@@ -331,6 +331,71 @@ object Curation {
       |FROM fps GROUP BY fp
       |ORDER BY n_copies DESC, fp LIMIT 100""".stripMargin
 
+  /** Model-based quality filtering with a STUB linear model: score =
+    * w·features over the quality signals (token count band, stopword
+    * density, alpha ratio, mean token length), thresholded into
+    * keep/borderline/drop. The weights stand in for a trained
+    * fastText-style classifier — swapping in real weights (or a real
+    * model via mapPartitions) changes ONLY the literals; the scoring
+    * plumbing (feature extraction → linear score → threshold →
+    * per-slice report) is the real part, all narrow until the final
+    * tiny aggregate. Score is rounded finer than the feature grain so
+    * both engines threshold identically.
+    */
+  def qualityModel(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val density = size(filter(toks,
+      t => t.isin("the", "a", "an", "and", "or", "of", "to", "in",
+        "is", "on"))).cast("double") / nTok
+    val alpha = length(regexp_replace(col("text"), "[^a-z]", ""))
+      .cast("double") / length(col("text"))
+    val avgLen = length(col("text")).cast("double") / nTok
+    // stub weights: hand-set, deterministic — a trained model would
+    // ship these as literals the same way
+    val z = round(
+      lit(-1.0) + density * 8.0 + alpha * 2.5
+        + when(nTok.between(20, 500), 0.8).otherwise(-0.8)
+        - (avgLen - 6.0) * (avgLen - 6.0) * 0.02, 6)
+    documents(s, d)
+      .withColumn("score", z)
+      .withColumn("verdict",
+        when(col("score") >= 1.2, "keep")
+          .when(col("score") >= 0.6, "borderline").otherwise("drop"))
+      .groupBy(col("lang"), col("verdict"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("score")), 4).as("avg_score"))
+      .orderBy("lang", "verdict")
+  }
+
+  val qualityModelSql: String =
+    s"""WITH f AS (
+       |  SELECT lang,
+       |         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+       |                              x -> x != '')) AS DOUBLE) AS n_tok,
+       |         CAST(len(list_filter(list_filter(string_split_regex(text, '\\s+'),
+       |                              x -> x != ''),
+       |               x -> list_contains(['the','a','an','and','or','of','to','in','is','on'], x)))
+       |           AS DOUBLE) AS n_stop,
+       |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |           / length(text) AS alpha,
+       |         CAST(length(text) AS DOUBLE) AS n_chars
+       |  FROM documents
+       |), sc AS (
+       |  SELECT lang,
+       |         round(-1.0 + (n_stop / n_tok) * 8.0 + alpha * 2.5
+       |           + CASE WHEN n_tok BETWEEN 20 AND 500 THEN 0.8 ELSE -0.8 END
+       |           - (n_chars / n_tok - 6.0) * (n_chars / n_tok - 6.0) * 0.02,
+       |           6) AS score
+       |  FROM f
+       |)
+       |SELECT lang,
+       |       CASE WHEN score >= 1.2 THEN 'keep'
+       |            WHEN score >= 0.6 THEN 'borderline'
+       |            ELSE 'drop' END AS verdict,
+       |       count(*) AS n, round(avg(score), 4) AS avg_score
+       |FROM sc GROUP BY 1, 2 ORDER BY lang, verdict""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_hash_split"    -> (hashSplit _),
     "cur_contamination" -> (contamination _),
@@ -339,6 +404,7 @@ object Curation {
     "cur_pack"          -> (packSequences _),
     "cur_pii_scrub"     -> (piiScrub _),
     "cur_para_dedup"    -> (paragraphDedup _),
+    "cur_quality_model" -> (qualityModel _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -349,5 +415,6 @@ object Curation {
     "cur_pack"          -> packSequencesSql,
     "cur_pii_scrub"     -> piiScrubSql,
     "cur_para_dedup"    -> paragraphDedupSql,
+    "cur_quality_model" -> qualityModelSql,
   )
 }

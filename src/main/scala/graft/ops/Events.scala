@@ -388,8 +388,41 @@ object Events {
       |WHERE day - cohort BETWEEN 0 AND 7
       |GROUP BY 1, 2 ORDER BY cohort, "offset"""".stripMargin
 
+  /** Z-score anomaly detection: per-type mean/stddev from one grouped
+    * pass, broadcast back, rows beyond 3σ flagged — the standard
+    * streaming-friendly outlier gate (the stats job is tiny; the flag
+    * pass is narrow). Population stddev (n divisor) on identical data
+    * in both engines; count + bounds of the outliers are reported,
+    * not the float z itself.
+    */
+  def anomalies(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sd"))
+    ev.join(broadcast(stats), Seq("event_type"))
+      .filter(col("value") > col("mu") + lit(3.0) * col("sd"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_outliers"),
+        round(min(col("value")), 4).as("min_outlier"),
+        round(max(col("value")), 4).as("max_outlier"))
+      .orderBy("event_type")
+  }
+
+  val anomaliesSql: String =
+    """WITH st AS (
+      |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_type, count(*) AS n_outliers,
+      |       round(min(value), 4) AS min_outlier,
+      |       round(max(value), 4) AS max_outlier
+      |FROM events e JOIN st ON e.event_type = st.event_type
+      |WHERE value > mu + 3.0 * sd
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel"          -> (funnel _),
+    "events_anomaly"         -> (anomalies _),
     "events_cohort"          -> (cohortRetention _),
     "events_topk_custom_agg" -> (topKCustomAgg _),
     "events_session_window" -> (sessionWindow _),
@@ -403,6 +436,7 @@ object Events {
 
   val oracle: Map[String, String] = Map(
     "events_funnel"          -> funnelSql,
+    "events_anomaly"         -> anomaliesSql,
     "events_cohort"          -> cohortRetentionSql,
     "events_topk_custom_agg" -> topKCustomAggSql,
     "events_session_window" -> sessionWindowSql,
