@@ -486,6 +486,36 @@ object Relational3 {
       |       date_trunc('quarter', o_orderdate) AS quarter_start
       |FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey""".stripMargin
 
+  /** UNPIVOT (melt) — the inverse of events_pivot: wide per-flag
+    * aggregates melted to (flag, metric, value) long form. Spark 4's
+    * Dataset.unpivot ↔ DuckDB's UNPIVOT, value columns cast to a
+    * common type up front so both engines agree on the melted type.
+    */
+  def unpivotAgg(s: SparkSession, d: String): DataFrame = {
+    val wide = lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).cast("double").as("n_rows"))
+    wide.unpivot(
+      Array(col("l_returnflag")),
+      Array(col("sum_qty"), col("avg_disc"), col("n_rows")),
+      "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
+  val unpivotAggSql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag,
+      |         round(sum(l_quantity), 2) AS sum_qty,
+      |         round(avg(l_discount), 4) AS avg_disc,
+      |         CAST(count(*) AS DOUBLE) AS n_rows
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, metric, value
+      |FROM wide UNPIVOT (value FOR metric IN (sum_qty, avg_disc, n_rows))
+      |ORDER BY l_returnflag, metric""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_cube"        -> (cubeAgg _),
     "rel_window_nav"  -> (windowNav _),
@@ -503,6 +533,7 @@ object Relational3 {
     "rel_variant_json" -> (variantJson _),
     "rel_try_funcs"    -> (tryFuncs _),
     "rel_interval_arith" -> (intervalArith _),
+    "rel_unpivot"      -> (unpivotAgg _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -522,5 +553,6 @@ object Relational3 {
     "rel_variant_json" -> variantJsonSql,
     "rel_try_funcs"    -> tryFuncsSql,
     "rel_interval_arith" -> intervalArithSql,
+    "rel_unpivot"      -> unpivotAggSql,
   )
 }

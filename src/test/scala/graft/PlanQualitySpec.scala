@@ -62,6 +62,12 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("documents scan pushes the doc_id filter (generator queries too)") {
+    val p = plan(Relational3.explodeTokens(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id"),
+      s"doc_id filter not pushed:\n$p")
+  }
+
   test("cube/rollup expand to a single shuffle, not one per grouping set") {
     val p = plan(Relational3.cubeAgg(spark, sf))
     assert(p.contains("Expand"), p)
