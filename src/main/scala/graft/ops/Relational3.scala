@@ -486,6 +486,23 @@ object Relational3 {
       |       date_trunc('quarter', o_orderdate) AS quarter_start
       |FROM orders WHERE o_custkey < 100 ORDER BY o_orderkey""".stripMargin
 
+  /** Explicit cartesian product — crossJoin of the two smallest
+    * dimensions (5×25 rows): the one join shape that must be OPTED
+    * into (no key), planned as a broadcast nested loop. Taxonomy
+    * completeness; any real use keeps one side tiny, as here.
+    */
+  def crossJoinDims(s: SparkSession, d: String): DataFrame =
+    region(s, d).select(col("r_regionkey"), col("r_name"))
+      .crossJoin(nation(s, d).select(col("n_nationkey"), col("n_name")))
+      .select(col("r_regionkey"), col("n_nationkey"), col("r_name"),
+        col("n_name"))
+      .orderBy("r_regionkey", "n_nationkey")
+
+  val crossJoinDimsSql: String =
+    """SELECT r_regionkey, n_nationkey, r_name, n_name
+      |FROM region CROSS JOIN nation
+      |ORDER BY r_regionkey, n_nationkey""".stripMargin
+
   /** UNPIVOT (melt) — the inverse of events_pivot: wide per-flag
     * aggregates melted to (flag, metric, value) long form. Spark 4's
     * Dataset.unpivot ↔ DuckDB's UNPIVOT, value columns cast to a
@@ -534,6 +551,7 @@ object Relational3 {
     "rel_try_funcs"    -> (tryFuncs _),
     "rel_interval_arith" -> (intervalArith _),
     "rel_unpivot"      -> (unpivotAgg _),
+    "rel_cross_join"   -> (crossJoinDims _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -554,5 +572,6 @@ object Relational3 {
     "rel_try_funcs"    -> tryFuncsSql,
     "rel_interval_arith" -> intervalArithSql,
     "rel_unpivot"      -> unpivotAggSql,
+    "rel_cross_join"   -> crossJoinDimsSql,
   )
 }
