@@ -398,6 +398,65 @@ object Similarity {
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |ORDER BY cos_sim DESC, a_id, b_id LIMIT 100""".stripMargin
 
+  /** Nearest-label-centroid classification + confusion matrix: label
+    * centroids from one grouped pass (per-dim means ROUNDED at 6 dp —
+    * the same float-sum-order discipline as the k-means quantizer, so
+    * both engines build bit-identical centroids), every embedding
+    * scored against every centroid (|labels| is tiny → broadcast),
+    * argmax by rounded cosine with label tie-break, reported as the
+    * (actual, predicted) matrix. The quality diagnostic run before
+    * trusting an embedding space for retrieval or dedup.
+    */
+  def centroidClassify(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = e
+      .select(col("label").as("c_label"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("c_label"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("cv"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("label"), col("vec_id"), col("c_label"),
+        round(graft.functions.VectorFunctions.cosine_sim(col("v"), col("cv")),
+          6).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cos"), asc("c_label"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("label"), col("c_label").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "predicted")
+  }
+
+  val centroidClassifySql: String =
+    """WITH e AS (
+      |  SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), cd AS (
+      |  SELECT label AS c_label, dim, round(avg(x), 6) AS m
+      |  FROM (SELECT label, generate_subscripts(v, 1) AS dim,
+      |               unnest(v) AS x FROM e)
+      |  GROUP BY 1, 2
+      |), cents AS (
+      |  SELECT c_label, list(m ORDER BY dim) AS cv FROM cd GROUP BY 1
+      |), scored AS (
+      |  SELECT e.label, e.vec_id, c.c_label,
+      |         round(list_dot_product(e.v, c.cv)
+      |               / (sqrt(list_dot_product(e.v, e.v))
+      |                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+      |  FROM e CROSS JOIN cents c
+      |), best AS (
+      |  SELECT label, vec_id, c_label,
+      |         row_number() OVER (PARTITION BY vec_id
+      |                            ORDER BY cos DESC, c_label) AS rk
+      |  FROM scored
+      |)
+      |SELECT label, c_label AS predicted, count(*) AS n
+      |FROM best WHERE rk = 1
+      |GROUP BY 1, 2 ORDER BY label, predicted""".stripMargin
+
   /** Per-label embedding statistics: count, mean L2 norm, and mean
     * per-dimension absolute centroid coordinate. Demonstrates grouped
     * aggregation over array columns; all folds sequential.
@@ -434,12 +493,14 @@ object Similarity {
     "sim_ann_pq"         -> (annPq _),
     "sim_ann_ivfpq"      -> (annIvfPq _),
     "sim_embed_stats"    -> (embedStats _),
+    "sim_centroid_classify" -> (centroidClassify _),
     "dedup_embed_cosine" -> (embCosinePairs _),
   )
 
   val oracle: Map[String, String] = Map(
     "sim_knn_brute"      -> knnBruteForceSql,
     "sim_embed_stats"    -> embedStatsSql,
+    "sim_centroid_classify" -> centroidClassifySql,
     "dedup_embed_cosine" -> embCosinePairsSql,
     // sim_ann_lsh: approximate by construction → rows-only; recall
     // vs. sim_knn_brute asserted in SimilaritySpec.
