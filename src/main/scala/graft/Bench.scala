@@ -68,7 +68,11 @@ object Bench {
         .mkString("{", ",", "}")
     def jlist(xs: List[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def r2(v: Double): String = f"$v%.2f"
+    // explicit ROOT locale: f"$v%.2f" uses the JVM default locale and
+    // emits "1,23" under comma-decimal locales, breaking the driver's
+    // strict JSON parse of this line
+    def r2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
     // Per-query entries, slowest first, until the char budget is hit;
     // the tail of fast queries collapses into one "others" bucket so

@@ -134,7 +134,7 @@ object Curation {
       |  SELECT doc_id, lang, len(toks) AS n_tokens,
       |         CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
       |           / length(text) AS alpha_ratio,
-      |         md5(list_aggr(toks, 'string_agg', ' ')) AS fp
+      |         md5(coalesce(list_aggr(toks, 'string_agg', ' '), '')) AS fp
       |  FROM t
       |), k AS (
       |  SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
@@ -321,8 +321,8 @@ object Curation {
       |    AS i) u
       |), fps AS (
       |  SELECT doc_id,
-      |         md5(list_aggr(toks[start + 1 : start + 128],
-      |                       'string_agg', ' ')) AS fp
+      |         md5(coalesce(list_aggr(toks[start + 1 : start + 128],
+      |                                'string_agg', ' '), '')) AS fp
       |  FROM spans WHERE start < n_toks OR chunk_idx = 0
       |)
       |SELECT fp, count(*) AS n_copies,

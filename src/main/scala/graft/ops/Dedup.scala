@@ -59,7 +59,7 @@ object Dedup {
       |  CASE WHEN len(toks) >= 3
       |       THEN list_transform(range(1, len(toks) - 1),
       |                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-      |       ELSE [list_aggr(toks, 'string_agg', ' ')] END))""".stripMargin
+      |       ELSE [coalesce(list_aggr(toks, 'string_agg', ' '), '')] END))""".stripMargin
 
   /** Exact dedup: group identical raw text, keep the smallest doc_id
     * as canonical, count the copies. One hash-shuffle on the content
@@ -90,8 +90,8 @@ object Dedup {
       .orderBy("keep_id")
 
   val dedupFingerprintSql: String =
-    """SELECT md5(list_aggr(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
-      |               'string_agg', ' ')) AS fp,
+    """SELECT md5(coalesce(list_aggr(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+      |               'string_agg', ' '), '')) AS fp,
       |       min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents
       |GROUP BY 1 ORDER BY keep_id""".stripMargin

@@ -79,17 +79,11 @@ object Skew {
     * false-positive-only, the join re-checks), so the oracle is plain
     * SQL.
     */
-  def bloomJoin(s: SparkSession, d: String): DataFrame = {
-    val restore = Map(
-      "spark.sql.autoBroadcastJoinThreshold" ->
-        s.conf.get("spark.sql.autoBroadcastJoinThreshold"),
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
-        s.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    s.conf.set(
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-    try {
+  def bloomJoin(s: SparkSession, d: String): DataFrame =
+    graft.util.Confs.withConfs(s)(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
       val out = bloomJoinPlan(s, d)
       // materialize while the confs are live (optimization happens at
       // action time, not DataFrame-construction time)
@@ -97,8 +91,7 @@ object Skew {
       s.createDataFrame(
         new java.util.ArrayList(scala.jdk.CollectionConverters
           .SeqHasAsJava(rows).asJava), out.schema)
-    } finally restore.foreach { case (k, v) => s.conf.set(k, v) }
-  }
+    }
 
   /** The lazy plan (separate so the spec can explain() it under the
     * bloom confs).
@@ -132,38 +125,30 @@ object Skew {
     * point is the PLAN under skew, the complement of saltedAgg's
     * manual rewrite for aggregations.
     */
-  def skewJoinAqe(s: SparkSession, d: String): DataFrame = {
-    val restore = Map(
-      "spark.sql.autoBroadcastJoinThreshold" ->
-        s.conf.get("spark.sql.autoBroadcastJoinThreshold"),
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
-        s.conf.get("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"),
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
-        s.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
-      "spark.sql.files.maxPartitionBytes" ->
-        s.conf.get("spark.sql.files.maxPartitionBytes"))
-    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // skew splits happen at per-mapper shuffle-block granularity: a
-    // single-file scan = one map task = one unsplittable block per
-    // reducer. Shrink input splits so the map stage has real width
-    // (a no-op at cluster scale, where the scan is already wide).
-    s.conf.set("spark.sql.files.maxPartitionBytes", "1MB")
-    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-    s.conf.set(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
-    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
-    // the post-join agg would otherwise veto the split (it forces an
-    // extra exchange); at real scale the trade is clearly worth it
-    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
-    try {
+  def skewJoinAqe(s: SparkSession, d: String): DataFrame =
+    // every key set here is snapshot+restored (or unset) by withConfs
+    // — a leaked skewJoin.* knob would change AQE planning for every
+    // query that runs after this one on the shared session
+    graft.util.Confs.withConfs(s)(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // skew splits happen at per-mapper shuffle-block granularity: a
+      // single-file scan = one map task = one unsplittable block per
+      // reducer. Shrink input splits so the map stage has real width
+      // (a no-op at cluster scale, where the scan is already wide).
+      "spark.sql.files.maxPartitionBytes" -> "1MB",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256KB",
+      // the post-join agg would otherwise veto the split (it forces an
+      // extra exchange); at real scale the trade is clearly worth it
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") {
       val out = skewJoinAqePlan(s, d)
       val rows = out.collect().toSeq // optimize+execute under skew confs
       s.createDataFrame(
         new java.util.ArrayList(scala.jdk.CollectionConverters
           .SeqHasAsJava(rows).asJava), out.schema)
-    } finally restore.foreach { case (k, v) => s.conf.set(k, v) }
-  }
+    }
 
   /** The lazy plan (separate so the spec can run it under the skew
     * confs and inspect the final adaptive plan).

@@ -156,8 +156,9 @@ object TextAnalysis {
   val fingerprintSql: String =
     """WITH t AS (
       |  SELECT doc_id,
-      |         list_aggr(list_filter(string_split_regex(text, '\s+'), x -> x != ''),
-      |                   'string_agg', ' ') AS norm
+      |         coalesce(list_aggr(
+      |           list_filter(string_split_regex(text, '\s+'), x -> x != ''),
+      |           'string_agg', ' '), '') AS norm
       |  FROM documents
       |)
       |SELECT doc_id, md5(norm) AS md5_fp,
@@ -192,7 +193,7 @@ object TextAnalysis {
       |           CASE WHEN len(toks) >= 3
       |                THEN list_transform(range(1, len(toks) - 1),
       |                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-      |                ELSE [list_aggr(toks, 'string_agg', ' ')] END)) AS shingle
+      |                ELSE [coalesce(list_aggr(toks, 'string_agg', ' '), '')] END)) AS shingle
       |  FROM t
       |)
       |SELECT shingle, count(*) AS n_docs

@@ -30,6 +30,11 @@ object EventStream {
 
   private val qid = new AtomicInteger(0)
 
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   /** Run a streaming DataFrame to completion against the bounded
     * file source and return the materialized result. Memory sink +
     * processAllAvailable = deterministic synchronous drain.
@@ -222,8 +227,15 @@ object EventStream {
     * stream→sink→batch round trip against the batch oracle.
     */
   def foreachBatchSink(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_febatch").toString
+    // deterministic scratch path, cleared up-front: foreachBatch must
+    // append per micro-batch, so Overwrite can't be used inside the
+    // sink — but a fresh createTempDirectory per invocation would
+    // leak a full copy of the events table into /tmp on every run
+    // (bench sweeps this twice per round)
+    val out = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_febatch_${dir.hashCode.toHexString}").toString
+    deleteRecursively(new java.io.File(out))
     val src = eventsStream(s, dir)
       .select(col("event_id"), col("event_type"), col("value"))
     val prev = s.conf.get("spark.sql.shuffle.partitions")

@@ -20,48 +20,37 @@ class SkewSketchSpec extends SparkTestBase {
   }
 
   test("bloom-filter join injects a might_contain probe into the fact scan") {
-    val conf = spark.conf
-    val restore = conf.get("spark.sql.autoBroadcastJoinThreshold")
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-    try {
+    graft.util.Confs.withConfs(spark)(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0") {
       val plan = Skew.bloomJoinPlan(spark, sf)
         .queryExecution.optimizedPlan.toString()
       assert(plan.contains("might_contain"),
         s"expected runtime bloom filter in:\n$plan")
-    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", restore)
+    }
   }
 
   test("AQE splits the skewed join partition at runtime") {
-    val conf = spark.conf
-    val restore = Map(
-      "spark.sql.autoBroadcastJoinThreshold" ->
-        conf.get("spark.sql.autoBroadcastJoinThreshold"),
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
-        conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes"),
-      "spark.sql.files.maxPartitionBytes" ->
-        conf.get("spark.sql.files.maxPartitionBytes"))
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // sf0.001's events.parquet is one tiny file — force multiple map
-    // tasks so the skewed reduce partition is splittable at all
-    conf.set("spark.sql.files.maxPartitionBytes", "16KB")
-    conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
-    // sf0.001 partitions are tiny — drop thresholds so the 80% key
-    // still registers as skew, and allow the split even though the
-    // downstream agg then needs its own exchange
-    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "1KB")
-    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
-    conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
-    try {
+    graft.util.Confs.withConfs(spark)(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // sf0.001's events.parquet is one tiny file — force multiple map
+      // tasks so the skewed reduce partition is splittable at all
+      "spark.sql.files.maxPartitionBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      // sf0.001 partitions are tiny — drop thresholds so the 80% key
+      // still registers as skew, and allow the split even though the
+      // downstream agg then needs its own exchange
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") {
       val df = Skew.skewJoinAqePlan(spark, sf)
       df.collect() // AQE decides skew splits at runtime, not plan time
       val plan = df.queryExecution.executedPlan.toString()
       assert(plan.contains("skew=true"),
         s"expected a skew-split SortMergeJoin in final plan:\n$plan")
-    } finally restore.foreach { case (k, v) => conf.set(k, v) }
+    }
   }
 
   test("HLL distinct counts are within the configured error bound") {
