@@ -127,6 +127,74 @@ object MinHashSignature {
   }
 }
 
+/** Per-chunk md5 fingerprints of a text column: tokenize, window into
+  * `chunkSize`-token chunks every `stride` tokens, md5 the
+  * space-joined tokens of each chunk — the fused form of
+  * tokenize → explode(sequence) → slice → concat_ws → md5. The
+  * declarative version runs the generator lambda INTERPRETED and
+  * re-slices the token array per chunk (cur_para_dedup's measured
+  * hot spot); this computes all fingerprints in one pass per row.
+  * Semantics mirror the DuckDB oracle: zero-token docs yield the
+  * single fingerprint md5('').
+  */
+case class ChunkFingerprints(child: Expression, chunkSize: Int, stride: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(input: Any): Any =
+    ChunkFingerprints.compute(
+      input.asInstanceOf[UTF8String], chunkSize, stride)
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ChunkFingerprints" +
+        s".compute($c, $chunkSize, $stride);")
+
+  override protected def withNewChildInternal(c: Expression): ChunkFingerprints =
+    copy(child = c)
+}
+
+object ChunkFingerprints {
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Static hot path — called from both eval and generated code. */
+  def compute(text: UTF8String, chunkSize: Int, stride: Int): ArrayData = {
+    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    val nChunks = math.max((n + stride - 1) / stride, 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](nChunks)
+    var i = 0
+    while (i < nChunks) {
+      val sb = new java.lang.StringBuilder
+      val start = i * stride
+      val end = math.min(start + chunkSize, n)
+      var j = start
+      while (j < end) {
+        if (j > start) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      md.reset()
+      val digest = md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexDigits((digest(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HexDigits(digest(b) & 0xf)
+        b += 1
+      }
+      out(i) = UTF8String.fromString(new String(hex))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-level API for the custom expressions (Spark 4's classic
   * Column↔Expression bridge).
   */
@@ -138,4 +206,7 @@ object TextFunctions {
 
   def minhash_signature(c: Column, numHashes: Int = 32): Column =
     column(MinHashSignature(expression(c), numHashes))
+
+  def chunk_fingerprints(c: Column, chunkSize: Int, stride: Int): Column =
+    column(ChunkFingerprints(expression(c), chunkSize, stride))
 }

@@ -287,18 +287,13 @@ object Curation {
     */
   def paragraphDedup(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      // fingerprint INSIDE the generator lambda: only the 32-char
-      // hashes explode — carrying the full token array into every
-      // chunk row and slicing after costs ~3x (measured at sf0.1)
+      // fingerprint via the fused ChunkFingerprints expression: the
+      // declarative transform(sequence)+slice+md5 lambda evaluates
+      // INTERPRETED and re-slices the token array per chunk (5.3 s at
+      // sf0.1 → sub-second fused); only 32-char hashes explode
       .select(col("doc_id"),
-        explode(transform(
-          sequence(lit(0),
-            greatest((size(col("toks")) + ChunkStride - 1)
-              .divide(ChunkStride).cast("int") - 1, lit(0))),
-          i => md5(concat_ws(" ",
-            slice(col("toks"), i * ChunkStride + 1, lit(ChunkSize))))))
-          .as("fp"))
+        explode(graft.functions.TextFunctions.chunk_fingerprints(
+          col("text"), ChunkSize, ChunkStride)).as("fp"))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"),

@@ -99,6 +99,12 @@ object AlsPipeline {
       .setRank(rank).setMaxIter(Iterations).setRegParam(Regularization)
       .setSeed(Seed).setColdStartStrategy("drop")
       .setNumUserBlocks(NumBlocks).setNumItemBlocks(NumBlocks)
+      // storage level only — no effect on the seeded solve; the
+      // default MEMORY_AND_DISK serializes every per-iteration factor
+      // RDD through the disk-spill path, pure overhead at this size
+      // (a 100-TB fit keeps the default and lets blocks spill)
+      .setIntermediateStorageLevel("MEMORY_ONLY")
+      .setFinalStorageLevel("MEMORY_ONLY")
       .fit(train)
 
   /** train/validation/test = 3/1/1, seed 0 (recommender.py:51). */
@@ -122,11 +128,29 @@ object AlsPipeline {
       .agg(sqrt(avg(pow(col("rating") - col("prediction"), 2))))
       .first().getDouble(0)
 
-  /** Pipeline A grid: (rank, validation RMSE, is_best). */
+  /** Pipeline A grid: (rank, validation RMSE, is_best).
+    *
+    * The three rank-fits are submitted CONCURRENTLY: each ALS
+    * iteration is a narrow barrier over 4 blocks, so a sequential
+    * grid leaves most of the cluster idle between stages. Concurrent
+    * job submission (one driver thread per rank) lets the scheduler
+    * interleave the grids' stages — same mechanics as a production
+    * hyperparameter sweep. Each fit is seeded and deterministic, so
+    * results are identical to the sequential order (spec-pinned).
+    */
   def gridRmse(s: SparkSession): DataFrame = cached("grid") {
     import s.implicits._
+    import scala.concurrent.{Await, ExecutionContext, Future}
     val va = splits(s)._2
-    val scores = Ranks.map(r => (r, rmse(modelFor(s, r), va)))
+    splits(s)._1.count() // materialize shared train cache once, not 3×
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(Ranks.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val scores =
+      try Await.result(
+        Future.sequence(
+          Ranks.map(r => Future((r, rmse(modelFor(s, r), va))))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     val best = scores.minBy(_._2)._1
     scores.map { case (r, e) =>
       (r, BigDecimal(e).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,

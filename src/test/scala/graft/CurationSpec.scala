@@ -31,6 +31,23 @@ class CurationSpec extends SparkTestBase {
     })
   }
 
+  test("ChunkFingerprints matches the declarative slice+md5 formulation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .withColumn("toks", filter(split($"text", "\\s+"), t => t =!= lit("")))
+    val declarative = docs.select($"doc_id",
+      explode(transform(
+        sequence(lit(0),
+          greatest((size($"toks") + 95).divide(96).cast("int") - 1, lit(0))),
+        i => md5(concat_ws(" ", slice($"toks", i * 96 + 1, lit(128))))))
+        .as("fp"))
+    val fused = docs.select($"doc_id",
+      explode(graft.functions.TextFunctions
+        .chunk_fingerprints($"text", 128, 96)).as("fp"))
+    assert(fused.count() === declarative.count())
+    assert(fused.except(declarative).count() === 0)
+    assert(declarative.except(fused).count() === 0)
+  }
+
   test("chunking covers every token exactly: spans tile [0, n) with stride") {
     val chunks = Curation.chunk(spark, sf).cache()
     // chunk 0 starts at 0; consecutive starts differ by the stride;
