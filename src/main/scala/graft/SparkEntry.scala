@@ -27,6 +27,7 @@ object SparkEntry {
       ops.Relational3.queries ++ ops.TextAnalysis.queries ++
       ops.Curation.queries ++
       ops.Dedup.queries ++ ops.Similarity.queries ++ ops.Events.queries ++
+      ops.Graph.queries ++
       ops.Multimodal.queries ++ ops.Udfs.queries ++ ops.Skew.queries ++
       sources.Sources.queries ++
       streaming.EventStream.queries ++ streaming.DedupStream.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       ops.Relational3.oracle ++ ops.TextAnalysis.oracle ++
       ops.Curation.oracle ++
       ops.Dedup.oracle ++ ops.Similarity.oracle ++ ops.Events.oracle ++
+      ops.Graph.oracle ++
       ops.Multimodal.oracle ++ ops.Udfs.oracle ++ ops.Skew.oracle ++
       sources.Sources.oracle ++
       streaming.EventStream.oracle ++ streaming.DedupStream.oracle ++

@@ -62,10 +62,59 @@ object JaccardSorted {
   }
 }
 
+/** Intersection size of two SORTED DISTINCT long arrays as one
+  * allocation-free merge pass — the per-edge kernel of the
+  * adjacency-intersection triangle count (and of any sorted posting
+  * list intersection). Same precondition and rationale as
+  * [[JaccardSorted]], over long keys instead of strings.
+  */
+case class SortedLongIntersect(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedLongIntersect.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedLongIntersect.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedLongIntersect =
+    copy(left = l, right = r)
+}
+
+object SortedLongIntersect {
+  /** Static hot path — called from both eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
 object SetSimilarityFunctions {
   import org.apache.spark.sql.GraftColumnBridge._
 
   /** Jaccard of two sorted distinct string-set columns. */
   def jaccard_sorted(a: Column, b: Column): Column =
     column(JaccardSorted(expression(a), expression(b)))
+
+  /** |A∩B| of two sorted distinct long-array columns. */
+  def sorted_long_intersect(a: Column, b: Column): Column =
+    column(SortedLongIntersect(expression(a), expression(b)))
 }

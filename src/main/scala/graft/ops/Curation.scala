@@ -391,7 +391,53 @@ object Curation {
        |       count(*) AS n, round(avg(score), 4) AS avg_score
        |FROM sc GROUP BY 1, 2 ORDER BY lang, verdict""".stripMargin
 
+  /** Deterministic stratified sampling: exactly ceil(10%) of each
+    * language stratum, chosen by content-hash order (md5 of doc_id —
+    * uniform, reproducible on any cluster layout, no RNG). The
+    * mechanism is proportional allocation via one ranked window per
+    * stratum — the scalable replacement for `sampleBy`, whose
+    * per-partition Bernoulli draws give only EXPECTED fractions and
+    * change with partitioning. Emits per-stratum counts plus the
+    * sampled ids' checksum so the oracle pins membership, not just
+    * sizes.
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val byLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+    val ranked = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk",
+        row_number().over(byLang.orderBy(col("h"), col("doc_id"))))
+      .withColumn("n_stratum", count(lit(1)).over(byLang))
+    ranked
+      .filter(col("rk") <= ceil(col("n_stratum") * 0.1))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        max(col("n_stratum")).as("n_stratum"),
+        sum(col("doc_id")).as("id_sum"),
+        min(col("doc_id")).as("min_id"))
+      .orderBy("lang")
+  }
+
+  val stratifiedSampleSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+      |         row_number() OVER (PARTITION BY lang
+      |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+      |           AS rk,
+      |         count(*) OVER (PARTITION BY lang) AS n_stratum
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_sampled,
+      |       max(n_stratum) AS n_stratum,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |       min(doc_id) AS min_id
+      |FROM ranked WHERE rk <= ceil(n_stratum * 0.1)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_stratified"    -> (stratifiedSample _),
     "cur_hash_split"    -> (hashSplit _),
     "cur_contamination" -> (contamination _),
     "cur_summary"       -> (curationSummary _),
@@ -403,6 +449,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "cur_stratified"    -> stratifiedSampleSql,
     "cur_hash_split"    -> hashSplitSql,
     "cur_contamination" -> contaminationSql,
     "cur_summary"       -> curationSummarySql,

@@ -420,7 +420,100 @@ object Events {
       |WHERE value > mu + 3.0 * sd
       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
 
+  /** Time-series resample + gap-fill: aggregate to an hourly grid per
+    * event type, then materialize EVERY hour of the observed span
+    * (dense spine = distinct types × sequence(lo..hi)) with zero-fill
+    * for counts/sums and forward-fill (last non-null) for the hourly
+    * average — the standard prep step before any windowed model
+    * training on irregular event data.
+    *
+    * Scale shape: the spine is O(types × hours) — independent of
+    * event volume — built from a broadcast one-row bounds agg; the
+    * left join hashes on (type, bucket); the forward fill is a
+    * per-type ordered window (types partition the work).
+    */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .withColumn("bucket", expr(s"(ts div 1000) div ${HourUs}L"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+    val bounds = events(s, d)
+      .agg(expr(s"min((ts div 1000) div ${HourUs}L)").as("lo"),
+        expr(s"max((ts div 1000) div ${HourUs}L)").as("hi"))
+    val spine = events(s, d).select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val ffill = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        last(col("avg_value"), ignoreNulls = true).over(ffill)
+          .as("filled_avg"),
+        col("n_events").isNull.as("is_gap"))
+      .orderBy("event_type", "bucket")
+  }
+
+  val gapFillSql: String =
+    """WITH agg AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
+      |         count(*) AS n_events, round(sum(value), 4) AS sum_value,
+      |         round(avg(value), 4) AS avg_value
+      |  FROM events GROUP BY 1, 2
+      |), bounds AS (
+      |  SELECT min(epoch_us(ts) // 3600000000) AS lo,
+      |         max(epoch_us(ts) // 3600000000) AS hi FROM events
+      |), spine AS (
+      |  SELECT t.event_type, s.bucket
+      |  FROM (SELECT DISTINCT event_type FROM events) t, bounds,
+      |       LATERAL (SELECT unnest(generate_series(bounds.lo, bounds.hi))
+      |                AS bucket) s
+      |)
+      |SELECT spine.event_type AS event_type, spine.bucket AS bucket,
+      |       coalesce(n_events, 0) AS n_events,
+      |       coalesce(sum_value, 0.0) AS sum_value,
+      |       last_value(avg_value IGNORE NULLS) OVER (
+      |         PARTITION BY spine.event_type ORDER BY spine.bucket
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |         AS filled_avg,
+      |       (n_events IS NULL) AS is_gap
+      |FROM spine LEFT JOIN agg
+      |  ON spine.event_type = agg.event_type AND spine.bucket = agg.bucket
+      |ORDER BY event_type, bucket""".stripMargin
+
+  /** Time-RANGE window frame: per-event trailing-hour count and sum
+    * over a RangeFrame (peers by ts value, not row position) — the
+    * complement of the rows-frame windows elsewhere in the suite.
+    * Deterministic under timestamp ties because RANGE frames include
+    * all peers in both engines.
+    */
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
+      .rangeBetween(-HourUs, 0)
+    events(s, d)
+      .withColumn("ts_us", expr("ts div 1000"))
+      .select(col("event_id"), col("event_type"), col("ts_us"),
+        count(lit(1)).over(w).as("n_1h"),
+        round(sum(col("value")).over(w), 4).as("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  val rangeFrameSql: String =
+    """SELECT event_id, event_type, epoch_us(ts) AS ts_us,
+      |       count(*) OVER w AS n_1h,
+      |       round(sum(value) OVER w, 4) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_gapfill"         -> (gapFill _),
+    "events_range_frame"     -> (rangeFrame _),
     "events_funnel"          -> (funnel _),
     "events_anomaly"         -> (anomalies _),
     "events_cohort"          -> (cohortRetention _),
@@ -435,6 +528,8 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_gapfill"         -> gapFillSql,
+    "events_range_frame"     -> rangeFrameSql,
     "events_funnel"          -> funnelSql,
     "events_anomaly"         -> anomaliesSql,
     "events_cohort"          -> cohortRetentionSql,

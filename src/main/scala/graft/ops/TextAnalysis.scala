@@ -266,7 +266,49 @@ object TextAnalysis {
       |SELECT doc_id, rank, term, tfidf FROM ranked
       |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 
+  /** BPE-ish subword token accounting: a GPT-2-style pre-tokenizer
+    * regex (optional leading space + letter run | digit run | other
+    * run) against plain whitespace tokens — the standard "how many
+    * tokens will this doc cost" estimator when the real BPE merges
+    * aren't worth shipping to the scan. Branch classes are disjoint,
+    * so Java (Spark) and RE2 (DuckDB) alternation agree exactly.
+    * Everything runs inside the scan projection (regexp_extract_all
+    * is codegen'd); one final per-language aggregate.
+    */
+  private val BpeRe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+  def bpeTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(tokens(col("text"))).cast("long").as("n_ws"),
+        size(regexp_extract_all(lower(col("text")), lit(BpeRe), lit(0)))
+          .cast("long").as("n_bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("ws_tokens"),
+        sum(col("n_bpe")).as("bpe_tokens"),
+        round(sum(col("n_bpe")).cast("double") / sum(col("n_ws")), 4)
+          .as("bpe_per_word"))
+      .orderBy("lang")
+
+  val bpeTokensSql: String =
+    """WITH t AS (
+      |  SELECT lang,
+      |         len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+      |           AS n_ws,
+      |         len(regexp_extract_all(lower(text),
+      |             ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS n_bpe
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
+      |       round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 4)
+      |         AS bpe_per_word
+      |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bpe_tokens"   -> (bpeTokens _),
     "text_tfidf"        -> (tfIdf _),
     "text_top_shingles" -> (topShingles _),
     "text_quality"    -> (textQuality _),
@@ -276,6 +318,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_tokens"   -> bpeTokensSql,
     "text_tfidf"        -> tfIdfSql,
     "text_top_shingles" -> topShinglesSql,
     "text_quality"    -> textQualitySql,

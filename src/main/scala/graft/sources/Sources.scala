@@ -186,6 +186,62 @@ object Sources {
       |       max(i) AS max_id
       |FROM g WHERE bucket < 10 GROUP BY tag ORDER BY tag""".stripMargin
 
+  /** Z-order (Morton) clustered layout: interleave the low 10 bits of
+    * two join/filter dimensions into one sort key, range-partition +
+    * sort the write on it, so every output file covers a bounded TILE
+    * in (x, y) space and min/max row-group stats prune scans on
+    * EITHER dimension — the Delta/Iceberg OPTIMIZE ZORDER technique
+    * with plain open-source Spark operators. The bit math is static
+    * Column arithmetic (no lambda): fully codegen'd in the scan
+    * projection. SourcesSpec asserts the tile property on the files;
+    * the oracle replays the z arithmetic and the per-z-range
+    * clustering summary.
+    */
+  private val ZBits = 10
+
+  private[graft] def zValue(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .plus(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .plus(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+
+  def zorderExport(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratch/lineitem_zorder"
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_partkey"), lit(1024L)).as("x"),
+        pmod(col("l_suppkey"), lit(1024L)).as("y"))
+      .withColumn("z", zValue(col("x"), col("y")))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions(col("z"))
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    // clustering summary per z-range stripe: each stripe's x/y spans
+    // stay bounded (the tile property the file-level stats inherit)
+    s.read.parquet(out)
+      .withColumn("stripe", shiftright(col("z"), 12))
+      .groupBy(col("stripe"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+        min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+      .orderBy("stripe")
+  }
+
+  val zorderExportSql: String =
+    """WITH z AS (
+      |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y,
+      |         CAST(list_sum(list_transform(range(0, 10), i ->
+      |           ((((l_partkey % 1024) >> i) & 1) << (2*i))
+      |           + ((((l_suppkey % 1024) >> i) & 1) << (2*i+1))))
+      |           AS BIGINT) AS zv
+      |  FROM lineitem
+      |)
+      |SELECT zv >> 12 AS stripe, count(*) AS n_rows,
+      |       min(x) AS min_x, max(x) AS max_x,
+      |       min(y) AS min_y, max(y) AS max_y
+      |FROM z GROUP BY stripe ORDER BY stripe""".stripMargin
+
   val bucketedJoinSql: String =
     """SELECT o_orderkey, o_custkey, n_lines
       |FROM orders
@@ -202,6 +258,7 @@ object Sources {
     "src_orc_roundtrip"    -> (orcRoundtrip _),
     "src_dsv2_synthetic"   -> (syntheticScan _),
     "src_range_export"     -> (rangeExport _),
+    "src_zorder_export"    -> (zorderExport _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -212,5 +269,6 @@ object Sources {
     "src_orc_roundtrip"    -> orcRoundtripSql,
     "src_dsv2_synthetic"   -> syntheticScanSql,
     "src_range_export"     -> rangeExportSql,
+    "src_zorder_export"    -> zorderExportSql,
   )
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Curation, Events, Graph}
+
+/** Specs for the round-3 operators: graph joins, time-series
+  * resample/gap-fill, range frames, stratified sampling, z-order
+  * layout.
+  */
+class GraphTimeSeriesSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("triangle count matches a hand-checked tiny graph") {
+    // K4 minus one edge on {1,2,3,4}: edges 12 13 14 23 24 → exactly
+    // the two triangles 123 and 124
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L))
+      .toDF("p1", "p2")
+    val e1 = e.toDF("a", "b")
+    val e2 = e.toDF("b", "c")
+    val e3 = e.toDF("a", "c")
+    val n = e1.join(e2, "b").join(e3, Seq("a", "c")).count()
+    assert(n === 2L)
+  }
+
+  test("degree histogram mass equals twice the edge count") {
+    val hist = Graph.degreeHistogram(spark, sf)
+    val mass = hist.select(sum($"degree" * $"n_vertices")).as[Long].head()
+    val tri = Graph.triangles(spark, sf)
+    val edges = tri.select($"n_edges").as[Long].head()
+    assert(mass === 2 * edges) // every edge contributes to two degrees
+    assert(tri.select($"n_triangles").as[Long].head() > 0)
+  }
+
+  test("gap-fill: dense per-type spine, zero-filled gaps, forward-filled avg") {
+    val gf = Events.gapFill(spark, sf).cache()
+    // every type covers the same contiguous bucket span
+    val spans = gf.groupBy($"event_type")
+      .agg(min($"bucket").as("lo"), max($"bucket").as("hi"),
+        count(lit(1)).as("n"))
+      .select($"lo", $"hi", $"n").as[(Long, Long, Long)].collect()
+    assert(spans.nonEmpty)
+    assert(spans.forall { case (lo, hi, n) => n === hi - lo + 1 })
+    // gaps are exactly the zero-count rows and carry zero sums
+    assert(gf.filter($"is_gap" =!= ($"n_events" === 0L)).count() === 0)
+    assert(gf.filter($"is_gap" && $"sum_value" =!= 0.0).count() === 0)
+    // a filled_avg appears as soon as a type has seen one real bucket
+    val afterFirst = gf.filter(!$"is_gap").groupBy($"event_type")
+      .agg(min($"bucket").as("first_real"))
+    assert(gf.join(afterFirst, "event_type")
+      .filter($"bucket" >= $"first_real" && $"filled_avg".isNull)
+      .count() === 0)
+    gf.unpersist()
+  }
+
+  test("range frame: trailing-hour counts bounded by per-type totals") {
+    val rf = Events.rangeFrame(spark, sf).cache()
+    val totals = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy($"event_type").agg(count(lit(1)).as("total"))
+    assert(rf.filter($"n_1h" < 1).count() === 0) // frame includes self
+    assert(rf.join(totals, "event_type").filter($"n_1h" > $"total")
+      .count() === 0)
+    // a frame never exceeds the full-window row count of its peers ±1h
+    rf.unpersist()
+  }
+
+  test("stratified sample takes exactly ceil(10%) of every stratum") {
+    val out = Curation.stratifiedSample(spark, sf)
+      .select($"n_sampled", $"n_stratum").as[(Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (sampled, stratum) =>
+      assert(sampled === math.ceil(stratum * 0.1).toLong)
+    }
+  }
+
+  test("z-order export files cover bounded (x, y) tiles") {
+    val df = graft.sources.Sources.zorderExport(spark, sf)
+    assert(df.count() > 1)
+    val files = spark.read.parquet(
+      df.inputFiles.head.replaceAll("/[^/]+$", "")).inputFiles
+    assert(files.length > 1)
+    // every z-sorted file must span well under the full 1024-wide x
+    // range — the tile property that makes row-group stats prunable
+    // on either dimension (y is narrow at this sf, so assert on x)
+    val spans = files.map { f =>
+      spark.read.parquet(f).agg(min($"x"), max($"x"))
+        .as[(Long, Long)].head()
+    }
+    val fullSpan = spans.map(_._2).max - spans.map(_._1).min
+    assert(spans.count { case (lo, hi) => hi - lo <= fullSpan / 2 } >
+      files.length / 2,
+      s"most files should cover a bounded x tile: ${spans.toSeq}")
+  }
+}
