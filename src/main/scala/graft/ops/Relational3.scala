@@ -533,7 +533,59 @@ object Relational3 {
       |FROM wide UNPIVOT (value FOR metric IN (sum_qty, avg_disc, n_rows))
       |ORDER BY l_returnflag, metric""".stripMargin
 
+  /** SCD type-2 dimension build: per customer, collapse the order
+    * history into status-change intervals — a row per (customer,
+    * status run) with [valid_from, valid_to) bounds, version number
+    * and current flag. The standard dimension-table maintenance
+    * derivation: one window pass to mark changes (lag), a filter, a
+    * second window pass for interval ends (lead) and versions. Both
+    * windows share the (o_custkey × date, key) partitioning, so the
+    * whole build is ONE shuffle; at warehouse scale this runs
+    * incrementally against yesterday's dimension via rel_merge_upsert.
+    */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
+        col("o_orderkey"))
+      .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(byCust))
+      .filter(col("prev_status").isNull
+        || col("prev_status") =!= col("o_orderstatus"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byCust))
+      .withColumn("version", row_number().over(byCust))
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderstatus").as("status"),
+        col("o_orderdate").as("valid_from"),
+        col("valid_to"),
+        col("version"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("custkey", "version")
+  }
+
+  val scd2Sql: String =
+    """WITH marked AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+      |         lag(o_orderstatus) OVER w AS prev_status
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate, o_orderkey)
+      |), changes AS (
+      |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+      |  FROM marked
+      |  WHERE prev_status IS NULL OR prev_status != o_orderstatus
+      |)
+      |SELECT o_custkey AS custkey, o_orderstatus AS status,
+      |       o_orderdate AS valid_from,
+      |       lead(o_orderdate) OVER w AS valid_to,
+      |       CAST(row_number() OVER w AS INT) AS version,
+      |       (lead(o_orderdate) OVER w IS NULL) AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY custkey, version""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_scd2"        -> (scd2 _),
     "rel_cube"        -> (cubeAgg _),
     "rel_window_nav"  -> (windowNav _),
     "rel_explode"     -> (explodeTokens _),
@@ -555,6 +607,7 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_scd2"        -> scd2Sql,
     "rel_cube"        -> cubeAggSql,
     "rel_window_nav"  -> windowNavSql,
     "rel_explode"     -> explodeTokensSql,

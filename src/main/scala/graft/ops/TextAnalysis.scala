@@ -307,7 +307,88 @@ object TextAnalysis {
       |         AS bpe_per_word
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Inverted-index build: token → sorted posting list of documents
+    * containing it, for the 20 highest-document-frequency tokens.
+    * The index-build step of any retrieval/contamination pipeline:
+    * explode distinct per-doc tokens (narrow), one hash-shuffle on
+    * the token, per-token sorted id list. Posting lists surface as
+    * an md5 fingerprint + bounds (scalar columns — the full array
+    * column would defeat the row-wise oracle hash, and at 100 TB the
+    * consumer reads the list columnar anyway, not through a compare).
+    */
+  def postings(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(array_distinct(tokens(col("text")))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("df"),
+        md5(concat_ws(",",
+          sort_array(collect_list(col("doc_id"))).cast("array<string>")))
+          .as("posting_fp"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(desc("df"), asc("token"))
+      .limit(20)
+
+  val postingsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         unnest(list_distinct(
+      |           list_filter(string_split_regex(text, '\s+'), x -> x != '')))
+      |           AS token
+      |  FROM documents
+      |)
+      |SELECT token, count(*) AS df,
+      |       md5(array_to_string(list(doc_id ORDER BY doc_id), ','))
+      |         AS posting_fp,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM t GROUP BY token
+      |ORDER BY df DESC, token ASC LIMIT 20""".stripMargin
+
+  /** Bigram language-model counts: adjacent token pairs with the
+    * conditional probability p(w2 | w1) = c(w1,w2) / c(w1, ·) —
+    * the count step of every n-gram LM / next-token statistic.
+    * Bigram pairs come from zipping the token array against its
+    * own tail (two static slices, no lambda); the denominator is a
+    * window sum over the already-aggregated bigram counts, so the
+    * corpus shuffles once on the bigram and once (tiny) on w1.
+    */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val w1Totals = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"))
+    documents(s, d)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(arrays_zip(
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0)))))
+        .as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .withColumn("p_w2_given_w1",
+        round(col("n").cast("double") / sum(col("n")).over(w1Totals), 6))
+      .orderBy(desc("n"), asc("w1"), asc("w2"))
+      .limit(50)
+  }
+
+  val bigramLmSql: String =
+    """WITH t AS (
+      |  SELECT list_filter(string_split_regex(text, '\s+'), x -> x != '')
+      |           AS toks
+      |  FROM documents
+      |), bg AS (
+      |  SELECT toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+      |), c AS (
+      |  SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
+      |)
+      |SELECT w1, w2, n,
+      |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY w1), 6)
+      |         AS p_w2_given_w1
+      |FROM c ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_postings"     -> (postings _),
+    "text_bigram_lm"    -> (bigramLm _),
     "text_bpe_tokens"   -> (bpeTokens _),
     "text_tfidf"        -> (tfIdf _),
     "text_top_shingles" -> (topShingles _),
@@ -318,6 +399,8 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_postings"     -> postingsSql,
+    "text_bigram_lm"    -> bigramLmSql,
     "text_bpe_tokens"   -> bpeTokensSql,
     "text_tfidf"        -> tfIdfSql,
     "text_top_shingles" -> topShinglesSql,

@@ -73,6 +73,44 @@ class GraphTimeSeriesSpec extends SparkTestBase {
     }
   }
 
+  test("SCD2 intervals: per-customer chains are contiguous and versioned") {
+    val scd = graft.ops.Relational3.scd2(spark, sf).cache()
+    // exactly one current row per customer
+    val current = scd.filter($"is_current")
+      .groupBy($"custkey").count().filter($"count" =!= 1).count()
+    assert(current === 0)
+    // within a customer, valid_to of version k equals valid_from of k+1
+    val chain = scd.as("a").join(scd.as("b"),
+      $"a.custkey" === $"b.custkey" && $"a.version" + 1 === $"b.version")
+      .filter($"a.valid_to" =!= $"b.valid_from")
+    assert(chain.count() === 0)
+    // consecutive versions never repeat a status (the SCD2 invariant)
+    val rep = scd.as("a").join(scd.as("b"),
+      $"a.custkey" === $"b.custkey" && $"a.version" + 1 === $"b.version")
+      .filter($"a.status" === $"b.status")
+    assert(rep.count() === 0)
+    scd.unpersist()
+  }
+
+  test("bigram LM: conditional probabilities sum to at most 1 per w1") {
+    val lm = graft.ops.TextAnalysis.bigramLm(spark, sf)
+    // the top-50 cut means partial groups: per-w1 sums must be <= 1
+    val sums = lm.groupBy($"w1")
+      .agg(sum($"p_w2_given_w1").as("s")).select($"s").as[Double].collect()
+    assert(sums.nonEmpty)
+    assert(sums.forall(_ <= 1.0 + 1e-9))
+  }
+
+  test("postings: document frequency equals fingerprinted list length") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.ops.TextAnalysis.postings(spark, sf)
+    // df is bounded by the corpus size and lists are per-token unique
+    val n = docs.count()
+    assert(p.filter($"df" > n).count() === 0)
+    assert(p.filter($"first_doc" > $"last_doc").count() === 0)
+    assert(p.count() === 20)
+  }
+
   test("z-order export files cover bounded (x, y) tiles") {
     val df = graft.sources.Sources.zorderExport(spark, sf)
     assert(df.count() > 1)
