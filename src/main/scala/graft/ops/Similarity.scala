@@ -486,7 +486,57 @@ object Similarity {
       |       round(max(nrm), 6) AS max_norm
       |FROM e GROUP BY label ORDER BY label""".stripMargin
 
+  /** Per-vector symmetric int8 quantization: scale = max|x|/127,
+    * q_i = round(x_i / scale) ∈ [-127,127] — the storage/bandwidth
+    * form of an embedding corpus at scale (4× smaller than fp32, ADC
+    * kernels run on the int codes). Emits per-vector scale, code
+    * checksums, and reconstruction RMSE so the oracle pins the exact
+    * integer codes, not just shapes. All math runs in double on both
+    * engines (float32 elements widened first); per-vector folds are
+    * left-to-right in both, so the doubles agree bitwise.
+    */
+  def quantizeInt8(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scale",
+        aggregate(col("v"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x))) / 127.0)
+      .withColumn("q", transform(col("v"), x => round(x / col("scale"), 0)
+        .cast("long")))
+      .select(col("vec_id"),
+        round(col("scale"), 9).as("scale_r"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        round(sqrt(
+          aggregate(zip_with(col("v"), col("q"),
+            (x, q) => pow(x - q * col("scale"), 2)),
+            lit(0.0), (a, e) => a + e) / size(col("v"))), 9)
+          .as("rmse"))
+      .orderBy("vec_id")
+
+  val quantizeInt8Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+      |           / 127.0 AS scale
+      |  FROM embeddings
+      |), q AS (
+      |  SELECT vec_id, v, scale,
+      |         list_transform(v, x -> CAST(round(x / scale, 0) AS BIGINT))
+      |           AS qs
+      |  FROM e
+      |)
+      |SELECT vec_id, round(scale, 9) AS scale_r,
+      |       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+      |       list_min(qs) AS q_min, list_max(qs) AS q_max,
+      |       round(sqrt(list_sum(
+      |         list_transform(list_zip(v, qs),
+      |           p -> pow(p[1] - p[2] * scale, 2))) / len(v)), 9) AS rmse
+      |FROM q ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_quantize_int8"  -> (quantizeInt8 _),
     "sim_knn_brute"      -> (knnBruteForce _),
     "sim_ann_lsh"        -> (annLsh _),
     "sim_ann_ivf"        -> (annIvf _),
@@ -498,6 +548,7 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "sim_quantize_int8"  -> quantizeInt8Sql,
     "sim_knn_brute"      -> knnBruteForceSql,
     "sim_embed_stats"    -> embedStatsSql,
     "sim_centroid_classify" -> centroidClassifySql,

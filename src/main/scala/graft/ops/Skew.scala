@@ -190,7 +190,67 @@ object Skew {
       |       round(sum(value), 4) AS sum_value
       |FROM e GROUP BY k ORDER BY k LIMIT 20""".stripMargin
 
+  /** Mergeable-sketch rollup: per-day HyperLogLog SKETCHES of
+    * distinct users per event type (Spark 4's datasketches-backed
+    * hll_sketch_agg), then the monthly distinct-user estimate via
+    * hll_union_agg over the daily sketches — NEVER re-reading the
+    * raw data. This reaggregability is the core 100-TB pattern: daily
+    * sketches are bytes, union is cheap, and any time-range rollup
+    * derives from stored sketches instead of a full-scan
+    * countDistinct. Estimates are deterministic for fixed data +
+    * lgConfigK but not DuckDB-replayable → rows-only; SkewSketchSpec
+    * bounds them against the exact counts and asserts
+    * union-of-daily ≡ sketch-of-whole (register-max merge identity).
+    */
+  def hllRollup(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+          .as("approx_users_merged"),
+        count(lit(1)).as("n_days"),
+        sum(col("n")).as("n_events"))
+      .join(
+        events(s, d).groupBy(col("event_type"))
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+            .as("approx_users_direct"),
+            countDistinct(col("user_id")).as("exact_users")),
+        Seq("event_type"))
+      .orderBy("event_type")
+  }
+
+  /** Count-min-sketch heavy-hitter probe: build one CMS over the
+    * full event stream (distributed, mergeable — `DataFrameStat
+    * Functions.countMinSketch` reduces per-partition sketches), then
+    * read estimated frequencies for a fixed probe set of users next
+    * to their exact counts. The sketch is ~eps⁻¹·ln(1/δ) counters
+    * regardless of stream size — the at-scale substitute for exact
+    * per-key counts when keys don't fit memory. Deterministic for a
+    * fixed seed → rows-only; the spec asserts the one-sided CMS
+    * guarantee (estimate ≥ exact, ≤ exact + eps·N).
+    */
+  def cmsProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = events(s, d)
+    val cms = ev.stat.countMinSketch(
+      col("user_id"), eps = 0.001, confidence = 0.99, seed = 42)
+    val probes = (0L until 20L).map(u => (u, cms.estimateCount(Long.box(u))))
+      .toDF("user_id", "cms_count")
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_count"))
+      .join(probes, Seq("user_id"), "right")
+      .select(col("user_id"),
+        coalesce(col("exact_count"), lit(0L)).as("exact_count"),
+        col("cms_count"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_rollup" -> (hllRollup _),
+    "sketch_cms_probe"  -> (cmsProbe _),
     "skew_salted_agg" -> (saltedAgg _),
     "skew_aqe_join"   -> (skewJoinAqe _),
     "sketch_agg"      -> (sketchAgg _),

@@ -53,6 +53,31 @@ class SkewSketchSpec extends SparkTestBase {
     }
   }
 
+  test("HLL rollup: union of daily sketches equals the direct sketch") {
+    val r = Skew.hllRollup(spark, sf)
+      .select($"approx_users_merged", $"approx_users_direct", $"exact_users")
+      .as[(Double, Double, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (merged, direct, exact) =>
+      // register-max merge is lossless: sketch(A∪B) = sketch(A)∪sketch(B)
+      assert(merged === direct)
+      assert(math.abs(merged - exact) <= math.max(2.0, exact * 0.05),
+        s"estimate $merged too far from exact $exact")
+    }
+  }
+
+  test("CMS probe honors the one-sided count-min guarantee") {
+    val total = spark.read.parquet(s"$sf/events.parquet").count()
+    val rows = Skew.cmsProbe(spark, sf)
+      .select($"exact_count", $"cms_count").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (exact, est) =>
+      assert(est >= exact, s"CMS must never undercount: $est < $exact")
+      assert(est <= exact + (0.001 * total).ceil.toLong + 1,
+        s"CMS overcount beyond eps*N: est=$est exact=$exact N=$total")
+    }
+  }
+
   test("HLL distinct counts are within the configured error bound") {
     val rows = Skew.sketchAgg(spark, sf)
       .select($"approx_orders", $"exact_orders")
