@@ -436,7 +436,41 @@ object Curation {
       |FROM ranked WHERE rk <= ceil(n_stratum * 0.1)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis):
+    * each doc draws key = u^(1/w) from a content-hash uniform u and
+    * weight w = token count; the global top-30 keys ARE the weighted
+    * sample. One scan + one top-k (TakeOrderedAndProject) — no
+    * global sort, no RNG state, identical on any cluster layout.
+    * Ranking uses the ROUNDED key with doc_id tie-break so both
+    * engines order identically (pow is libm-dependent in the last
+    * ulp).
+    */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        greatest(size(tokens(col("text"))).cast("long"), lit(1L)).as("w"),
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double") / 4294967296.0).as("u"))
+      .withColumn("es_key", round(pow(col("u"), lit(1.0) / col("w")), 6))
+      .select(col("doc_id"), col("lang"), col("w"), col("es_key"))
+      .orderBy(desc("es_key"), asc("doc_id"))
+      .limit(30)
+
+  val weightedSampleSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |         greatest(len(list_filter(string_split_regex(text, '\s+'),
+      |                                  x -> x != '')), 1) AS w,
+      |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |           / 4294967296.0 AS u
+      |  FROM documents
+      |)
+      |SELECT doc_id, lang, CAST(w AS BIGINT) AS w,
+      |       round(pow(u, 1.0 / w), 6) AS es_key
+      |FROM t ORDER BY es_key DESC, doc_id ASC LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_weighted_sample" -> (weightedSample _),
     "cur_stratified"    -> (stratifiedSample _),
     "cur_hash_split"    -> (hashSplit _),
     "cur_contamination" -> (contamination _),
@@ -449,6 +483,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "cur_weighted_sample" -> weightedSampleSql,
     "cur_stratified"    -> stratifiedSampleSql,
     "cur_hash_split"    -> hashSplitSql,
     "cur_contamination" -> contaminationSql,

@@ -345,7 +345,44 @@ object Dedup {
        |  USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Entity resolution via blocking + edit-distance verify: candidate
+    * pairs only WITHIN a blocking key (nation), then exact
+    * levenshtein ≤ 2 on the name — the classic two-stage resolver
+    * shape where the block bounds the quadratic term (block² pairs,
+    * never corpus²) and the expensive distance runs on candidates
+    * only. Same plan skeleton as the MinHash-LSH pipeline with the
+    * band join swapped for a dimension block.
+    */
+  def entityPairs(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+      .filter(col("c_custkey") < 500)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val a = c.toDF("a_key", "a_name", "nk")
+    val b = c.toDF("b_key", "b_name", "nk")
+    a.join(b, Seq("nk")).filter(col("a_key") < col("b_key"))
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .filter(col("dist") <= 2)
+      .select(col("nk").as("nationkey"), col("a_key"), col("b_key"),
+        col("dist"))
+      .orderBy(asc("dist"), asc("a_key"), asc("b_key"))
+      .limit(50)
+  }
+
+  val entityPairsSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name, c_nationkey
+      |  FROM customer WHERE c_custkey < 500
+      |)
+      |SELECT a.c_nationkey AS nationkey,
+      |       a.c_custkey AS a_key, b.c_custkey AS b_key,
+      |       levenshtein(a.c_name, b.c_name) AS dist
+      |FROM c a JOIN c b
+      |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 2
+      |ORDER BY dist ASC, a_key ASC, b_key ASC LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_entity_pairs" -> (entityPairs _),
     "dedup_clusters"    -> (dedupClusters _),
     "dedup_exact"       -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
@@ -355,6 +392,7 @@ object Dedup {
   )
 
   val oracle: Map[String, String] = Map(
+    "dedup_entity_pairs" -> entityPairsSql,
     "dedup_clusters"    -> dedupClustersSql,
     "dedup_exact"       -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,

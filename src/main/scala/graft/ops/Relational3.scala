@@ -584,7 +584,45 @@ object Relational3 {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY custkey, version""".stripMargin
 
+  /** Rolling exact median: `percentile` as a WINDOW aggregate over a
+    * trailing 6-row frame — the windowed form of exact quantiles
+    * (rel_quantiles is the grouped form). Exact interpolation over a
+    * bounded frame is cheap; the unbounded-preceding variant is what
+    * a t-digest sketch replaces at scale. Frame order is the unique
+    * (l_orderkey, l_linenumber) key, so both engines see identical
+    * frames.
+    */
+  def rollingMedian(s: SparkSession, d: String): DataFrame = {
+    // ROWS frames need a TOTAL order or frame membership differs per
+    // engine on ties — (l_orderkey, l_linenumber) is NOT unique in
+    // the testdata (verified); the 6-column key below is, at all sfs
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"), col("l_extendedprice"))
+      .rowsBetween(-5, 0)
+    lineitem(s, d)
+      .filter(col("l_orderkey") < 1000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"),
+        round(percentile(col("l_quantity"), lit(0.5)).over(w), 4)
+          .as("rolling_median"))
+      .orderBy("l_returnflag", "l_orderkey", "l_linenumber")
+  }
+
+  val rollingMedianSql: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      |       round(quantile_cont(l_quantity, 0.5) OVER w, 4)
+      |         AS rolling_median
+      |FROM lineitem
+      |WHERE l_orderkey < 1000
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |             ORDER BY l_orderkey, l_linenumber, l_partkey,
+      |                      l_suppkey, l_quantity, l_extendedprice
+      |             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_rolling_median" -> (rollingMedian _),
     "rel_scd2"        -> (scd2 _),
     "rel_cube"        -> (cubeAgg _),
     "rel_window_nav"  -> (windowNav _),
@@ -607,6 +645,7 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_rolling_median" -> rollingMedianSql,
     "rel_scd2"        -> scd2Sql,
     "rel_cube"        -> cubeAggSql,
     "rel_window_nav"  -> windowNavSql,

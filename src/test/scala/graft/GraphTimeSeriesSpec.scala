@@ -111,6 +111,44 @@ class GraphTimeSeriesSpec extends SparkTestBase {
     assert(p.count() === 20)
   }
 
+  test("rolling median stays within each frame's min/max envelope") {
+    val rm = graft.ops.Relational3.rollingMedian(spark, sf).cache()
+    assert(rm.count() > 0)
+    // a frame median can never leave the partition's global envelope
+    val bounds = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter($"l_orderkey" < 1000)
+      .groupBy($"l_returnflag")
+      .agg(min($"l_quantity").as("lo"), max($"l_quantity").as("hi"))
+    assert(rm.join(bounds, "l_returnflag")
+      .filter($"rolling_median" < $"lo" || $"rolling_median" > $"hi")
+      .count() === 0)
+    // first row of each partition: frame = itself → median = quantity
+    val firsts = rm.groupBy($"l_returnflag")
+      .agg(min(struct($"l_orderkey", $"l_linenumber")).as("k"))
+    rm.unpersist()
+  }
+
+  test("entity pairs: blocked candidates are symmetric-free and close") {
+    val p = graft.ops.Dedup.entityPairs(spark, sf).collect()
+    assert(p.nonEmpty)
+    assert(p.forall(r => r.getLong(1) < r.getLong(2))) // canonical a<b
+    assert(p.forall(_.getInt(3) <= 2))
+  }
+
+  test("weighted sample favors heavier documents") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sample = graft.ops.Curation.weightedSample(spark, sf)
+    val avgSampled = sample.agg(avg($"w")).as[Double].head()
+    val avgAll = docs.select(
+      greatest(size(filter(split($"text", "\\s+"), t => t =!= lit(""))), lit(1))
+        .cast("double").as("w"))
+      .agg(avg($"w")).as[Double].head()
+    // Efraimidis–Spirakis keys bias selection toward high weight:
+    // the sampled mean token count must exceed the corpus mean
+    assert(avgSampled > avgAll,
+      s"weighted sample mean $avgSampled should exceed corpus mean $avgAll")
+  }
+
   test("z-order export files cover bounded (x, y) tiles") {
     val df = graft.sources.Sources.zorderExport(spark, sf)
     assert(df.count() > 1)

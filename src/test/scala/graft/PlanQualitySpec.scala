@@ -75,4 +75,38 @@ class PlanQualitySpec extends SparkTestBase {
     assert("Exchange".r.findAllIn(p).length <= 2,
       s"cube should not shuffle per grouping set:\n$p")
   }
+
+  test("SCD2 build: both window passes share one shuffle") {
+    val p = plan(Relational3.scd2(spark, sf))
+    // lag-mark and lead-close use the same (custkey, date, key)
+    // partitioning — a second exchange means the windows diverged
+    // (the final orderBy adds the only other exchange)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1,
+      s"SCD2 windows should reuse one hash exchange:\n$p")
+  }
+
+  test("triangle count broadcasts adjacency, never shuffles wedges") {
+    val df = graft.ops.Graph.triangles(spark, sf)
+    assert(df.count() === 1)
+    // correctness of the broadcast shape is asserted structurally in
+    // the op; here: the result stays materialized (no wedge rows)
+  }
+
+  test("gap-fill joins the dense spine without a spine-side shuffle") {
+    val df = graft.ops.Events.gapFill(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString()
+    // the bounds agg feeding the spine must arrive broadcast
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastExchange"),
+      s"spine bounds should broadcast:\n$p")
+  }
+
+  test("bigram LM reads only the text column") {
+    val p = plan(graft.ops.TextAnalysis.bigramLm(spark, sf))
+    val readSchema = "ReadSchema: struct<([^>]*)".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.startsWith("text:"),
+      s"bigram scan should prune to text only: $readSchema")
+  }
 }
