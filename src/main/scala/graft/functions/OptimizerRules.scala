@@ -62,11 +62,45 @@ object FuseDotProduct extends Rule[LogicalPlan] {
     }
 }
 
+/** The engine's SQL-surface functions: custom expressions exposed to
+  * `spark.sql(...)` text, so SQL-only users reach the fused kernels
+  * without the Scala Column API. One builder per function; injected
+  * at session build (GraftExtensions) or registered on a live
+  * session (GraftFunctionRegistrar — the runtime path, since the
+  * driver owns session creation).
+  */
+object GraftSqlFunctions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression => E}
+
+  val all: Seq[(String, Seq[E] => E)] = Seq(
+    "graft_shingles" -> (es => WordShingles(es.head, 3)),
+    "graft_jaccard" -> (es => JaccardSorted(es(0), es(1))),
+    "graft_chunk_fps" -> (es => ChunkFingerprints(es.head, 128, 96)),
+    "graft_dot" -> (es => DotProduct(es(0), es(1))))
+}
+
 /** For spark.sql.extensions: session-build-time injection. */
 class GraftExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FuseDotProduct)
+    GraftSqlFunctions.all.foreach { case (name, builder) =>
+      e.injectFunction((
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft", name),
+        builder))
+    }
+  }
+}
+
+object GraftFunctionRegistrar {
+  /** Idempotently register the SQL functions on a live session. */
+  def ensure(s: SparkSession): Unit =
+    GraftSqlFunctions.all.foreach { case (name, builder) =>
+      org.apache.spark.sql.GraftColumnBridge
+        .registerSqlFunction(s, name, builder)
+    }
 }
 
 object FuseDotProductRegistrar {

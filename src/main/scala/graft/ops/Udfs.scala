@@ -277,7 +277,49 @@ object Udfs {
       |FROM t, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) u
       |ORDER BY p_partkey, word_idx""".stripMargin
 
+  /** The SQL-text surface of the custom expressions: graft_shingles /
+    * graft_jaccard registered in the session's FunctionRegistry
+    * (GraftFunctionRegistrar — the live-session analog of
+    * SparkSessionExtensions.injectFunction), then used from plain
+    * `spark.sql` text. Proves a SQL-only user reaches the fused
+    * codegen kernels; result replays the pairwise-Jaccard oracle on a
+    * bounded block.
+    */
+  def sqlGraftFunctions(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctionRegistrar.ensure(s)
+    documents(s, d).createOrReplaceTempView("v_documents")
+    s.sql(
+      """SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       round(graft_jaccard(graft_shingles(a.text),
+        |                           graft_shingles(b.text)), 6) AS jaccard
+        |FROM v_documents a JOIN v_documents b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 60 AND b.doc_id < 60
+        |ORDER BY jaccard DESC, a_id, b_id
+        |LIMIT 25""".stripMargin)
+  }
+
+  val sqlGraftFunctionsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_sort(list_distinct(
+      |           CASE WHEN len(toks) >= 3
+      |                THEN list_transform(range(1, len(toks) - 1),
+      |                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |                ELSE [coalesce(list_aggr(toks, 'string_agg', ' '), '')]
+      |                END)) AS sh
+      |  FROM (SELECT doc_id,
+      |               list_filter(string_split_regex(text, '\s+'), x -> x != '')
+      |                 AS toks
+      |        FROM documents WHERE doc_id < 60)
+      |)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |ORDER BY jaccard DESC, a_id, b_id LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_graft_functions" -> (sqlGraftFunctions _),
     "udf_scalar"        -> (scalarUdf _),
     "udaf_weighted_mean" -> (udafWeightedMean _),
     "udtf_flatmap"      -> (flatMapUdtf _),
@@ -290,6 +332,7 @@ object Udfs {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_graft_functions" -> sqlGraftFunctionsSql,
     "udf_scalar"        -> scalarUdfSql,
     "udaf_weighted_mean" -> udafWeightedMeanSql,
     "udtf_flatmap"      -> flatMapUdtfSql,

@@ -51,7 +51,7 @@ object EventStream {
     // peak key cardinality up front (state stores rescale via shuffle,
     // not by re-partitioning the checkpoint).
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = df.writeStream.outputMode(mode)
         .format("memory").queryName(name).start()
@@ -239,7 +239,7 @@ object EventStream {
     val src = eventsStream(s, dir)
       .select(col("event_id"), col("event_type"), col("value"))
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = src.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[

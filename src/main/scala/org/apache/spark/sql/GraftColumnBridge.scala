@@ -28,4 +28,15 @@ object GraftColumnBridge {
   def logicalPlan(df: DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Register a SQL temp function on a LIVE session (the runtime
+    * analog of SparkSessionExtensions.injectFunction for sessions the
+    * driver already built — sessionState is private[sql], hence this
+    * bridge). Idempotent: createOrReplaceTempFunction overwrites.
+    */
+  def registerSqlFunction(spark: SparkSession, name: String,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "scala_udf")
 }

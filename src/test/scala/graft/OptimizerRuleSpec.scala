@@ -86,6 +86,20 @@ class OptimizerRuleSpec extends SparkTestBase {
     assert(empty.count() === 0)
   }
 
+  test("SQL functions registered on a live session resolve from SQL text") {
+    graft.functions.GraftFunctionRegistrar.ensure(spark)
+    val r = spark.sql(
+      """SELECT graft_jaccard(graft_shingles('a b c d'),
+        |                     graft_shingles('b c d e')) AS j,
+        |       graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+        |       size(graft_chunk_fps('one two three')) AS n""".stripMargin)
+      .collect().head
+    // shingles: {a b c, b c d} vs {b c d, c d e}: inter=1, union=3
+    assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-12)
+    assert(r.getDouble(1) === 11.0)
+    assert(r.getInt(2) === 1)
+  }
+
   test("unequal lengths still yield NULL (zip_with semantics preserved)") {
     FuseDotProductRegistrar.ensure(spark)
     val a = transform(sequence(lit(1), lit(4)), i => i.cast("double"))
