@@ -543,10 +543,15 @@ object Relational3 {
     * whole build is ONE shuffle; at warehouse scale this runs
     * incrementally against yesterday's dimension via rel_merge_upsert.
     */
-  def scd2(s: SparkSession, d: String): DataFrame = {
+  def scd2(s: SparkSession, d: String): DataFrame = scd2Of(orders(s, d))
+
+  /** The SCD2 derivation over any orders-shaped relation — shared by
+    * the full build and the incremental merge below.
+    */
+  private[ops] def scd2Of(ord: DataFrame): DataFrame = {
     val byCust = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_orderdate"), col("o_orderkey"))
-    orders(s, d)
+    ord
       .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
         col("o_orderkey"))
       .withColumn("prev_status", lag(col("o_orderstatus"), 1).over(byCust))
@@ -621,7 +626,37 @@ object Relational3 {
       |             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
       |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
 
+  /** INCREMENTAL SCD2 maintenance: yesterday's dimension + today's
+    * delta, without rebuilding unaffected customers. Customers
+    * touched by the delta are recomputed from their history; everyone
+    * else's rows pass through untouched (anti-join). Work is
+    * proportional to the delta's customer set, not the dimension —
+    * the overnight-merge shape for a warehouse dimension at scale.
+    *
+    * The ORACLE is the FULL REBUILD (same SQL as rel_scd2): hash
+    * equality proves the incremental path reproduces the batch
+    * result exactly — the invariant every incremental pipeline must
+    * hold.
+    */
+  def scd2Incremental(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val ord = orders(s, d)
+    val base = scd2Of(ord.filter(col("o_orderdate") < cutoff))
+    val delta = ord.filter(col("o_orderdate") >= cutoff)
+    val affected = delta.select(col("o_custkey").as("custkey")).distinct()
+    val untouched = base.join(broadcast(affected), Seq("custkey"),
+      "left_anti")
+    val rebuilt = scd2Of(
+      ord.join(broadcast(affected),
+        ord("o_custkey") === affected("custkey"), "left_semi"))
+    untouched.unionByName(rebuilt).orderBy("custkey", "version")
+  }
+
+  // identical to the full rebuild — that equality IS the check
+  val scd2IncrementalSql: String = scd2Sql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_scd2_incremental" -> (scd2Incremental _),
     "rel_rolling_median" -> (rollingMedian _),
     "rel_scd2"        -> (scd2 _),
     "rel_cube"        -> (cubeAgg _),
@@ -645,6 +680,7 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_scd2_incremental" -> scd2IncrementalSql,
     "rel_rolling_median" -> rollingMedianSql,
     "rel_scd2"        -> scd2Sql,
     "rel_cube"        -> cubeAggSql,

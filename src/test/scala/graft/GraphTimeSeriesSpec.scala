@@ -111,6 +111,14 @@ class GraphTimeSeriesSpec extends SparkTestBase {
     assert(p.count() === 20)
   }
 
+  test("incremental SCD2 equals the full rebuild row-for-row") {
+    val full = graft.ops.Relational3.scd2(spark, sf)
+    val inc = graft.ops.Relational3.scd2Incremental(spark, sf)
+    assert(inc.count() === full.count())
+    assert(inc.exceptAll(full).count() === 0)
+    assert(full.exceptAll(inc).count() === 0)
+  }
+
   test("rolling median stays within each frame's min/max envelope") {
     val rm = graft.ops.Relational3.rollingMedian(spark, sf).cache()
     assert(rm.count() > 0)
