@@ -228,7 +228,61 @@ object Multimodal {
       |            ELSE height END AS out_h
       |FROM g ORDER BY doc_id""".stripMargin
 
+  /** Audio frame-energy extraction: window each audio payload into
+    * 64-byte frames and compute per-frame energy (Σ byte²) inside the
+    * same per-partition decode loop as the other media ops — the
+    * audio analog of frame sampling, where a real build swaps the
+    * byte math for PCM decode + RMS. Per-doc aggregate of the frame
+    * stream (frames never shuffle; only the per-doc rollup does).
+    */
+  def audioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val frames = mediaTable(s, d).as[MediaRow]
+      .filter(_.media_type == "audio")
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val b = r.media
+          val nFrames = (b.length + 63) / 64
+          (0 until nFrames).iterator.map { i =>
+            var e = 0L
+            var j = i * 64
+            val end = math.min(j + 64, b.length)
+            while (j < end) {
+              val u = java.lang.Byte.toUnsignedInt(b(j)).toLong
+              e += u * u
+              j += 1
+            }
+            (r.doc_id, i.toLong, e)
+          }
+        }
+      }.toDF("doc_id", "frame_idx", "energy")
+    frames.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("energy")).as("sum_energy"),
+        max(col("energy")).as("max_energy"))
+      .orderBy("doc_id")
+  }
+
+  val audioEnergySql: String =
+    """WITH audio AS (
+      |  SELECT doc_id, text FROM documents
+      |  WHERE ['image', 'audio', 'video'][(doc_id % 3) + 1] = 'audio'
+      |    AND strlen(text) > 0
+      |), fr AS (
+      |  SELECT doc_id, i,
+      |         list_sum(list_transform(
+      |           string_split(substr(text, i * 64 + 1, 64), ''),
+      |           c -> CAST(ord(c) AS BIGINT) * ord(c))) AS energy
+      |  FROM audio, LATERAL (SELECT unnest(generate_series(0,
+      |         CAST(ceil(strlen(text) / 64.0) AS INT) - 1)) AS i) u
+      |)
+      |SELECT doc_id, count(*) AS n_frames,
+      |       CAST(sum(energy) AS BIGINT) AS sum_energy,
+      |       CAST(max(energy) AS BIGINT) AS max_energy
+      |FROM fr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_audio_energy"    -> (audioEnergy _),
     "mm_decode_features" -> (features _),
     "mm_type_stats"      -> (typeStats _),
     "mm_frame_sample"    -> (frameSample _),
@@ -236,6 +290,7 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm_audio_energy"    -> audioEnergySql,
     "mm_decode_features" -> featuresSql,
     "mm_type_stats"      -> typeStatsSql,
     "mm_frame_sample"    -> frameSampleSql,
