@@ -242,6 +242,33 @@ object Sources {
       |       min(y) AS min_y, max(y) AS max_y
       |FROM z GROUP BY stripe ORDER BY stripe""".stripMargin
 
+  /** DSv2 WRITE round trip: an aggregate flows through the custom
+    * sink's full batch commit protocol (executor DataWriters → per-
+    * partition WriterCommitMessages → atomic driver commit) and is
+    * read back from the committed store. The oracle hash proves the
+    * protocol delivered every partition's rows exactly once.
+    */
+  def dsv2SinkRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val name = s"orders_agg_${d.hashCode.toHexString}"
+    orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+      .write.format("graft-memsink").option("table", name)
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    val (schema, rows) = MemorySink.rowsOf(name).get
+    val rdd = s.sparkContext.parallelize(
+      rows.toSeq.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq)), 1)
+    s.createDataFrame(rdd, schema)
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
+  val dsv2SinkRoundtripSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       round(sum(o_totalprice), 4) AS total
+      |FROM orders GROUP BY 1, 2
+      |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
+
   val bucketedJoinSql: String =
     """SELECT o_orderkey, o_custkey, n_lines
       |FROM orders
@@ -259,6 +286,7 @@ object Sources {
     "src_dsv2_synthetic"   -> (syntheticScan _),
     "src_range_export"     -> (rangeExport _),
     "src_zorder_export"    -> (zorderExport _),
+    "src_dsv2_sink"        -> (dsv2SinkRoundtrip _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -270,5 +298,6 @@ object Sources {
     "src_dsv2_synthetic"   -> syntheticScanSql,
     "src_range_export"     -> rangeExportSql,
     "src_zorder_export"    -> zorderExportSql,
+    "src_dsv2_sink"        -> dsv2SinkRoundtripSql,
   )
 }

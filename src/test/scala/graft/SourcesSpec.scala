@@ -54,6 +54,20 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("DSv2 sink: round trip preserves the relation, commit is atomic") {
+    import org.apache.spark.sql.functions._
+    val direct = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+    val back = Sources.dsv2SinkRoundtrip(spark, sf)
+    assert(back.count() === direct.count())
+    assert(back.except(direct).count() === 0)
+    // nothing visible under a different table name — commit publishes
+    // only the written table
+    assert(graft.sources.MemorySink.rowsOf("never-written").isEmpty)
+  }
+
   test("bucketed join plans with no shuffle exchange") {
     val df = Sources.bucketedJoin(spark, sf)
     assert(df.count() > 0)
