@@ -655,7 +655,63 @@ object Relational3 {
   // identical to the full rebuild — that equality IS the check
   val scd2IncrementalSql: String = scd2Sql
 
+  /** Explicit GROUPING SETS — arbitrary grouping combinations in one
+    * Expand + one shuffle (cube/rollup are the closed-form cousins;
+    * this is the general form a reporting layer emits). grouping_id
+    * disambiguates the (NULL-keyed) set each row came from.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"),
+        grouping_id().as("gid"))
+      .orderBy(asc_nulls_first("o_orderstatus"),
+        asc_nulls_first("o_orderpriority"), asc("gid"))
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+      |       round(sum(o_totalprice), 4) AS total,
+      |       CAST(grouping(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |                        (o_orderstatus), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+      |         gid""".stripMargin
+
+  /** Discrete vs continuous percentiles: quantile_disc picks an
+    * actual data value (smallest with cume_dist ≥ p — here via
+    * sorted-array indexing at ceil(p·n)), quantile_cont interpolates.
+    * Reporting both per group pins the exact-selection semantics the
+    * approx sketches trade away.
+    */
+  def percentileDisc(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(col("l_quantity"))).as("qs"),
+        count(lit(1)).as("n"),
+        round(percentile(col("l_quantity"), lit(0.5)), 4).as("p50_cont"))
+      .select(col("l_returnflag"), col("n"),
+        element_at(col("qs"), ceil(col("n") * 0.5).cast("int"))
+          .as("p50_disc"),
+        element_at(col("qs"), ceil(col("n") * 0.9).cast("int"))
+          .as("p90_disc"),
+        col("p50_cont"))
+      .orderBy("l_returnflag")
+
+  val percentileDiscSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |       quantile_disc(l_quantity, 0.5) AS p50_disc,
+      |       quantile_disc(l_quantity, 0.9) AS p90_disc,
+      |       round(quantile_cont(l_quantity, 0.5), 4) AS p50_cont
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_grouping_sets" -> (groupingSets _),
+    "rel_percentile_disc" -> (percentileDisc _),
     "rel_scd2_incremental" -> (scd2Incremental _),
     "rel_rolling_median" -> (rollingMedian _),
     "rel_scd2"        -> (scd2 _),
@@ -680,6 +736,8 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_grouping_sets" -> groupingSetsSql,
+    "rel_percentile_disc" -> percentileDiscSql,
     "rel_scd2_incremental" -> scd2IncrementalSql,
     "rel_rolling_median" -> rollingMedianSql,
     "rel_scd2"        -> scd2Sql,

@@ -96,6 +96,42 @@ class PropertySpec extends SparkTestBase {
     }, n = 30)
   }
 
+  test("SortedLongIntersect equals the set intersection on random sets") {
+    val longs: Gen[List[Long]] =
+      Gen.listOfN(40, Gen.choose(0L, 60L))
+    check(Prop.forAll(longs, longs) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val df = Seq((sa, sb)).toDF("a", "b")
+      val fused = df.select(
+        graft.functions.SetSimilarityFunctions.sorted_long_intersect(
+          $"a", $"b")).first().getLong(0)
+      fused == sa.toSet.intersect(sb.toSet).size.toLong
+    }, n = 30)
+  }
+
+  test("ChunkFingerprints: count and content match the spec on random text") {
+    val texts: Gen[String] = for {
+      n <- Gen.choose(0, 300)
+      ws <- Gen.listOfN(n, Gen.oneOf((1 to 50).map(i => s"t$i")))
+    } yield ws.mkString(" ")
+    check(Prop.forAll(texts) { txt =>
+      val toks = txt.split("\\s+").filter(_.nonEmpty)
+      val expectedN = math.max((toks.length + 95) / 96, 1)
+      val df = Seq(Tuple1(txt)).toDF("text")
+      val fps = df.select(graft.functions.TextFunctions
+        .chunk_fingerprints($"text", 128, 96).as("f"))
+        .first().getSeq[String](0)
+      val expected = (0 until expectedN).map { i =>
+        val chunk = toks.slice(i * 96, i * 96 + 128).mkString(" ")
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(chunk.getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+      }
+      fps.toList == expected.toList
+    }, n = 30)
+  }
+
   test("CosineSim/DotProduct are bit-equal to the HOF folds") {
     val vecs: Gen[List[Double]] =
       Gen.listOfN(16, Gen.choose(-100.0, 100.0))
