@@ -57,10 +57,10 @@ object MemorySink {
     tables.get(name)
 }
 
-private[sources] class MemSinkTable(name: String, schema: StructType)
-    extends Table with SupportsWrite {
-  override def name(): String = s"graft-memsink:$name"
-  override def schema(): StructType = schema
+private[sources] class MemSinkTable(tableName: String,
+    tableSchema: StructType) extends Table with SupportsWrite {
+  override def name(): String = s"graft-memsink:$tableName"
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -69,7 +69,7 @@ private[sources] class MemSinkTable(name: String, schema: StructType)
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new MemSinkBatchWrite(name, info.schema())
+          new MemSinkBatchWrite(tableName, info.schema())
       }
     }
 }

@@ -130,9 +130,6 @@ class GraphTimeSeriesSpec extends SparkTestBase {
     assert(rm.join(bounds, "l_returnflag")
       .filter($"rolling_median" < $"lo" || $"rolling_median" > $"hi")
       .count() === 0)
-    // first row of each partition: frame = itself → median = quantity
-    val firsts = rm.groupBy($"l_returnflag")
-      .agg(min(struct($"l_orderkey", $"l_linenumber")).as("k"))
     rm.unpersist()
   }
 
