@@ -709,7 +709,38 @@ object Relational3 {
       |       round(quantile_cont(l_quantity, 0.5), 4) AS p50_cont
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Null-safe equi-JOIN: `<=>` as the join condition, so NULL keys
+    * match NULL dimension rows instead of dropping — the lookup-table
+    * pattern where "unknown" is itself a dimension value. Catalyst
+    * still plans this as an equi-join (null-safe equality is a valid
+    * hash key), so the broadcast path survives.
+    */
+  def nullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(("F", "finished"), ("P", "pending"),
+      (null.asInstanceOf[String], "open"))
+      .toDF("dk", "label")
+    orders(s, d)
+      .withColumn("k", nullif(col("o_orderstatus"), lit("O")))
+      .join(broadcast(dim), col("k") <=> col("dk"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy("label")
+  }
+
+  val nullSafeJoinSql: String =
+    """SELECT label, count(*) AS n,
+      |       round(sum(o_totalprice), 4) AS total
+      |FROM (SELECT nullif(o_orderstatus, 'O') AS k, o_totalprice
+      |      FROM orders) f
+      |JOIN (VALUES ('F', 'finished'), ('P', 'pending'), (NULL, 'open'))
+      |     d(k, label)
+      |  ON f.k IS NOT DISTINCT FROM d.k
+      |GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_null_safe_join" -> (nullSafeJoin _),
     "rel_grouping_sets" -> (groupingSets _),
     "rel_percentile_disc" -> (percentileDisc _),
     "rel_scd2_incremental" -> (scd2Incremental _),
@@ -736,6 +767,7 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_null_safe_join" -> nullSafeJoinSql,
     "rel_grouping_sets" -> groupingSetsSql,
     "rel_percentile_disc" -> percentileDiscSql,
     "rel_scd2_incremental" -> scd2IncrementalSql,
