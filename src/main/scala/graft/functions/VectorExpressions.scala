@@ -136,6 +136,49 @@ object NearestCentroids {
   }
 }
 
+/** Sign-random-projection bucket code: bit p of the result is
+  * `dot(v, planes(p)) >= 0`, MSB-first — the Charikar
+  * random-hyperplane hash for cosine LSH, fused into one pass.
+  *
+  * Like [[NearestCentroids]], the plane matrix enters as ONE nested
+  * literal (`typedLit(Seq[Seq[Double]])`) so the generated source is
+  * constant-sized regardless of planes×dims — per-plane inline
+  * literal arrays (NumPlanes × dim literals in the projection) force
+  * Janino to compile a fresh giant expression on every cold run.
+  */
+case class SignBucket(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(v: Any, m: Any): Any =
+    SignBucket.compute(v.asInstanceOf[ArrayData], m.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) =>
+      s"${ev.value} = graft.functions.SignBucket.compute($v, $m);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SignBucket = copy(left = l, right = r)
+}
+
+object SignBucket {
+  /** Static hot path — called from both eval and generated code. */
+  def compute(v: ArrayData, m: ArrayData): Long = {
+    val p = m.numElements()
+    var code = 0L
+    var i = 0
+    while (i < p) {
+      code = (code << 1) |
+        (if (DotProduct.compute(v, m.getArray(i)) >= 0) 1L else 0L)
+      i += 1
+    }
+    code
+  }
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.GraftColumnBridge._
 
@@ -147,4 +190,7 @@ object VectorFunctions {
 
   def nearest_centroids(v: Column, matrix: Column, nprobe: Int): Column =
     column(NearestCentroids(expression(v), expression(matrix), nprobe))
+
+  def sign_bucket(v: Column, planes: Column): Column =
+    column(SignBucket(expression(v), expression(planes)))
 }

@@ -102,15 +102,16 @@ object Similarity {
 
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val dim = 64
-    val planes: Seq[Column] = (0 until NumPlanes).map { p =>
-      array((0 until dim).map(i => lit(planeWeight(p, i))): _*)
-    }
+    // ONE nested literal, not NumPlanes×dim inline lits: per-plane
+    // `array(lit…)` columns made Janino recompile a 256-literal
+    // projection on every cold run (the NearestCentroids codegen trap,
+    // measured as a 0.5→4 s cold regression on this query)
+    val planes = typedLit(
+      (0 until NumPlanes).map(p => (0 until dim).map(i => planeWeight(p, i))))
     val emb = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("bucket",
-        concat(planes.map(pl =>
-          when(graft.functions.VectorFunctions.dot_product(col("v"), pl) >= 0,
-            "1").otherwise("0")): _*))
+        graft.functions.VectorFunctions.sign_bucket(col("v"), planes))
     val queries = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("q_id"), col("v").as("q"), col("bucket"))
     val cand = emb.join(queries, Seq("bucket"))
