@@ -85,11 +85,14 @@ class PlanQualitySpec extends SparkTestBase {
       s"SCD2 windows should reuse one hash exchange:\n$p")
   }
 
-  test("triangle count broadcasts adjacency, never shuffles wedges") {
+  test("triangle count leaves the adjacency join strategy to AQE") {
     val df = graft.ops.Graph.triangles(spark, sf)
     assert(df.count() === 1)
-    // correctness of the broadcast shape is asserted structurally in
-    // the op; here: the result stays materialized (no wedge rows)
+    // no broadcast/shuffle hint may appear: at cluster scale the
+    // adjacency exceeds executor memory and the join must be free to
+    // degrade to a co-partitioned shuffle join
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("ResolvedHint"), s"hinted join leaked:\n$plan")
   }
 
   test("gap-fill joins the dense spine without a spine-side shuffle") {
