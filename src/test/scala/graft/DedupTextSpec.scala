@@ -72,6 +72,35 @@ class DedupTextSpec extends SparkTestBase {
       s"high-estimate pair with low exact jaccard: ${confident.mkString(",")}")
   }
 
+  test("LSH-driven clusters equal exact all-pairs J>=0.5 clusters") {
+    // the scale path mines edges from banded LSH candidates; this is
+    // the oracle cross-check that banding loses no J>=0.5 edge on the
+    // corpus (planted near-dups sit far above the threshold)
+    val got = Dedup.dedupClusters(spark, sf)
+      .select($"doc_id", $"cluster_id", $"cluster_size")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val sh = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", Dedup.shingles($"text").as("sh"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, v) => id -> v.toSet }
+    // in-memory union-find over exact all-pairs edges
+    val parent = scala.collection.mutable.Map(sh.map(d => d._1 -> d._1): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      i <- sh.indices; j <- (i + 1) until sh.length
+      (a, sa) = sh(i); (b, sb) = sh(j)
+      inter = (sa & sb).size
+      if inter > 0 && inter.toDouble / (sa | sb).size >= 0.5
+    } parent(find(a)) = find(b)
+    val comps = sh.map(_._1).groupBy(find).values
+    val want = comps.flatMap { c =>
+      val lbl = c.min; c.map(_ -> (lbl, c.size.toLong))
+    }.toMap
+    assert(got === want)
+  }
+
   test("simhash: near-identical docs differ in fewer bits than distinct docs") {
     val base = (1 to 80).map(i => s"w$i").mkString(" ")
     val nearDup = base + " extra"
