@@ -100,28 +100,47 @@ object Similarity {
     Seq(-3.0, -1.0, 1.0, 3.0)((z & 3).toInt)
   }
 
+  /** OR-amplification: a single k-bit table recalls only p^k of true
+    * neighbors; L independent tables recall 1-(1-p^k)^L (the standard
+    * (k,L) construction — Indyk & Motwani, STOC 1998). Candidates are
+    * the union of same-bucket mates across tables; exact cosine
+    * re-ranks them, so extra tables only add candidates, never error.
+    */
+  private val NumTables = 8
+
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val dim = 64
-    // ONE nested literal, not NumPlanes×dim inline lits: per-plane
-    // `array(lit…)` columns made Janino recompile a 256-literal
-    // projection on every cold run (the NearestCentroids codegen trap,
-    // measured as a 0.5→4 s cold regression on this query)
-    val planes = typedLit(
-      (0 until NumPlanes).map(p => (0 until dim).map(i => planeWeight(p, i))))
+    // ONE nested literal per table, not NumPlanes×dim inline lits:
+    // per-plane `array(lit…)` columns made Janino recompile a
+    // 256-literal projection on every cold run (the NearestCentroids
+    // codegen trap, measured as a 0.5→4 s cold regression here)
+    val tableBuckets = (0 until NumTables).map { t =>
+      val planes = typedLit((0 until NumPlanes).map(p =>
+        (0 until dim).map(i => planeWeight(t * NumPlanes + p, i))))
+      graft.functions.VectorFunctions.sign_bucket(col("v"), planes)
+    }
     val emb = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("bucket",
-        graft.functions.VectorFunctions.sign_bucket(col("v"), planes))
-    val queries = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("q_id"), col("v").as("q"), col("bucket"))
-    val cand = emb.join(queries, Seq("bucket"))
+    val bands = emb.select(col("vec_id"),
+      posexplode(array(tableBuckets: _*)).as(Seq("tbl", "bucket")))
+    val qBands = bands.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    // candidate ids first (distinct across tables), vectors joined
+    // back only for the surviving candidates — the shuffle carries
+    // (table, bucket, id) rows, never the vectors themselves
+    val cand = bands.join(qBands, Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id")).distinct()
+    val scored = cand
+      .join(emb, "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))), "q_id")
       .select(col("q_id"), col("vec_id"),
         round(graft.functions.VectorFunctions.cosine_sim(col("q"), col("v")), 6)
           .as("cos_sim"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .orderBy("q_id", "rank")
   }
@@ -241,7 +260,7 @@ object Similarity {
     */
   private val PqM = 8 // subspaces
   private val PqSub = 8 // dims per subspace (PqM * PqSub = 64)
-  private val PqK = 16 // codewords per subspace
+  private val PqK = 32 // codewords per subspace
   private val PqIters = 2
 
   private val pqMemo = scala.collection.concurrent.TrieMap
@@ -313,10 +332,40 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(graft.functions.VectorFunctions
           .cosine_sim(col("q"), col("vhat")), 6).as("cos_approx"))
+    rerankTop3(emb, cand, col("cos_approx"))
+  }
+
+  /** Refine step (FAISS's IndexRefineFlat shape): the code/bucket scan
+    * produces a `RerankDepth`-deep shortlist per query by approximate
+    * score; the TRUE vectors are fetched only for shortlist rows and
+    * exact cosine picks the final top-3. At 100 TB the approximate
+    * scan touches compressed codes only; raw vectors are read for
+    * ~RerankDepth × queries rows — the refine join is the only place
+    * floats move.
+    */
+  private val RerankDepth = 25
+
+  private def rerankTop3(emb: DataFrame, cand: DataFrame,
+      approxScore: Column): DataFrame = {
+    val wa = Window.partitionBy(col("q_id"))
+      .orderBy(approxScore.desc, asc("vec_id"))
+    val shortlist = cand
+      .withColumn("arank", row_number().over(wa))
+      .filter(col("arank") <= RerankDepth)
+      .drop("arank")
+    val exact = shortlist
+      .join(emb, "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))), "q_id")
+      .select(col("q_id"), col("vec_id"), col("cos_approx"),
+        round(graft.functions.VectorFunctions.cosine_sim(col("q"), col("v")), 6)
+          .as("cos_sim"))
     val w = Window.partitionBy(col("q_id"))
-      .orderBy(desc("cos_approx"), asc("vec_id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        col("cos_approx"), col("cos_sim"))
       .orderBy("q_id", "rank")
   }
 
@@ -361,11 +410,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(graft.functions.VectorFunctions
           .cosine_sim(col("q"), col("vhat")), 6).as("cos_approx"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(desc("cos_approx"), asc("vec_id"))
-    cand.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .orderBy("q_id", "rank")
+    rerankTop3(emb, cand, col("cos_approx"))
   }
 
   /** Embedding-cosine near-duplicate pairs: the dedup-by-embedding

@@ -75,6 +75,44 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(ivfpqPct < 0.3, s"mean IVF-PQ percentile $ivfpqPct")
   }
 
+  test("ANN recall@3 vs exact top-3 stays above per-index floors") {
+    // an ANN index can silently degrade to garbage and still pass a
+    // rows-only check — recall against the exact ranking is the guard
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exactTop3: Map[Long, Set[Long]] = vecs.keys.filter(_ < 20).map { q =>
+      val qv = vecs(q)
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+    }.toMap
+    def recall(ann: Array[(Long, Long)]): Double = {
+      val byQ = ann.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val r = exactTop3.map { case (q, truth) =>
+        (byQ.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+      }
+      r.sum / r.size
+    }
+    def neighbors(df: org.apache.spark.sql.DataFrame): Array[(Long, Long)] =
+      df.select($"q_id", $"vec_id").as[(Long, Long)].collect()
+    val lsh = recall(neighbors(Similarity.annLsh(spark, sf)))
+    val ivf = recall(neighbors(Similarity.annIvf(spark, sf)))
+    val pq = recall(neighbors(Similarity.annPq(spark, sf)))
+    val ivfpq = recall(neighbors(Similarity.annIvfPq(spark, sf)))
+    info(f"recall@3 lsh=$lsh%.3f ivf=$ivf%.3f pq=$pq%.3f ivfpq=$ivfpq%.3f")
+    assert(lsh >= 0.6, s"LSH recall@3 $lsh")
+    assert(ivf >= 0.8, s"IVF recall@3 $ivf")
+    assert(pq >= 0.7, s"PQ recall@3 $pq")
+    assert(ivfpq >= 0.6, s"IVF-PQ recall@3 $ivfpq")
+  }
+
   test("sessionization: hand-checked tiny stream") {
     val min = 60L * 1000000000L // ns
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
