@@ -83,8 +83,10 @@ case class GroupedTopKExec(
             .empty[(Double, Long, UnsafeRow)](heapOrd)
           heaps.put(key.copy(), h)
         }
-        val o = ordEval.eval(row).asInstanceOf[Double]
-        val t = tieEval.eval(row).asInstanceOf[Long]
+        // any numeric order/tie type (ALS emits Float scores, ids are
+        // often Int) — widen through Number instead of assuming D/L
+        val o = ordEval.eval(row).asInstanceOf[Number].doubleValue()
+        val t = tieEval.eval(row).asInstanceOf[Number].longValue()
         if (h.size < kk) {
           h.enqueue((o, t, row.asInstanceOf[UnsafeRow].copy()))
         } else {

@@ -220,6 +220,32 @@ object AlsPipeline {
       .coalesce(1).cache()
   }
 
+  /** Batch top-5 recommendations for a user subset — the grouped form
+    * of reference pipeline B (recommender.py:146-176 does ONE user;
+    * an engine serving the same model recommends for all). Candidates
+    * = each user's unrated movies (left_anti, as pipeline B); scoring
+    * is one model.transform over the candidate relation; per-user
+    * top-5 runs through the GroupedTopK whole-operator — one shuffle
+    * on userId, bounded per-partition heaps, no global sort, which is
+    * the recommendForAllUsers plan shape at cluster scale.
+    */
+  def allUsersTopK(s: SparkSession): DataFrame = cached("allUsersTopK") {
+    val model = modelFor(s, bestRank(s))
+    val rated = ratings(s).select(col("userId"), col("movieId"))
+    val users = rated.select(col("userId")).distinct()
+      .filter(col("userId") <= 50)
+    val cands = users
+      .crossJoin(moviesNaive(s).select(col("movieId")))
+      .join(rated, Seq("userId", "movieId"), "left_anti")
+    val scored = model.transform(cands)
+      .select(col("userId"), col("movieId"),
+        round(col("prediction"), 4).as("score"))
+    graft.plans.GroupedTopKApi
+      .topKPerKey(s, scored, Seq("userId"), "score", "movieId", 5)
+      .orderBy(asc("userId"), desc("score"), asc("movieId"))
+      .coalesce(1).cache()
+  }
+
   // ----------------------------------------------------------------- //
 
   /** Reference-fidelity parses as oracle-checkable queries (DuckDB
@@ -259,6 +285,7 @@ object AlsPipeline {
     "als_test_rmse"      -> ((s, _) => testRmse(s)),
     "als_pred_count"     -> ((s, _) => newUserPredCount(s)),
     "als_new_user_top10" -> ((s, _) => newUserTop10(s)),
+    "als_all_users_topk" -> ((s, _) => allUsersTopK(s)),
   )
 
   /** ALS / randomSplit queries are not SQL-expressible → rows-only;

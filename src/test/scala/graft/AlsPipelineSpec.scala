@@ -67,6 +67,50 @@ class AlsPipelineSpec extends SparkTestBase {
     joined.foreach { case (v, s) => assert(math.abs(v - s) < 1e-9) }
   }
 
+  test("grid pins best rank 4 and per-rank RMSE bands; test RMSE in the 0.9410 band") {
+    // reference goldens: val RMSE 0.9459 / 0.9502 / 0.9494 for ranks
+    // 4 / 8 / 12 and best rank 4 (recommender.py:81-86); test RMSE
+    // 0.94100 for the retrained best model (recommender.py:100).
+    // ml-ALS init RNG differs from legacy mllib → ±0.02 tolerance.
+    val grid = AlsPipeline.gridRmse(spark)
+      .as[(Int, Double, Boolean)].collect().sortBy(_._1)
+    assert(grid.map(_._1).toSeq === Seq(4, 8, 12))
+    val bands = Map(4 -> 0.9459, 8 -> 0.9502, 12 -> 0.9494)
+    grid.foreach { case (rank, rmse, _) =>
+      assert(math.abs(rmse - bands(rank)) < 0.02,
+        s"rank-$rank val RMSE $rmse vs golden ${bands(rank)}")
+    }
+    assert(grid.filter(_._3).map(_._1).toSeq === Seq(4),
+      "is_best must land on rank 4 alone")
+    val (bestRank, testRmse) = AlsPipeline.testRmse(spark)
+      .as[(Int, Double)].head()
+    assert(bestRank === 4)
+    assert(math.abs(testRmse - 0.94100) < 0.02,
+      s"test RMSE $testRmse vs golden 0.94100")
+  }
+
+  test("batch top-5 per user: exact k, rank order, no rated movie resurfaces") {
+    val rows = AlsPipeline.allUsersTopK(spark)
+      .as[(Int, Int, Double)].collect()
+    val byUser = rows.groupBy(_._1)
+    assert(byUser.nonEmpty)
+    assert(byUser.values.forall(_.length === 5), "every user gets exactly 5")
+    // within a user: scores non-increasing, movieId ascending on ties
+    byUser.values.foreach { recs =>
+      recs.sliding(2).foreach {
+        case Array((_, m1, s1), (_, m2, s2)) =>
+          assert(s1 > s2 || (s1 === s2 && m1 < m2), s"order violated: $recs")
+        case _ =>
+      }
+    }
+    // candidates were the UNRATED movies — a rated one leaking back in
+    // means the anti-join broke
+    val rated = AlsPipeline.ratings(spark)
+      .as[(Int, Int, Double)].collect()
+      .map { case (u, m, _) => (u, m) }.toSet
+    assert(rows.forall { case (u, m, _) => !rated((u, m)) })
+  }
+
   test("new-user pipeline: prediction count in the 9,057 band, scaled range [1,5]") {
     val top = AlsPipeline.newUserTop10(spark).collect()
     assert(top.length === 10)
