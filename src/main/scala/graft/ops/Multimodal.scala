@@ -229,39 +229,26 @@ object Multimodal {
       |FROM g ORDER BY doc_id""".stripMargin
 
   /** Audio frame-energy extraction: window each audio payload into
-    * 64-byte frames and compute per-frame energy (Σ byte²) inside the
-    * same per-partition decode loop as the other media ops — the
+    * 64-byte frames and compute per-frame energy (Σ byte²) — the
     * audio analog of frame sampling, where a real build swaps the
-    * byte math for PCM decode + RMS. Per-doc aggregate of the frame
-    * stream (frames never shuffle; only the per-doc rollup does).
+    * byte math for PCM decode + RMS. The whole frame sweep is ONE
+    * codegen'd expression (graft.functions.FrameEnergyStats) emitting
+    * the per-doc rollup directly: no frame rows materialize, no
+    * per-doc shuffle, and whole-stage codegen spans the media scan
+    * (the former typed mapPartitions severed it). Empty payloads are
+    * filtered exactly as the oracle's strlen(text) > 0.
     */
-  def audioEnergy(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val frames = mediaTable(s, d).as[MediaRow]
-      .filter(_.media_type == "audio")
-      .mapPartitions { rows =>
-        rows.flatMap { r =>
-          val b = r.media
-          val nFrames = (b.length + 63) / 64
-          (0 until nFrames).iterator.map { i =>
-            var e = 0L
-            var j = i * 64
-            val end = math.min(j + 64, b.length)
-            while (j < end) {
-              val u = java.lang.Byte.toUnsignedInt(b(j)).toLong
-              e += u * u
-              j += 1
-            }
-            (r.doc_id, i.toLong, e)
-          }
-        }
-      }.toDF("doc_id", "frame_idx", "energy")
-    frames.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_frames"),
-        sum(col("energy")).as("sum_energy"),
-        max(col("energy")).as("max_energy"))
+  def audioEnergy(s: SparkSession, d: String): DataFrame =
+    mediaTable(s, d)
+      .filter(col("media_type") === "audio" && length(col("media")) > 0)
+      .select(col("doc_id"),
+        graft.functions.MediaFunctions
+          .frame_energy_stats(col("media"), 64).as("st"))
+      .select(col("doc_id"),
+        col("st.n_frames").as("n_frames"),
+        col("st.sum_energy").as("sum_energy"),
+        col("st.max_energy").as("max_energy"))
       .orderBy("doc_id")
-  }
 
   val audioEnergySql: String =
     """WITH audio AS (

@@ -85,6 +85,18 @@ class PlanQualitySpec extends SparkTestBase {
       s"SCD2 windows should reuse one hash exchange:\n$p")
   }
 
+  test("audio frame energy keeps whole-stage codegen over the media scan") {
+    val df = graft.ops.Multimodal.audioEnergy(spark, sf)
+    df.collect() // materialize so AQE finalizes and WSCG spans appear
+    val p = df.queryExecution.executedPlan.toString
+    // the fused FrameEnergyStats expression must not sever WSCG the
+    // way the old typed mapPartitions (DeserializeToObject) did;
+    // WSCG spans print as "*(n) " in the adaptive final plan
+    assert(p.contains("*(1) Filter") || p.contains("WholeStageCodegen"),
+      s"no WSCG span over the scan:\n$p")
+    assert(!p.contains("DeserializeToObject"), s"encoder round-trip leaked:\n$p")
+  }
+
   test("triangle count leaves the adjacency join strategy to AQE") {
     val df = graft.ops.Graph.triangles(spark, sf)
     assert(df.count() === 1)
