@@ -31,6 +31,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf, default 100: a 144-query sweep generates several
+      // hundred codegen units, so the default cache thrashes and the
+      // warm pass re-compiles nearly every plan — Janino compilation
+      // is the dominant per-query fixed cost
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
