@@ -398,6 +398,65 @@ object Relational3 {
       |  ON t.s_suppkey = c.s_suppkey
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Correlated UPDATE-style merge: each customer's balance is bumped
+    * by an aggregate of THEIR orders (the `UPDATE t SET x = x +
+    * (SELECT agg FROM u WHERE u.k = t.k)` shape). The oracle keeps
+    * the correlated scalar subquery the user would write; the engine
+    * runs the decorrelated plan — one grouped aggregate of the inner
+    * table joined back on the key, which is the only form that scales
+    * (a per-row subquery re-scan is quadratic; the join shuffles each
+    * side once and AQE picks broadcast when the delta side is small).
+    */
+  def mergeCorrelated(s: SparkSession, d: String): DataFrame = {
+    // all money math in integer cents: 2-decimal source values are
+    // near-integer after *100, integer sum/div are exact in both
+    // engines, and bigint/100.0 renders bit-identically — no float
+    // rounding tie can diverge (bonus = 0.01% of open total, floored
+    // to the cent)
+    val delta = orders(s, d)
+      .filter(col("o_orderstatus") === "O")
+      .groupBy(col("o_custkey"))
+      .agg(expr("sum(CAST(round(o_totalprice * 100) AS BIGINT)) DIV 10000")
+        .as("bonus_cents"),
+        count(lit(1)).as("n_open"))
+    customer(s, d).as("t")
+      .withColumn("acct_cents",
+        round(col("c_acctbal") * 100).cast("long"))
+      .join(delta.as("u"), col("c_custkey") === col("o_custkey"),
+        "left_outer")
+      .select(col("c_custkey"),
+        ((col("acct_cents") + coalesce(col("bonus_cents"), lit(0L)))
+          / 100.0).as("c_acctbal_new"),
+        (col("acct_cents") / 100.0).as("c_acctbal_old"),
+        coalesce(col("n_open"), lit(0L)).as("n_open"),
+        when(col("bonus_cents").isNull, "keep").otherwise("update")
+          .as("action"))
+      .orderBy("c_custkey")
+  }
+
+  val mergeCorrelatedSql: String =
+    """WITH c2 AS (
+      |  SELECT c_custkey,
+      |         CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents
+      |  FROM customer
+      |)
+      |SELECT c_custkey,
+      |       (acct_cents + coalesce(
+      |         (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |                      AS BIGINT) // 10000
+      |          FROM orders o
+      |          WHERE o.o_custkey = c2.c_custkey
+      |            AND o.o_orderstatus = 'O'), 0)) / 100.0 AS c_acctbal_new,
+      |       acct_cents / 100.0 AS c_acctbal_old,
+      |       coalesce((SELECT count(*) FROM orders o
+      |                 WHERE o.o_custkey = c2.c_custkey
+      |                   AND o.o_orderstatus = 'O'), 0) AS n_open,
+      |       CASE WHEN EXISTS (SELECT 1 FROM orders o
+      |                         WHERE o.o_custkey = c2.c_custkey
+      |                           AND o.o_orderstatus = 'O')
+      |            THEN 'update' ELSE 'keep' END AS action
+      |FROM c2 ORDER BY c_custkey""".stripMargin
+
   /** Spark 4 VariantType: semi-structured payloads parsed ONCE into
     * the binary variant encoding, then field-extracted with typed
     * variant_get — the open-format successor to string-walking
@@ -759,6 +818,7 @@ object Relational3 {
     "rel_quantiles"   -> (quantiles _),
     "rel_join_hinted" -> (joinHinted _),
     "rel_merge_upsert" -> (mergeUpsert _),
+    "rel_merge_correlated" -> (mergeCorrelated _),
     "rel_variant_json" -> (variantJson _),
     "rel_try_funcs"    -> (tryFuncs _),
     "rel_interval_arith" -> (intervalArith _),
@@ -786,6 +846,7 @@ object Relational3 {
     "rel_quantiles"   -> quantilesSql,
     "rel_join_hinted" -> joinHintedSql,
     "rel_merge_upsert" -> mergeUpsertSql,
+    "rel_merge_correlated" -> mergeCorrelatedSql,
     "rel_variant_json" -> variantJsonSql,
     "rel_try_funcs"    -> tryFuncsSql,
     "rel_interval_arith" -> intervalArithSql,

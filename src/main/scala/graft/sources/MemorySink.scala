@@ -55,6 +55,11 @@ object MemorySink {
 
   def rowsOf(name: String): Option[(StructType, Array[Array[Any]])] =
     tables.get(name)
+
+  /** Drop a committed table (test/demo hygiene: append mode is
+    * cumulative by design, so idempotent demos clear first).
+    */
+  def drop(name: String): Unit = { tables.remove(name): Unit }
 }
 
 private[sources] class MemSinkTable(tableName: String,
@@ -66,10 +71,15 @@ private[sources] class MemSinkTable(tableName: String,
       TableCapability.TRUNCATE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder {
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var truncateFirst = false
+      // SaveMode.Overwrite plans OverwriteByExpression(alwaysTrue),
+      // which Spark lowers to this call when the builder supports it
+      override def truncate(): WriteBuilder = { truncateFirst = true; this }
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new MemSinkBatchWrite(tableName, info.schema())
+          new MemSinkBatchWrite(tableName, info.schema(), truncateFirst)
       }
     }
 }
@@ -80,16 +90,21 @@ private[sources] class MemSinkTable(tableName: String,
 private[sources] case class RowsMessage(partitionId: Int,
     rows: Array[Array[Any]]) extends WriterCommitMessage
 
-private[sources] class MemSinkBatchWrite(name: String, schema: StructType)
-    extends BatchWrite {
+private[sources] class MemSinkBatchWrite(name: String, schema: StructType,
+    truncateFirst: Boolean) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = new MemSinkWriterFactory(schema)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    // atomic publish: all partitions or nothing
-    val all = messages.collect { case RowsMessage(_, rs) => rs }.flatten
-    MemorySink.tables.put(name, (schema, all)): Unit
+    // atomic publish: all partitions or nothing. Append mode merges
+    // with previously committed rows; truncate (SaveMode.Overwrite)
+    // replaces the table in the same single put.
+    val batch = messages.collect { case RowsMessage(_, rs) => rs }.flatten
+    val prior =
+      if (truncateFirst) Array.empty[Array[Any]]
+      else MemorySink.tables.get(name).map(_._2).getOrElse(Array.empty)
+    MemorySink.tables.put(name, (schema, prior ++ batch)): Unit
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

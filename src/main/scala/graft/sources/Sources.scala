@@ -250,6 +250,7 @@ object Sources {
     */
   def dsv2SinkRoundtrip(s: SparkSession, d: String): DataFrame = {
     val name = s"orders_agg_${d.hashCode.toHexString}"
+    MemorySink.drop(name) // append is cumulative now — idempotent demo
     orders(s, d)
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"),
@@ -269,6 +270,39 @@ object Sources {
       |FROM orders GROUP BY 1, 2
       |ORDER BY o_orderstatus, o_orderpriority""".stripMargin
 
+  /** DSv2 sink TRUNCATE path: append a decoy batch, then
+    * SaveMode.Overwrite — which Spark plans as
+    * OverwriteByExpression(alwaysTrue) and lowers to the builder's
+    * `truncate()` — must atomically replace the committed rows. The
+    * oracle matches ONLY the second write: a decoy row surviving
+    * means truncate didn't truncate; a missing partition means the
+    * replacement commit wasn't atomic.
+    */
+  def dsv2SinkOverwrite(s: SparkSession, d: String): DataFrame = {
+    val name = s"orders_status_${d.hashCode.toHexString}"
+    MemorySink.drop(name)
+    val agg = orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+    // decoy: committed first, must vanish on overwrite
+    agg.filter(col("o_orderstatus") === "F")
+      .withColumn("n", col("n") * -1)
+      .write.format("graft-memsink").option("table", name)
+      .mode(org.apache.spark.sql.SaveMode.Append).save()
+    agg.write.format("graft-memsink").option("table", name)
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).save()
+    val (schema, rows) = MemorySink.rowsOf(name).get
+    val rdd = s.sparkContext.parallelize(
+      rows.toSeq.map(r => org.apache.spark.sql.Row.fromSeq(r.toSeq)), 1)
+    s.createDataFrame(rdd, schema).orderBy("o_orderstatus")
+  }
+
+  val dsv2SinkOverwriteSql: String =
+    """SELECT o_orderstatus, count(*) AS n,
+      |       round(sum(o_totalprice), 4) AS total
+      |FROM orders GROUP BY 1 ORDER BY o_orderstatus""".stripMargin
+
   val bucketedJoinSql: String =
     """SELECT o_orderkey, o_custkey, n_lines
       |FROM orders
@@ -287,6 +321,7 @@ object Sources {
     "src_range_export"     -> (rangeExport _),
     "src_zorder_export"    -> (zorderExport _),
     "src_dsv2_sink"        -> (dsv2SinkRoundtrip _),
+    "src_dsv2_sink_overwrite" -> (dsv2SinkOverwrite _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -299,5 +334,6 @@ object Sources {
     "src_range_export"     -> rangeExportSql,
     "src_zorder_export"    -> zorderExportSql,
     "src_dsv2_sink"        -> dsv2SinkRoundtripSql,
+    "src_dsv2_sink_overwrite" -> dsv2SinkOverwriteSql,
   )
 }

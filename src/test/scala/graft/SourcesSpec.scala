@@ -68,6 +68,29 @@ class SourcesSpec extends SparkTestBase {
     assert(graft.sources.MemorySink.rowsOf("never-written").isEmpty)
   }
 
+  test("DSv2 sink: append accumulates, overwrite truncates atomically") {
+    import spark.implicits._
+    val name = "memsink-modes-spec"
+    graft.sources.MemorySink.drop(name)
+    def write(df: org.apache.spark.sql.DataFrame,
+        mode: org.apache.spark.sql.SaveMode): Unit =
+      df.write.format("graft-memsink").option("table", name)
+        .mode(mode).save()
+    val a = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val b = Seq((3L, "c")).toDF("id", "v")
+    write(a, org.apache.spark.sql.SaveMode.Append)
+    write(b, org.apache.spark.sql.SaveMode.Append)
+    assert(graft.sources.MemorySink.rowsOf(name).get._2.length === 3,
+      "append must accumulate committed batches")
+    write(b, org.apache.spark.sql.SaveMode.Overwrite)
+    val after = graft.sources.MemorySink.rowsOf(name).get._2
+    assert(after.length === 1 && after.head(0) === 3L,
+      "overwrite must truncate prior commits, keep only the new batch")
+    val back = Sources.dsv2SinkOverwrite(spark, sf)
+    // decoy batch (negated n for status F) must not survive
+    assert(back.collect().forall(_.getLong(1) > 0))
+  }
+
   test("bucketed join plans with no shuffle exchange") {
     val df = Sources.bucketedJoin(spark, sf)
     assert(df.count() > 0)
