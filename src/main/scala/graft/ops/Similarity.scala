@@ -581,6 +581,91 @@ object Similarity {
       |           p -> pow(p[1] - p[2] * scale, 2))) / len(v)), 9) AS rmse
       |FROM q ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- //
+  // Graph-expansion ANN (NSW-lite): a bounded-degree kNN graph as the //
+  // index; queries seed from IVF probes and expand one hop through    //
+  // the graph before exact re-rank.                                   //
+  // ---------------------------------------------------------------- //
+
+  private val GraphDegree = 8
+
+  private val graphMemo =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Bounded-degree approximate kNN graph, built once per corpus to
+    * scratch parquet (an ANN index build). Construction bounds the
+    * quadratic term by IVF cell: candidate neighbor pairs only within
+    * a coarse-quantizer cell (cell² work, never corpus²), keep each
+    * vector's top-`GraphDegree` by cosine. The NN-Descent family
+    * refines exactly this seed graph at planetary scale; one
+    * partition-bounded pass is the right cost/recall point here.
+    */
+  private def knnGraphEdges(s: SparkSession, d: String): DataFrame = {
+    val path = graphMemo.getOrElseUpdate(d, {
+      val p = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft_knngraph_${d.hashCode.toHexString}").toString
+      val cents = ivfCentroids(s, d)
+      val assigned = embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("cent_id", bestCentroid(cents))
+      val a = assigned.select(col("cent_id"), col("vec_id"), col("v"))
+      val b = assigned.select(col("cent_id"), col("vec_id").as("dst"),
+        col("v").as("w"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(desc("sim"), asc("dst"))
+      a.join(b, Seq("cent_id"))
+        .filter(col("vec_id") =!= col("dst"))
+        .select(col("vec_id"), col("dst"),
+          round(graft.functions.VectorFunctions
+            .cosine_sim(col("v"), col("w")), 6).as("sim"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= GraphDegree)
+        .select(col("vec_id").as("src"), col("dst"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** NSW-style search, batch form: seeds = the IVF-probed candidate
+    * lists; one expansion hop through the kNN graph recovers near
+    * neighbors living in cells the probe missed (the cross-cell
+    * recall IVF alone gives up); exact cosine re-ranks the union.
+    * Expansion is a single equi-join against the bounded-degree edge
+    * relation — candidates stay O(seeds × degree), never corpus-sized.
+    */
+  def annGraph(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = ivfCentroids(s, d)
+    val assigned = emb.withColumn("cent_id", bestCentroid(cents))
+    val qProbe = emb.filter(col("vec_id") < 20)
+      .withColumn("cent_id",
+        explode(graft.functions.VectorFunctions.nearest_centroids(
+          col("v"), typedLit(cents.map(_.toSeq).toSeq), IvfProbes)))
+      .select(col("vec_id").as("q_id"), col("cent_id"))
+    val seeds = assigned.join(broadcast(qProbe), Seq("cent_id"))
+      .select(col("q_id"), col("vec_id"))
+    val hop = seeds
+      .join(knnGraphEdges(s, d), seeds("vec_id") === col("src"))
+      .select(col("q_id"), col("dst").as("vec_id"))
+    val cand = seeds.unionByName(hop)
+      .filter(col("vec_id") =!= col("q_id")).distinct()
+    val scored = cand
+      .join(emb, "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("v").as("q"))), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine_sim(col("q"), col("v")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .orderBy("q_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_quantize_int8"  -> (quantizeInt8 _),
     "sim_knn_brute"      -> (knnBruteForce _),
@@ -588,6 +673,7 @@ object Similarity {
     "sim_ann_ivf"        -> (annIvf _),
     "sim_ann_pq"         -> (annPq _),
     "sim_ann_ivfpq"      -> (annIvfPq _),
+    "sim_ann_graph"      -> (annGraph _),
     "sim_embed_stats"    -> (embedStats _),
     "sim_centroid_classify" -> (centroidClassify _),
     "dedup_embed_cosine" -> (embCosinePairs _),

@@ -326,7 +326,55 @@ object EventStream {
       min(col("value")).as("first_value"))
   }
 
+  /** Streaming gap-fill: the watermarked tumbling agg streams into
+    * the sink; densification (dense hour spine + zero-fill + forward
+    * fill) runs OVER the sink relation at serve time — the timeline-
+    * serving shape, where the stream maintains sparse aggregates and
+    * the dense view derives on read. Output equals the batch
+    * `events_gapfill` exactly (shared oracle): stream+densify ≡
+    * batch gap-fill on the same data.
+    */
+  def gapFillStream(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+    val sinkOut = runToCompletion(s, agg, OutputMode.Complete())
+      .select(expr("unix_timestamp(window.start) div 3600").as("bucket"),
+        col("event_type"), col("n_events"), col("sum_value"),
+        col("avg_value"))
+    // the spine derives FROM the sink and joins back against it; the
+    // memory-sink relation carries fixed attribute ids, so localize
+    // the (small, complete-mode) aggregate to break the self-join
+    // ambiguity — at scale the sink is a real table and re-scans
+    val sink = {
+      val rows = sinkOut.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), sinkOut.schema)
+    }
+    val bounds = sink.agg(min(col("bucket")).as("lo"),
+      max(col("bucket")).as("hi"))
+    val spine = sink.select(col("event_type")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("bucket"))
+    val ffill = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    spine.join(sink, Seq("event_type", "bucket"), "left")
+      .select(col("event_type"), col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        last(col("avg_value"), ignoreNulls = true).over(ffill)
+          .as("filled_avg"),
+        col("n_events").isNull.as("is_gap"))
+      .orderBy("event_type", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_gapfill"         -> (gapFillStream _),
     "stream_tumbling_window" -> (tumblingCounts _),
     "stream_sliding_window"  -> (slidingCounts _),
     "stream_sessionize"      -> (sessionCounts _),
@@ -338,6 +386,7 @@ object EventStream {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_gapfill"         -> graft.ops.Events.gapFillSql,
     "stream_tumbling_window" -> tumblingCountsSql,
     "stream_sliding_window"  -> slidingCountsSql,
     "stream_sessionize"      -> sessionCountsSql,

@@ -106,11 +106,16 @@ class SimilarityEventsSpec extends SparkTestBase {
     val ivf = recall(neighbors(Similarity.annIvf(spark, sf)))
     val pq = recall(neighbors(Similarity.annPq(spark, sf)))
     val ivfpq = recall(neighbors(Similarity.annIvfPq(spark, sf)))
-    info(f"recall@3 lsh=$lsh%.3f ivf=$ivf%.3f pq=$pq%.3f ivfpq=$ivfpq%.3f")
+    val graph = recall(neighbors(Similarity.annGraph(spark, sf)))
+    info(f"recall@3 lsh=$lsh%.3f ivf=$ivf%.3f pq=$pq%.3f " +
+      f"ivfpq=$ivfpq%.3f graph=$graph%.3f")
     assert(lsh >= 0.6, s"LSH recall@3 $lsh")
     assert(ivf >= 0.8, s"IVF recall@3 $ivf")
     assert(pq >= 0.7, s"PQ recall@3 $pq")
     assert(ivfpq >= 0.6, s"IVF-PQ recall@3 $ivfpq")
+    // graph expansion exists to recover IVF's cross-cell misses —
+    // it must never do worse than its own seeds
+    assert(graph >= ivf, s"graph recall@3 $graph < IVF seeds $ivf")
   }
 
   test("sessionization: hand-checked tiny stream") {
