@@ -511,7 +511,78 @@ object Events {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** Interval-overlap join via bucketization — the scale path for
+    * non-equi time joins. Build side: "incident" intervals = hot
+    * hours (count > 1.2× the hourly mean, scale-free) merged into
+    * maximal islands (gaps-and-islands over the hour sequence).
+    * Probe side: per-user-per-day activity intervals [first,last].
+    * A raw overlap join has no equi key (cartesian + filter); instead
+    * each incident explodes to the DAYS it covers and the join runs
+    * as a day-bucket equi-join with the overlap predicate as a
+    * residual — shuffle on the bucket, never corpus × incidents.
+    * A user-day interval owns exactly one day bucket, so no pair
+    * dedup is needed. All arithmetic is integer µs; the oracle
+    * replays the plain nested-loop overlap join.
+    */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val DayUs = 86400L * 1000000L
+    val ev = events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    val spans = ev
+      .withColumn("day", expr(s"ts_us div ${DayUs}L"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(min(col("ts_us")).as("a_start"), max(col("ts_us")).as("a_end"))
+    val hourly = ev.groupBy(expr(s"ts_us div ${HourUs}L").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val thresh = hourly.agg((avg(col("n")) * 1.2).as("t"))
+    // hot hours are a sliver of the timeline → the unpartitioned
+    // islands window is a handful of rows, not a scale hazard
+    val wIsl = Window.orderBy(col("hour"))
+    val incidents = hourly.crossJoin(broadcast(thresh))
+      .filter(col("n") > col("t"))
+      .select(col("hour"), (col("hour") - row_number().over(wIsl)).as("grp"))
+      .groupBy(col("grp"))
+      .agg((min(col("hour")) * HourUs).as("b_start"),
+        ((max(col("hour")) + 1) * HourUs).as("b_end"))
+    val bDays = incidents.select(col("b_start"), col("b_end"),
+      explode(sequence(expr(s"b_start div ${DayUs}L"),
+        expr(s"(b_end - 1) div ${DayUs}L"))).as("day"))
+    spans.join(bDays, Seq("day"))
+      .filter(col("a_start") < col("b_end") && col("b_start") <= col("a_end"))
+      .groupBy(col("b_start"), col("b_end"))
+      .agg(count(lit(1)).as("n_intervals"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("b_start")
+  }
+
+  val intervalJoinSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |), spans AS (
+      |  SELECT user_id, ts_us // 86400000000 AS day,
+      |         min(ts_us) AS a_start, max(ts_us) AS a_end
+      |  FROM ev GROUP BY 1, 2
+      |), hourly AS (
+      |  SELECT ts_us // 3600000000 AS hour, count(*) AS n
+      |  FROM ev GROUP BY 1
+      |), hot AS (
+      |  SELECT hour FROM hourly WHERE n > (SELECT avg(n) * 1.2 FROM hourly)
+      |), isl AS (
+      |  SELECT hour, hour - row_number() OVER (ORDER BY hour) AS grp
+      |  FROM hot
+      |), incidents AS (
+      |  SELECT min(hour) * 3600000000 AS b_start,
+      |         (max(hour) + 1) * 3600000000 AS b_end
+      |  FROM isl GROUP BY grp
+      |)
+      |SELECT b_start, b_end, count(*) AS n_intervals,
+      |       count(DISTINCT user_id) AS n_users
+      |FROM incidents i JOIN spans s
+      |  ON s.a_start < i.b_end AND i.b_start <= s.a_end
+      |GROUP BY 1, 2 ORDER BY b_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_interval_join"   -> (intervalJoin _),
     "events_gapfill"         -> (gapFill _),
     "events_range_frame"     -> (rangeFrame _),
     "events_funnel"          -> (funnel _),
@@ -528,6 +599,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_interval_join"   -> intervalJoinSql,
     "events_gapfill"         -> gapFillSql,
     "events_range_frame"     -> rangeFrameSql,
     "events_funnel"          -> funnelSql,

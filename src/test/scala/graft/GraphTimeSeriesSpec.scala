@@ -64,6 +64,34 @@ class GraphTimeSeriesSpec extends SparkTestBase {
     rf.unpersist()
   }
 
+  test("interval join: bucketized overlap equals a local nested-loop join") {
+    val got = graft.ops.Events.intervalJoin(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    // replay the overlap join naively in memory on the same derived
+    // interval sets — the bucket rewrite must change the plan, not
+    // the answer
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id", "ts div 1000 AS ts_us")
+      .as[(Long, Long)].collect()
+    val dayUs = 86400L * 1000000L
+    val hourUs = 3600L * 1000000L
+    val spans = ev.groupBy { case (u, t) => (u, t / dayUs) }
+      .map { case (_, g) => (g.map(_._2).min, g.map(_._2).max, g.head._1) }
+      .toSeq
+    val hourly = ev.groupBy(_._2 / hourUs).view.mapValues(_.size)
+    val t = hourly.values.sum.toDouble / hourly.size * 1.2
+    val hot = hourly.filter(_._2 > t).keys.toSeq.sorted
+    val incidents = hot.zipWithIndex.groupBy { case (h, i) => h - i }
+      .values.map(g => (g.map(_._1).min * hourUs,
+        (g.map(_._1).max + 1) * hourUs)).toSeq
+    val want = incidents.map { case (bs, be) =>
+      val hits = spans.filter { case (as_, ae, _) => as_ < be && bs <= ae }
+      (bs, be, hits.size.toLong, hits.map(_._3).distinct.size.toLong)
+    }.sortBy(_._1)
+    assert(got.toSeq.sortBy(_._1) === want)
+  }
+
   test("stratified sample takes exactly ceil(10%) of every stratum") {
     val out = Curation.stratifiedSample(spark, sf)
       .select($"n_sampled", $"n_stratum").as[(Long, Long)].collect()
