@@ -311,7 +311,53 @@ object Sources {
       |  ON o_orderkey = l_orderkey
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Snapshot publish via staging + atomic pointer swap — the commit
+    * protocol every table format (Iceberg/Delta) reduces to: write
+    * the new snapshot to a staging directory, then atomically swap a
+    * pointer; readers resolve the pointer first and always see a
+    * complete snapshot, never a half-written directory. Here the
+    * pointer is a file whose content names the live snapshot dir,
+    * replaced with Files.move(ATOMIC_MOVE). The query publishes a
+    * stale decoy snapshot first, then the real one — the oracle
+    * matches only the second, so a torn or non-atomic swap fails the
+    * hash.
+    */
+  def atomicPublish(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_snap_${d.hashCode.toHexString}")
+    root.mkdirs()
+    val agg = supplier(s, d)
+      .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        (sum(expr("CAST(round(s_acctbal * 100) AS BIGINT)")) / 100.0)
+          .as("sum_acctbal"))
+    val ptr = new java.io.File(root, "CURRENT").toPath
+    def publish(df: DataFrame, version: String): Unit = {
+      val snap = new java.io.File(root, version)
+      df.write.mode(SaveMode.Overwrite).parquet(snap.toString)
+      val tmp = new java.io.File(root, s"CURRENT.$version.tmp").toPath
+      Files.write(tmp, snap.toString.getBytes("UTF-8"))
+      Files.move(tmp, ptr,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    publish(agg.limit(1), "v1") // stale decoy snapshot
+    publish(agg, "v2")
+    val live = new String(Files.readAllBytes(ptr), "UTF-8")
+    s.read.parquet(live).orderBy("n_name")
+  }
+
+  val atomicPublishSql: String =
+    """SELECT n_name, count(*) AS n_suppliers,
+      |       sum(CAST(round(s_acctbal * 100) AS BIGINT)) / 100.0
+      |         AS sum_acctbal
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_atomic_publish"   -> (atomicPublish _),
     "src_csv_roundtrip"    -> (csvRoundtrip _),
     "src_json_roundtrip"   -> (jsonRoundtrip _),
     "src_partitioned_scan" -> (partitionedWrite _),
@@ -325,6 +371,7 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "src_atomic_publish"   -> atomicPublishSql,
     "src_csv_roundtrip"    -> csvRoundtripSql,
     "src_json_roundtrip"   -> jsonRoundtripSql,
     "src_partitioned_scan" -> partitionedWriteSql,

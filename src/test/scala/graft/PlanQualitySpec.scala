@@ -85,6 +85,21 @@ class PlanQualitySpec extends SparkTestBase {
       s"SCD2 windows should reuse one hash exchange:\n$p")
   }
 
+  test("interval join runs as a bucket equi-join, never a cartesian plan") {
+    val df = graft.ops.Events.intervalJoin(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE dumps repeat the initial plan
+    assert(!p.contains("CartesianProduct"),
+      s"overlap join degraded to cartesian:\n$p")
+    // the day-bucket rewrite must make the overlap itself an
+    // equi-join on the bucket with the range predicate as residual
+    // (the 1-row threshold broadcast is a legitimate nested loop)
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[day".r
+      .findFirstIn(p).isDefined,
+      s"no bucket equi-join on day in the overlap plan:\n$p")
+  }
+
   test("audio frame energy keeps whole-stage codegen over the media scan") {
     val df = graft.ops.Multimodal.audioEnergy(spark, sf)
     df.collect() // materialize so AQE finalizes and WSCG spans appear
