@@ -153,9 +153,6 @@ object Dedup {
       graft.functions.TextFunctions.minhash_signature(
         shingles(col("text")), NumHashes))
 
-  private val sigMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** The (doc_id, sig, sh) signature relation, materialized ONCE per
     * corpus to scratch parquet — the shared MinHash index. Candidate
     * mining (minhashLsh) and clustering (dedupClusters) both consume
@@ -163,18 +160,12 @@ object Dedup {
     * text scan in the dedup suite. At scale this is exactly a
     * persisted signature index maintained beside the corpus.
     */
-  private[graft] def signatureTable(s: SparkSession, d: String): DataFrame = {
-    val path = sigMemo.getOrElseUpdate(d, {
-      val p = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_minhash_${d.hashCode.toHexString}").toString
+  private[graft] def signatureTable(s: SparkSession, d: String): DataFrame =
+    graft.util.ScratchIndex.materialize(
+      s, s"minhash_v1_${d.hashCode.toHexString}") {
       minhashSignatures(documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("sig"), shingles(col("text")).as("sh"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+    }
 
   /** LSH band rows (doc_id, band_idx, band_sig) for a relation with a
     * `sig` column — shared by the batch self-join and the streaming
@@ -197,9 +188,6 @@ object Dedup {
     * shuffles only (band_hash, doc_id) pairs; exact verify joins the
     * shingle sets back for candidates only.
     */
-  private val candMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** Verified candidate-edge relation, materialized ONCE per corpus:
     * LSH band self-join → distinct (a,b) candidates → signature
     * estimate + exact-Jaccard verify. This IS the near-dup index a
@@ -208,11 +196,9 @@ object Dedup {
     * per query re-paid the band join and the shingle verify — the two
     * most expensive steps in the dedup suite.
     */
-  private[graft] def candidateEdges(s: SparkSession, d: String): DataFrame = {
-    val path = candMemo.getOrElseUpdate(d, {
-      val p = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_lshcand_${d.hashCode.toHexString}").toString
+  private[graft] def candidateEdges(s: SparkSession, d: String): DataFrame =
+    graft.util.ScratchIndex.materialize(
+      s, s"lshcand_v1_${d.hashCode.toHexString}") {
       val sigs = signatureTable(s, d)
       val bands = bandsOf(sigs)
       val cand = bands.as("x").join(bands.as("y"),
@@ -234,11 +220,7 @@ object Dedup {
             .as("est_jaccard"),
           round(graft.functions.SetSimilarityFunctions
             .jaccard_sorted(col("a_sh"), col("b_sh")), 6).as("jaccard"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+    }
 
   /** Near-dup candidate pairs via LSH banding + exact-Jaccard verify.
     * Emits the top-50 candidate pairs by estimated similarity.

@@ -439,16 +439,27 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"),
         round(avg(col("value")), 4).as("avg_value"))
-    val bounds = events(s, d)
-      .agg(expr(s"min((ts div 1000) div ${HourUs}L)").as("lo"),
-        expr(s"max((ts div 1000) div ${HourUs}L)").as("hi"))
-    val spine = events(s, d).select(col("event_type")).distinct()
+    densifyHourly(hourly)
+  }
+
+  /** Densify a sparse hourly aggregate (event_type, bucket, n_events,
+    * sum_value, avg_value): dense per-type spine over the global
+    * bucket range, zero-filled counts/sums, forward-filled average,
+    * is_gap marker. SHARED by the batch gap-fill and the streaming
+    * gap-fill (which feeds the drained sink through it) — the
+    * stream ≡ batch equivalence their common oracle asserts is
+    * structural, not two hand-synced copies.
+    */
+  private[graft] def densifyHourly(sparse: DataFrame): DataFrame = {
+    val bounds = sparse.agg(min(col("bucket")).as("lo"),
+      max(col("bucket")).as("hi"))
+    val spine = sparse.select(col("event_type")).distinct()
       .crossJoin(broadcast(bounds))
       .select(col("event_type"),
         explode(sequence(col("lo"), col("hi"))).as("bucket"))
     val ffill = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(hourly, Seq("event_type", "bucket"), "left")
+    spine.join(sparse, Seq("event_type", "bucket"), "left")
       .select(col("event_type"), col("bucket"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("sum_value"), lit(0.0)).as("sum_value"),

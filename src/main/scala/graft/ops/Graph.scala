@@ -28,9 +28,6 @@ object Graph {
       .select(col("p1"), col("p2")).distinct()
   }
 
-  private val edgeMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** The edge relation, materialized ONCE per corpus to scratch
     * parquet and shared by every graph query (triangles and the
     * degree histogram previously each recomputed the self-join +
@@ -38,17 +35,9 @@ object Graph {
     * suite). On a cluster this is the standard shape: derive the
     * edge list once, persist it, run N analytics over it.
     */
-  private def coOrderEdges(s: SparkSession, d: String): DataFrame = {
-    val path = edgeMemo.getOrElseUpdate(d, {
-      val p = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_edges_${d.hashCode.toHexString}").toString
-      coOrderEdgesPlan(s, d)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+  private def coOrderEdges(s: SparkSession, d: String): DataFrame =
+    graft.util.ScratchIndex.materialize(
+      s, s"edges_v1_${d.hashCode.toHexString}")(coOrderEdgesPlan(s, d))
 
   /** Triangle count over the co-purchase graph: the classic
     * three-way distributed equi-join on canonically-oriented edges

@@ -332,7 +332,7 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(graft.functions.VectorFunctions
           .cosine_sim(col("q"), col("vhat")), 6).as("cos_approx"))
-    rerankTop3(emb, cand, col("cos_approx"))
+    rerankTop3(emb, queries, cand, col("cos_approx"))
   }
 
   /** Refine step (FAISS's IndexRefineFlat shape): the code/bucket scan
@@ -345,8 +345,13 @@ object Similarity {
     */
   private val RerankDepth = 25
 
-  private def rerankTop3(emb: DataFrame, cand: DataFrame,
-      approxScore: Column): DataFrame = {
+  /** `queries` must be the SAME (q_id, q) relation whose ids produced
+    * `cand` — passed in rather than re-derived here, so an index that
+    * changes its query subset cannot silently half-join against a
+    * stale predicate.
+    */
+  private def rerankTop3(emb: DataFrame, queries: DataFrame,
+      cand: DataFrame, approxScore: Column): DataFrame = {
     val wa = Window.partitionBy(col("q_id"))
       .orderBy(approxScore.desc, asc("vec_id"))
     val shortlist = cand
@@ -355,8 +360,7 @@ object Similarity {
       .drop("arank")
     val exact = shortlist
       .join(emb, "vec_id")
-      .join(broadcast(emb.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("q_id"), col("v").as("q"))), "q_id")
+      .join(broadcast(queries), "q_id")
       .select(col("q_id"), col("vec_id"), col("cos_approx"),
         round(graft.functions.VectorFunctions.cosine_sim(col("q"), col("v")), 6)
           .as("cos_sim"))
@@ -410,7 +414,9 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(graft.functions.VectorFunctions
           .cosine_sim(col("q"), col("vhat")), 6).as("cos_approx"))
-    rerankTop3(emb, cand, col("cos_approx"))
+    rerankTop3(emb,
+      qProbe.select(col("q_id"), col("q")).distinct(), cand,
+      col("cos_approx"))
   }
 
   /** Embedding-cosine near-duplicate pairs: the dedup-by-embedding
@@ -589,9 +595,6 @@ object Similarity {
 
   private val GraphDegree = 8
 
-  private val graphMemo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
-
   /** Bounded-degree approximate kNN graph, built once per corpus to
     * scratch parquet (an ANN index build). Construction bounds the
     * quadratic term by IVF cell: candidate neighbor pairs only within
@@ -600,11 +603,9 @@ object Similarity {
     * refines exactly this seed graph at planetary scale; one
     * partition-bounded pass is the right cost/recall point here.
     */
-  private def knnGraphEdges(s: SparkSession, d: String): DataFrame = {
-    val path = graphMemo.getOrElseUpdate(d, {
-      val p = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft_knngraph_${d.hashCode.toHexString}").toString
+  private def knnGraphEdges(s: SparkSession, d: String): DataFrame =
+    graft.util.ScratchIndex.materialize(
+      s, s"knngraph_v1_${d.hashCode.toHexString}") {
       val cents = ivfCentroids(s, d)
       val assigned = embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -622,11 +623,7 @@ object Similarity {
         .withColumn("r", row_number().over(w))
         .filter(col("r") <= GraphDegree)
         .select(col("vec_id").as("src"), col("dst"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(p)
-      p
-    })
-    s.read.parquet(path)
-  }
+    }
 
   /** NSW-style search, batch form: seeds = the IVF-probed candidate
     * lists; one expansion hop through the kNN graph recovers near

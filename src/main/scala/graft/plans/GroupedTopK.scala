@@ -76,24 +76,32 @@ case class GroupedTopKExec(
         UnsafeRow, scala.collection.mutable.PriorityQueue[
           (Double, Long, UnsafeRow)]]()
       rows.foreach { row =>
-        val key = keyProj(row)
-        var h = heaps.get(key)
-        if (h == null) {
-          h = scala.collection.mutable.PriorityQueue
-            .empty[(Double, Long, UnsafeRow)](heapOrd)
-          heaps.put(key.copy(), h)
-        }
-        // any numeric order/tie type (ALS emits Float scores, ids are
-        // often Int) — widen through Number instead of assuming D/L
-        val o = ordEval.eval(row).asInstanceOf[Number].doubleValue()
-        val t = tieEval.eval(row).asInstanceOf[Number].longValue()
-        if (h.size < kk) {
-          h.enqueue((o, t, row.asInstanceOf[UnsafeRow].copy()))
-        } else {
-          val worst = h.head
-          // keep if strictly better than the current worst
-          if (o > worst._1 || (o == worst._1 && t < worst._2)) {
-            h.dequeue(); h.enqueue((o, t, row.asInstanceOf[UnsafeRow].copy()))
+        // a null order/tie value cannot rank — skip the row (SQL
+        // top-k semantics: NULLs sort last and k real rows beat them)
+        // instead of NPE-ing the task or silently ranking it as 0
+        val oRaw = ordEval.eval(row)
+        val tRaw = tieEval.eval(row)
+        if (oRaw != null && tRaw != null) {
+          val key = keyProj(row)
+          var h = heaps.get(key)
+          if (h == null) {
+            h = scala.collection.mutable.PriorityQueue
+              .empty[(Double, Long, UnsafeRow)](heapOrd)
+            heaps.put(key.copy(), h)
+          }
+          // any numeric order/tie type (ALS emits Float scores, ids
+          // are often Int) — widen through Number, not D/L casts
+          val o = oRaw.asInstanceOf[Number].doubleValue()
+          val t = tRaw.asInstanceOf[Number].longValue()
+          if (h.size < kk) {
+            h.enqueue((o, t, row.asInstanceOf[UnsafeRow].copy()))
+          } else {
+            val worst = h.head
+            // keep if strictly better than the current worst
+            if (o > worst._1 || (o == worst._1 && t < worst._2)) {
+              h.dequeue()
+              h.enqueue((o, t, row.asInstanceOf[UnsafeRow].copy()))
+            }
           }
         }
       }

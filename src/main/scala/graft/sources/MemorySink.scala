@@ -99,12 +99,30 @@ private[sources] class MemSinkBatchWrite(name: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // atomic publish: all partitions or nothing. Append mode merges
     // with previously committed rows; truncate (SaveMode.Overwrite)
-    // replaces the table in the same single put.
+    // replaces the table. The merge is a CAS loop — a plain
+    // get-then-put is a read-modify-write that loses a concurrent
+    // committer's batch — and an append against a different schema
+    // is refused rather than silently pairing old rows with the new
+    // schema.
     val batch = messages.collect { case RowsMessage(_, rs) => rs }.flatten
-    val prior =
-      if (truncateFirst) Array.empty[Array[Any]]
-      else MemorySink.tables.get(name).map(_._2).getOrElse(Array.empty)
-    MemorySink.tables.put(name, (schema, prior ++ batch)): Unit
+    if (truncateFirst) {
+      MemorySink.tables.put(name, (schema, batch)): Unit
+    } else {
+      var done = false
+      while (!done) {
+        MemorySink.tables.get(name) match {
+          case None =>
+            done = MemorySink.tables.putIfAbsent(
+              name, (schema, batch)).isEmpty
+          case Some(prior @ (priorSchema, priorRows)) =>
+            require(priorSchema == schema,
+              s"graft-memsink: append schema $schema does not match " +
+                s"committed schema $priorSchema for table $name")
+            done = MemorySink.tables.replace(
+              name, prior, (schema, priorRows ++ batch))
+        }
+      }
+    }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -353,24 +353,7 @@ object EventStream {
       val rows = sinkOut.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), sinkOut.schema)
     }
-    val bounds = sink.agg(min(col("bucket")).as("lo"),
-      max(col("bucket")).as("hi"))
-    val spine = sink.select(col("event_type")).distinct()
-      .crossJoin(broadcast(bounds))
-      .select(col("event_type"),
-        explode(sequence(col("lo"), col("hi"))).as("bucket"))
-    val ffill = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("event_type")).orderBy(col("bucket"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    spine.join(sink, Seq("event_type", "bucket"), "left")
-      .select(col("event_type"), col("bucket"),
-        coalesce(col("n_events"), lit(0L)).as("n_events"),
-        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
-        last(col("avg_value"), ignoreNulls = true).over(ffill)
-          .as("filled_avg"),
-        col("n_events").isNull.as("is_gap"))
-      .orderBy("event_type", "bucket")
+    graft.ops.Events.densifyHourly(sink)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

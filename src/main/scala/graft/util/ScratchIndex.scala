@@ -1,0 +1,57 @@
+package graft.util
+
+import java.io.File
+import java.nio.file.{Files, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Per-corpus derived indexes (co-order edges, MinHash signatures,
+  * verified LSH candidates, kNN graph) materialized once per process
+  * to scratch parquet.
+  *
+  * The scratch root is PER-JVM (pid-scoped, removed by a shutdown
+  * hook): a shared deterministic path would let one process read an
+  * index a different process built — corrupting scans when the other
+  * process rebuilds (the old Overwrite hazard), silently reusing
+  * stale indexes if the corpus is regenerated in place, and letting
+  * a benchmark skip build costs it should be paying. Within the
+  * process, builders write to a UNIQUE temp directory and atomically
+  * rename into the final path, so the final directory is only ever
+  * absent or complete and concurrent builders race the rename — the
+  * loser discards its copy and reads the winner's.
+  */
+object ScratchIndex {
+
+  private lazy val root: File = {
+    val dir = new File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_scratch_${ProcessHandle.current().pid()}")
+    dir.mkdirs()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      deleteRecursively(dir)))
+    dir
+  }
+
+  def materialize(s: SparkSession, key: String)(build: => DataFrame)
+      : DataFrame = {
+    val dst = new File(root, key)
+    if (!dst.exists()) {
+      val tmp = new File(root,
+        s"$key.build_${java.util.UUID.randomUUID().toString.take(8)}")
+      build.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      try Files.move(tmp.toPath, dst.toPath,
+        StandardCopyOption.ATOMIC_MOVE): Unit
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          deleteRecursively(tmp) // another builder won the rename
+      }
+    }
+    s.read.parquet(dst.toString)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    val children = f.listFiles()
+    if (children != null) children.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+}

@@ -117,9 +117,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(df.count() === 1)
     // no broadcast/shuffle hint may appear: at cluster scale the
     // adjacency exceeds executor memory and the join must be free to
-    // degrade to a co-partitioned shuffle join
-    val plan = df.queryExecution.optimizedPlan.toString
-    assert(!plan.contains("ResolvedHint"), s"hinted join leaked:\n$plan")
+    // degrade to a co-partitioned shuffle join. ResolvedHint nodes
+    // are eliminated before optimizedPlan (FinishAnalysis), so the
+    // surviving evidence of a hint is the Join's JoinHint field —
+    // assert on that, not on the node name
+    val analyzed = df.queryExecution.analyzed.toString
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!analyzed.contains("ResolvedHint")
+      && !optimized.contains("strategy=broadcast")
+      && !optimized.contains("strategy=shuffle"),
+      s"hinted join leaked:\n$optimized")
   }
 
   test("gap-fill joins the dense spine without a spine-side shuffle") {
