@@ -469,7 +469,50 @@ object Curation {
       |       round(pow(u, 1.0 / w), 6) AS es_key
       |FROM t ORDER BY es_key DESC, doc_id ASC LIMIT 30""".stripMargin
 
+  private val DomainCapK = 15
+
+  /** Per-domain document cap — the pretraining domain-throttle: keep at
+    * most K docs per `source`, preferring the longest (a quality proxy),
+    * so no domain dominates the training mix. One window rank per
+    * domain partition + grouped rollup: a single shuffle on `source`,
+    * work per domain independent — the 100 TB shape (domains partition
+    * the corpus; a skewed mega-domain is exactly what the cap removes).
+    * Emits per-domain kept/total counts, kept-char volume, and an id
+    * checksum of the kept set.
+    */
+  def domainCap(s: SparkSession, d: String): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(
+        bySource.orderBy(col("n_chars").desc, col("doc_id"))))
+      .withColumn("n_total", count(lit(1)).over(bySource))
+      .filter(col("rk") <= DomainCapK)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        max(col("n_total")).as("n_total"),
+        sum(col("n_chars")).as("kept_chars"),
+        sum(col("doc_id")).as("id_checksum"))
+      .orderBy("source")
+  }
+
+  val domainCapSql: String =
+    """WITH ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |         row_number() OVER (PARTITION BY source
+      |                            ORDER BY n_chars DESC, doc_id) AS rk,
+      |         count(*) OVER (PARTITION BY source) AS n_total
+      |  FROM documents
+      |)
+      |SELECT source, count(*) AS n_kept, max(n_total) AS n_total,
+      |       CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+      |       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM ranked WHERE rk <= 15
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_domain_cap"    -> (domainCap _),
     "cur_weighted_sample" -> (weightedSample _),
     "cur_stratified"    -> (stratifiedSample _),
     "cur_hash_split"    -> (hashSplit _),
@@ -483,6 +526,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "cur_domain_cap"    -> domainCapSql,
     "cur_weighted_sample" -> weightedSampleSql,
     "cur_stratified"    -> stratifiedSampleSql,
     "cur_hash_split"    -> hashSplitSql,

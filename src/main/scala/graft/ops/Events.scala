@@ -592,7 +592,104 @@ object Events {
       |  ON s.a_start < i.b_end AND i.b_start <= s.a_end
       |GROUP BY 1, 2 ORDER BY b_start""".stripMargin
 
+  /** Secondary sort: the repartitionAndSortWithinPartitions pattern in
+    * DataFrame form — `repartition(key)` hash-routes every user to one
+    * partition, `sortWithinPartitions(key, ts, id)` gives each task its
+    * users' rows contiguously and time-ordered, and ONE imperative
+    * mapPartitions pass computes per-user sequence stats (event count,
+    * max inter-event gap, count of non-decreasing value runs) with O(1)
+    * state per task. This is the scale shape for per-key ordered
+    * iteration the window formulation can't always express (e.g. state
+    * machines): no per-key groupBy materialization, no driver state,
+    * sort amortized across all users in a partition. The oracle is the
+    * equivalent lag()-window SQL — proving pass ≡ window algebra.
+    */
+  def secondarySort(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sorted = events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
+      .as[(Long, Long, Long, Double)]
+    sorted.mapPartitions { it =>
+      // per-user accumulators flushed on key change; the partition's
+      // result set is O(#users in partition), not O(#events)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      var cur = 0L; var seen = false
+      var n = 0L; var maxGap = 0L; var runs = 0L
+      var prevTs = 0L; var prevV = 0.0
+      def flush(): Unit = if (seen) out += ((cur, n, maxGap, runs))
+      it.foreach { case (u, ts, _, v) =>
+        if (!seen || u != cur) {
+          flush(); cur = u; seen = true
+          n = 0L; maxGap = 0L; runs = 1L; prevTs = ts; prevV = v
+        } else {
+          if (ts - prevTs > maxGap) maxGap = ts - prevTs
+          if (v < prevV) runs += 1
+        }
+        n += 1; prevTs = ts; prevV = v
+      }
+      flush()
+      out.iterator
+    }.toDF("user_id", "n_events", "max_gap_us", "n_runs")
+      .orderBy("user_id")
+  }
+
+  val secondarySortSql: String =
+    """WITH o AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, value,
+      |         lag(value) OVER w AS pv,
+      |         lag(epoch_us(ts)) OVER w AS pts
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |)
+      |SELECT user_id, count(*) AS n_events,
+      |       coalesce(max(ts_us - pts), 0) AS max_gap_us,
+      |       CAST(1 + sum(CASE WHEN value < pv THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS n_runs
+      |FROM o GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private val ReservoirK = 3
+
+  /** Per-key reservoir sample, k=3 events per user, deterministic:
+    * priority sampling with a content-hash uniform (md5 of event_id)
+    * instead of RNG state. Top-k-by-priority per key IS a mergeable
+    * reservoir — partial top-k lists from different partitions (or
+    * different days of a 100 TB corpus) union and re-rank to exactly
+    * the sample a single pass would draw, which RNG reservoirs can't
+    * do without order-dependence. One shuffle on user_id; no global
+    * sort.
+    */
+  def reservoirSample(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("h"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        md5(col("event_id").cast("string")).as("h"))
+      .withColumn("slot", row_number().over(w))
+      .filter(col("slot") <= ReservoirK)
+      .select(col("user_id"), col("slot").cast("long").as("slot"),
+        col("event_id"), col("event_type"))
+      .orderBy("user_id", "slot")
+  }
+
+  val reservoirSampleSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id, event_id, event_type,
+      |         md5(CAST(event_id AS VARCHAR)) AS h,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY md5(CAST(event_id AS VARCHAR)),
+      |                                     event_id) AS slot
+      |  FROM events
+      |)
+      |SELECT user_id, CAST(slot AS BIGINT) AS slot, event_id, event_type
+      |FROM ranked WHERE slot <= 3 ORDER BY user_id, slot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_secondary_sort"  -> (secondarySort _),
+    "events_reservoir"       -> (reservoirSample _),
     "events_interval_join"   -> (intervalJoin _),
     "events_gapfill"         -> (gapFill _),
     "events_range_frame"     -> (rangeFrame _),
@@ -610,6 +707,8 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_secondary_sort"  -> secondarySortSql,
+    "events_reservoir"       -> reservoirSampleSql,
     "events_interval_join"   -> intervalJoinSql,
     "events_gapfill"         -> gapFillSql,
     "events_range_frame"     -> rangeFrameSql,

@@ -248,7 +248,30 @@ object Skew {
       .orderBy("user_id")
   }
 
+  /** Heavy hitters via Spark 4's reaggregable approx_top_k sketch.
+    * Parameterized so the sketch is provably EXACT here (maxItemsTracked
+    * = 64 ≥ distinct event types), which turns the usual rows-only
+    * sketch check into a full hash-match against the exact GROUP BY
+    * oracle. The 100 TB story is the accumulate/combine/estimate
+    * split (asserted ≡ this single-shot form in SkewSketchSpec):
+    * per-partition sketches combine associatively, so top-k runs as
+    * one partial-agg pass — no shuffle of raw keys, and per-day
+    * sketches roll up to any window after the fact.
+    */
+  def topkSketch(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"))
+      .agg(expr("approx_top_k(event_type, 8, 64)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+
+  val topkSketchSql: String =
+    """SELECT event_type, count(*) AS cnt FROM events
+      |GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 8""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_topk_exact" -> (topkSketch _),
     "sketch_hll_rollup" -> (hllRollup _),
     "sketch_cms_probe"  -> (cmsProbe _),
     "skew_salted_agg" -> (saltedAgg _),
@@ -258,6 +281,7 @@ object Skew {
   )
 
   val oracle: Map[String, String] = Map(
+    "sketch_topk_exact" -> topkSketchSql,
     "skew_salted_agg" -> saltedAggSql,
     "skew_aqe_join"   -> skewJoinAqeSql,
     "bloom_join"      -> bloomJoinSql,

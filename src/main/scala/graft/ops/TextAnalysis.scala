@@ -386,7 +386,63 @@ object TextAnalysis {
       |         AS p_w2_given_w1
       |FROM c ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
 
+  /** Repetition quality signals (the Gopher-rules shape): per doc, the
+    * most frequent bigram and its count (a high top-bigram share marks
+    * boilerplate/spam) plus the distinct-token count (type-token
+    * ratio's numerator). Emits integers, not ratios — cross-engine
+    * float-tie-proof; ratios derive downstream. Explode→per-doc count→
+    * rank: bigram counting partials combine map-side and the rank
+    * window partitions by doc_id, so work stays proportional to tokens
+    * per doc regardless of corpus size.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .filter(col("n_tokens") >= 2)
+      .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+    val counted = base
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        explode(expr("transform(sequence(0, size(toks) - 2)," +
+          " i -> concat(toks[i], ' ', toks[i + 1]))")).as("bg"))
+      .groupBy(col("doc_id"), col("n_tokens"), col("n_distinct"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("bg"))
+    counted.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        col("bg").as("top_bigram"), col("cnt").as("top_bigram_n"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split_regex(text, '\s+'), x -> x != '')
+      |           AS toks
+      |  FROM documents
+      |), b AS (
+      |  SELECT doc_id, len(toks) AS n_tokens,
+      |         len(list_distinct(toks)) AS n_distinct,
+      |         unnest(list_transform(range(1, len(toks)),
+      |                i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM t WHERE len(toks) >= 2
+      |), c AS (
+      |  SELECT doc_id, n_tokens, n_distinct, bg, count(*) AS cnt
+      |  FROM b GROUP BY ALL
+      |), r AS (
+      |  SELECT doc_id, n_tokens, n_distinct, bg, cnt,
+      |         row_number() OVER (PARTITION BY doc_id
+      |                            ORDER BY cnt DESC, bg) AS rk
+      |  FROM c
+      |)
+      |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(n_distinct AS BIGINT) AS n_distinct,
+      |       bg AS top_bigram, CAST(cnt AS BIGINT) AS top_bigram_n
+      |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_repetition"   -> (repetition _),
     "text_postings"     -> (postings _),
     "text_bigram_lm"    -> (bigramLm _),
     "text_bpe_tokens"   -> (bpeTokens _),
@@ -399,6 +455,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_repetition"   -> repetitionSql,
     "text_postings"     -> postingsSql,
     "text_bigram_lm"    -> bigramLmSql,
     "text_bpe_tokens"   -> bpeTokensSql,

@@ -153,4 +153,45 @@ class SimilarityEventsSpec extends SparkTestBase {
     val raw = graft.util.Tables.events(spark, sf).count()
     assert(total === raw)
   }
+
+  test("secondary sort: the mapPartitions pass equals the window algebra") {
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.util.Tables.events(spark, sf)
+      .withColumn("ts_us", expr("ts div 1000"))
+    val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val decl = ev
+      .select($"user_id", $"ts_us", $"value",
+        lag($"value", 1).over(w).as("pv"),
+        lag($"ts_us", 1).over(w).as("pts"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        coalesce(max($"ts_us" - $"pts"), lit(0L)).as("max_gap_us"),
+        (lit(1L) + sum(when($"value" < $"pv", 1L).otherwise(0L)))
+          .as("n_runs"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val imp = Events.secondarySort(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(imp === decl)
+  }
+
+  test("reservoir: merged per-split top-k equals the single-pass sample") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"h", $"event_id")
+    val ev = graft.util.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"event_type",
+        md5($"event_id".cast("string")).as("h"))
+    def sample(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("slot", row_number().over(w)).filter($"slot" <= 3)
+    // two disjoint splits sampled independently, partial samples
+    // unioned, re-ranked — the mergeable-reservoir property
+    val partial = sample(ev.filter($"event_id" % 2 === 0)).drop("slot")
+      .union(sample(ev.filter($"event_id" % 2 === 1)).drop("slot"))
+    val merged = sample(partial)
+      .select($"user_id", $"slot".cast("long").as("slot"),
+        $"event_id", $"event_type")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val direct = Events.reservoirSample(spark, sf)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(merged === direct)
+  }
 }

@@ -89,6 +89,27 @@ class SkewSketchSpec extends SparkTestBase {
     }
   }
 
+  test("approx_top_k: partial accumulate + combine equals single-shot and exact") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    // the distributed form: one sketch per user-bucket, combined, then
+    // estimated — the shape a 1000-executor partial agg produces
+    val combined = ev
+      .selectExpr("event_type", "user_id % 8 AS g")
+      .groupBy($"g")
+      .agg(expr("approx_top_k_accumulate(event_type, 64)").as("sk"))
+      .agg(expr(
+        "approx_top_k_estimate(approx_top_k_combine(sk, 64), 8)").as("tk"))
+      .select(explode($"tk").as("e"))
+      .select($"e.item", $"e.count").as[(String, Long)].collect().toSet
+    val single = Skew.topkSketch(spark, sf)
+      .as[(String, Long)].collect().toSet
+    val exact = ev.groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSet
+    assert(combined === single)
+    assert(single === exact,
+      "with maxItemsTracked >= distinct items the sketch must be exact")
+  }
+
   test("approximate median lands between group min and max") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val bounds = li.groupBy($"l_returnflag")
