@@ -146,4 +146,42 @@ class PlanQualitySpec extends SparkTestBase {
     assert(readSchema.startsWith("text:"),
       s"bigram scan should prune to text only: $readSchema")
   }
+
+  test("domain cap: both windows share one source-partition exchange") {
+    val p = plan(graft.ops.Curation.domainCap(spark, sf))
+    // rank + per-domain count reuse the same hashpartitioning(source)
+    // exchange; a second pre-Window exchange means the windows split
+    val preOutput = p.split("\n").drop(3).mkString("\n") // skip final sort
+    assert("Exchange hashpartitioning\\(source".r
+      .findAllIn(preOutput).length == 1,
+      s"expected exactly one source-keyed exchange:\n$p")
+  }
+
+  test("repetition pushes the per-doc top-1 below the shuffle") {
+    val p = plan(graft.ops.TextAnalysis.repetition(spark, sf))
+    // WindowGroupLimit must appear on BOTH sides of the doc_id
+    // exchange (partial limit pre-shuffle, final post-shuffle) so at
+    // scale only <=1 bigram row per doc per mapper shuffles, not the
+    // full per-doc bigram histogram
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      s"expected partial+final WindowGroupLimit:\n$p")
+  }
+
+  test("top-k sketch aggregates partially before the single-point merge") {
+    val p = plan(graft.ops.Skew.topkSketch(spark, sf))
+    // partial ObjectHashAggregate per input partition, then one
+    // SinglePartition exchange carrying sketches — never raw rows
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p)
+    assert(p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("secondary sort: one exchange, no extra sort above mapPartitions") {
+    val df = graft.ops.Events.secondarySort(spark, sf)
+    val p = plan(df)
+    // exactly one user_id exchange feeds the within-partition sort;
+    // the final presentation orderBy is the only other exchange
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).length == 1,
+      s"expected one user_id exchange:\n$p")
+    assert(p.contains("MapPartitions"), p)
+  }
 }
