@@ -126,12 +126,16 @@ object Relational {
       |ORDER BY s_suppkey""".stripMargin
 
   /** Op 18 (inner equi-join, single key) — order enriched with its
-    * customer. customer is the dimension side: explicitly broadcast so
-    * the 100-TB orders side never shuffles. Ref: recommender.py:164.
+    * customer. No forced hint: customer SCALES with the corpus
+    * (unlike nation/region), so the join strategy must stay size-
+    * driven — JoinSelection/AQE broadcasts it while it fits (it does
+    * at every test SF, plan-asserted) and degrades to a shuffle join
+    * at the scale where a forced broadcast would OOM the executors.
+    * Ref: recommender.py:164.
     */
   def joinSingleKey(s: SparkSession, d: String): DataFrame =
     orders(s, d)
-      .join(broadcast(customer(s, d)),
+      .join(customer(s, d),
         col("o_custkey") === col("c_custkey"), "inner")
       .select(col("o_orderkey"), col("c_name"), col("c_mktsegment"),
         col("o_totalprice").as("total"))
@@ -170,13 +174,15 @@ object Relational {
 
   /** Multi-way join + grouped agg — revenue by nation (TPC-H Q5 shape).
     * Join order at scale: lineitem ⋈ orders shuffles on orderkey;
-    * customer/nation are broadcast. Exercises what Catalyst's
-    * ReorderJoin + JoinSelection give for free.
+    * nation (25 rows, SF-invariant) is hint-broadcast; customer grows
+    * with SF so its strategy stays size-driven (broadcast while it
+    * fits, shuffle beyond). Exercises what Catalyst's ReorderJoin +
+    * JoinSelection give for free.
     */
   def joinMultiAgg(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
@@ -288,7 +294,8 @@ object Relational {
     */
   def topK(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
-      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      // part grows with SF — leave the join strategy size-driven
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
         .as("revenue"))

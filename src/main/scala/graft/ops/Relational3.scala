@@ -696,6 +696,12 @@ object Relational3 {
     * equality proves the incremental path reproduces the batch
     * result exactly — the invariant every incremental pipeline must
     * hold.
+    *
+    * `affected` is hint-broadcast deliberately: it is the delta's
+    * distinct key set, bounded by one ingest window's churn — the
+    * premise of incremental maintenance — not by the dimension's
+    * size. If a day's churn outgrew executor memory, incremental
+    * SCD2 is the wrong tool before the broadcast is.
     */
   def scd2Incremental(s: SparkSession, d: String): DataFrame = {
     val cutoff = lit("1999-01-01").cast("timestamp")

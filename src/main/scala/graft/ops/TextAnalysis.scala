@@ -204,7 +204,8 @@ object TextAnalysis {
     * corpus, top-5 terms per document for the first 50 docs.
     * Three shuffles total — (doc,term) counts, per-term document
     * frequency, per-doc totals — each a partial-combined hash
-    * aggregate; the IDF side (|vocab| rows) broadcasts back. Ranking
+    * aggregate; the IDF side (|vocab| rows) joins back size-driven
+    * (auto-broadcast while the vocabulary fits). Ranking
     * on the ROUNDED score with term tie-break keeps both engines
     * ordering identically (ln() can differ in the last ulp).
     */
@@ -220,7 +221,9 @@ object TextAnalysis {
     val n = documents(s, d).agg(count(lit(1)).as("n_docs"))
     val scored = tf
       .join(docLen, "doc_id")
-      .join(broadcast(df), "term")
+      // df has one row per distinct term — vocabulary-sized, which
+      // grows with the corpus: size-driven strategy, no forced hint
+      .join(df, "term")
       .crossJoin(broadcast(n))
       .filter(col("doc_id") < 50)
       .select(col("doc_id"), col("term"),

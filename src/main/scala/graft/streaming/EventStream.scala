@@ -356,7 +356,28 @@ object EventStream {
     graft.ops.Events.densifyHourly(sink)
   }
 
+  /** Streaming heavy hitters: the approx_top_k sketch as streaming
+    * aggregation state (ObjectHashAggregate buffers in the state
+    * store, merged across micro-batches), estimated after the drain.
+    * Capacity ≥ distinct event types, so — like the batch
+    * sketch_topk_exact — the sketch is provably exact and the oracle
+    * is a full hash-match against the exact GROUP BY, not a
+    * rows-only waiver: a streaming query with batch-exact semantics.
+    */
+  def topkSketchStream(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .select(col("event_type"))
+      .agg(expr("approx_top_k(event_type, 8, 64)").as("tk"))
+    runToCompletion(s, agg, OutputMode.Complete())
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("event_type"), col("e.count").as("cnt"))
+      .orderBy(col("cnt").desc, col("event_type"))
+  }
+
+  val topkSketchStreamSql: String = graft.ops.Skew.topkSketchSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topk_sketch"     -> (topkSketchStream _),
     "stream_gapfill"         -> (gapFillStream _),
     "stream_tumbling_window" -> (tumblingCounts _),
     "stream_sliding_window"  -> (slidingCounts _),
@@ -369,6 +390,7 @@ object EventStream {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_topk_sketch"     -> topkSketchStreamSql,
     "stream_gapfill"         -> graft.ops.Events.gapFillSql,
     "stream_tumbling_window" -> tumblingCountsSql,
     "stream_sliding_window"  -> slidingCountsSql,
