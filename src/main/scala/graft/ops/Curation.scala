@@ -49,6 +49,90 @@ object Curation {
       |       CAST(sum(n_toks) AS BIGINT) AS n_tokens
       |FROM b GROUP BY 1 ORDER BY split""".stripMargin
 
+  /** Temperature-resampled language mixture — the multilingual
+    * pretraining upsampling rule (sample language l with
+    * p_l ∝ share_l^α, α = 0.5, as in the mBERT / XLM-R exponential
+    * smoothing scheme): every document gets a deterministic integer
+    * multiplicity — floor(epochs_l) full copies plus one more iff its
+    * content-hash uniform falls under the fractional part — so the
+    * resampled corpus is reproducible under re-partitioning with no
+    * RNG state, and duplicate texts replicate identically (the same
+    * content-keyed discipline as hashSplit). epochs_l =
+    * sqrt(N / (K·n_l)) is the α = 0.5 rule normalized so a perfectly
+    * uniform corpus is a no-op; it is computed from exact integer
+    * counts only — no cross-group float sums — so both engines derive
+    * bit-identical epochs. Scale shape: two tiny aggregates
+    * (per-lang counts) broadcast back over one corpus scan; the only
+    * wide operation is the final per-lang rollup.
+    */
+  def langMixture(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tot = docs.agg(count(lit(1)).as("n_total"))
+    val k = counts.agg(count(lit(1)).as("k_langs"))
+    val epochs = counts.crossJoin(tot).crossJoin(k)
+      .withColumn("epochs",
+        round(sqrt(col("n_total").cast("double")
+          / (col("k_langs") * col("n")).cast("double")), 6))
+      .select(col("lang"), col("epochs"))
+    val perDoc = docs.join(broadcast(epochs), "lang")
+      .withColumn("u01",
+        conv(substring(md5(col("text")), 1, 4), 16, 10).cast("double")
+          / 65536.0)
+      .withColumn("mult",
+        (floor(col("epochs"))
+          + when(col("u01") < col("epochs") - floor(col("epochs")), 1)
+            .otherwise(0)).cast("long"))
+    val perLang = perDoc.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("epochs")).as("epochs"),
+        sum(col("mult")).as("n_sampled"))
+    val totSampled = perLang.agg(sum(col("n_sampled")).as("n_total_sampled"))
+    perLang.crossJoin(broadcast(tot)).crossJoin(broadcast(totSampled))
+      .select(col("lang"), col("n_docs"), col("epochs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6)
+          .as("orig_share"),
+        col("n_sampled"),
+        round(col("n_sampled").cast("double") / col("n_total_sampled"), 6)
+          .as("realized_share"))
+      .orderBy("lang")
+  }
+
+  val langMixtureSql: String =
+    """WITH c AS (
+      |  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+      |), t AS (
+      |  SELECT count(*) AS n_total FROM documents
+      |), k AS (
+      |  SELECT count(*) AS k_langs FROM c
+      |), e AS (
+      |  SELECT lang, round(sqrt(CAST(n_total AS DOUBLE)
+      |           / CAST(k_langs * n AS DOUBLE)), 6) AS epochs
+      |  FROM c, t, k
+      |), pd AS (
+      |  SELECT d.lang, e.epochs,
+      |         ('0x' || substr(md5(d.text), 1, 4))::BIGINT / 65536.0 AS u01
+      |  FROM documents d JOIN e ON d.lang = e.lang
+      |), m AS (
+      |  SELECT lang, epochs,
+      |         CAST(floor(epochs) AS BIGINT)
+      |           + CASE WHEN u01 < epochs - floor(epochs)
+      |                  THEN 1 ELSE 0 END AS mult
+      |  FROM pd
+      |), g AS (
+      |  SELECT lang, count(*) AS n_docs, max(epochs) AS epochs,
+      |         CAST(sum(mult) AS BIGINT) AS n_sampled
+      |  FROM m GROUP BY 1
+      |), ts AS (
+      |  SELECT CAST(sum(n_sampled) AS BIGINT) AS n_total_sampled FROM g
+      |)
+      |SELECT lang, n_docs, epochs,
+      |       round(CAST(n_docs AS DOUBLE) / n_total, 6) AS orig_share,
+      |       n_sampled,
+      |       round(CAST(n_sampled AS DOUBLE) / n_total_sampled, 6)
+      |         AS realized_share
+      |FROM g, t, ts ORDER BY lang""".stripMargin
+
   /** Benchmark decontamination: word-3-gram overlap between every
     * corpus document and a benchmark set (here: docs 0-4 stand in for
     * an eval benchmark). The benchmark's distinct shingles are tiny →
@@ -516,6 +600,7 @@ object Curation {
     "cur_weighted_sample" -> (weightedSample _),
     "cur_stratified"    -> (stratifiedSample _),
     "cur_hash_split"    -> (hashSplit _),
+    "cur_lang_mixture"  -> (langMixture _),
     "cur_contamination" -> (contamination _),
     "cur_summary"       -> (curationSummary _),
     "cur_chunk"         -> (chunk _),
@@ -530,6 +615,7 @@ object Curation {
     "cur_weighted_sample" -> weightedSampleSql,
     "cur_stratified"    -> stratifiedSampleSql,
     "cur_hash_split"    -> hashSplitSql,
+    "cur_lang_mixture"  -> langMixtureSql,
     "cur_contamination" -> contaminationSql,
     "cur_summary"       -> curationSummarySql,
     "cur_chunk"         -> chunkSql,

@@ -663,6 +663,111 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540): cluster the embedding space,
+    * then look for near-duplicates ONLY within a cluster, dropping
+    * every vector that has a lower-id in-cluster neighbor above the
+    * cosine threshold. The cluster pass is exactly what makes the
+    * method scale — the pairwise block is per-cluster (bounded by
+    * cluster size), never corpus², and the cluster id is the shuffle
+    * key, so each cluster's block runs where its vectors already
+    * live. Clusters here are nearest label-mean centroids (the same
+    * deterministic, SQL-replayable construction as centroidClassify;
+    * an unlabeled corpus would swap in the k-means quantizer's
+    * centroids from the IVF path — the downstream pair/drop logic is
+    * identical). Emits the per-cluster retention summary: vectors,
+    * dup pairs, dropped, kept.
+    */
+  private val SemDedupTau = 0.35
+
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("label"), col("vec_id"), asDouble(col("embedding")).as("v"))
+    val cents = e
+      .select(col("label").as("c_label"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("c_label"), col("dim"))
+      .agg(round(avg(col("x")), 6).as("m"))
+      .groupBy(col("c_label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        f => f.getField("m")).as("cv"))
+    val scored = e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("c_label"),
+        round(graft.functions.VectorFunctions.cosine_sim(col("v"), col("cv")),
+          6).as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(desc("cos"), asc("c_label"))
+    val asg = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("c_label").as("cluster"), col("vec_id"), col("v"))
+    val a = asg.select(col("cluster"), col("vec_id").as("a_id"),
+      col("v").as("a_v"))
+    val b = asg.select(col("cluster"), col("vec_id").as("b_id"),
+      col("v").as("b_v"))
+    val pairs = a.join(b, Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("cluster"), col("a_id"), col("b_id"),
+        round(graft.functions.VectorFunctions.cosine_sim(
+          col("a_v"), col("b_v")), 6).as("cos"))
+      .filter(col("cos") >= SemDedupTau)
+    val nPairs = pairs.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+    val nDropped = pairs.select(col("cluster"), col("b_id")).distinct()
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_dropped"))
+    asg.groupBy(col("cluster")).agg(count(lit(1)).as("n_vectors"))
+      .join(nPairs, Seq("cluster"), "left")
+      .join(nDropped, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_vectors"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_vectors") - coalesce(col("n_dropped"), lit(0L))).as("n_kept"))
+      .orderBy("cluster")
+  }
+
+  val semanticDedupSql: String =
+    """WITH e AS (
+      |  SELECT label, vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), cd AS (
+      |  SELECT label AS c_label, dim, round(avg(x), 6) AS m
+      |  FROM (SELECT label, generate_subscripts(v, 1) AS dim,
+      |               unnest(v) AS x FROM e)
+      |  GROUP BY 1, 2
+      |), cents AS (
+      |  SELECT c_label, list(m ORDER BY dim) AS cv FROM cd GROUP BY 1
+      |), scored AS (
+      |  SELECT e.vec_id, e.v, c.c_label,
+      |         round(list_dot_product(e.v, c.cv)
+      |               / (sqrt(list_dot_product(e.v, e.v))
+      |                  * sqrt(list_dot_product(c.cv, c.cv))), 6) AS cos
+      |  FROM e CROSS JOIN cents c
+      |), asg AS (
+      |  SELECT c_label AS cluster, vec_id, v FROM (
+      |    SELECT vec_id, v, c_label,
+      |           row_number() OVER (PARTITION BY vec_id
+      |                              ORDER BY cos DESC, c_label) AS rk
+      |    FROM scored) WHERE rk = 1
+      |), p0 AS (
+      |  SELECT a.cluster, a.vec_id AS a_id, b.vec_id AS b_id,
+      |         round(list_dot_product(a.v, b.v)
+      |               / (sqrt(list_dot_product(a.v, a.v))
+      |                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+      |  FROM asg a JOIN asg b
+      |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |), p AS (
+      |  SELECT * FROM p0 WHERE cos >= 0.35
+      |)
+      |SELECT v.cluster, v.n_vectors,
+      |       CAST(coalesce(np.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+      |       CAST(coalesce(dr.n_dropped, 0) AS BIGINT) AS n_dropped,
+      |       CAST(v.n_vectors - coalesce(dr.n_dropped, 0) AS BIGINT) AS n_kept
+      |FROM (SELECT cluster, count(*) AS n_vectors FROM asg GROUP BY 1) v
+      |LEFT JOIN (SELECT cluster, count(*) AS n_dup_pairs
+      |           FROM p GROUP BY 1) np USING (cluster)
+      |LEFT JOIN (SELECT cluster, count(DISTINCT b_id) AS n_dropped
+      |           FROM p GROUP BY 1) dr USING (cluster)
+      |ORDER BY cluster""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_quantize_int8"  -> (quantizeInt8 _),
     "sim_knn_brute"      -> (knnBruteForce _),
@@ -674,6 +779,7 @@ object Similarity {
     "sim_embed_stats"    -> (embedStats _),
     "sim_centroid_classify" -> (centroidClassify _),
     "dedup_embed_cosine" -> (embCosinePairs _),
+    "dedup_semantic"     -> (semanticDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -682,6 +788,7 @@ object Similarity {
     "sim_embed_stats"    -> embedStatsSql,
     "sim_centroid_classify" -> centroidClassifySql,
     "dedup_embed_cosine" -> embCosinePairsSql,
+    "dedup_semantic"     -> semanticDedupSql,
     // sim_ann_lsh: approximate by construction → rows-only; recall
     // vs. sim_knn_brute asserted in SimilaritySpec.
   )

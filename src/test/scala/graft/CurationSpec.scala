@@ -20,6 +20,32 @@ class CurationSpec extends SparkTestBase {
     assert(perText.filter($"nb" > 1).count() === 0)
   }
 
+  test("language mixture: epochs rule, conservation bounds, flattening") {
+    val rows = Curation.langMixture(spark, sf)
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val k = rows.length
+    val nTotal = rows.map(_._2).sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rows.foreach { case (lang, n, epochs, orig, sampled, realized) =>
+      // the alpha=0.5 temperature rule, from exact integer counts
+      assert(epochs === r6(math.sqrt(nTotal.toDouble / (k.toLong * n))),
+        s"$lang epochs")
+      // every doc contributes floor(e) or ceil(e) copies — nothing lost
+      assert(sampled >= math.floor(epochs).toLong * n &&
+        sampled <= math.ceil(epochs).toLong * n, s"$lang conservation")
+      // resampling moves every language TOWARD the uniform share 1/K
+      assert(math.abs(realized - 1.0 / k) <=
+        math.abs(orig - 1.0 / k) + 0.005, s"$lang flattening")
+    }
+    // multiplicity is content-keyed: identical corpus → identical plan
+    // output (pure hash, no RNG) — second run must match exactly
+    val again = Curation.langMixture(spark, sf)
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+    assert(rows.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
   test("contamination: benchmark docs fully contaminate themselves") {
     // a doc that IS a benchmark shingle-subset would score 1.0; all
     // scores are valid ratios and hits never exceed the shingle count

@@ -118,6 +118,57 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(graph >= ivf, s"graph recall@3 $graph < IVF seeds $ivf")
   }
 
+  test("semantic dedup: accounting, corpus cover, greedy lower-id drop rule") {
+    val out = Similarity.semanticDedup(spark, sf)
+      .as[(Int, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (_, nVec, _, nDrop, nKeep) =>
+      assert(nKeep + nDrop === nVec)
+    }
+    assert(out.map(_._2).sum ===
+      spark.read.parquet(s"$sf/embeddings.parquet").count())
+
+    // independent plain-Scala reimplementation: label-mean centroids
+    // (rounded 6 dp), nearest-centroid clusters, within-cluster pairs
+    // >= tau on the rounded cosine, greedy drop of the higher id
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Seq[Float])].collect()
+      .map { case (id, l, v) => (id, l, v.map(_.toDouble).toArray) }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dim = rows.head._3.length
+    val cents: Map[Int, Array[Double]] = rows.groupBy(_._2).map {
+      case (l, vs) =>
+        l -> Array.tabulate(dim)(i => r6(vs.map(_._3(i)).sum / vs.size))
+    }
+    val cluster: Map[Long, Int] = rows.map { case (id, _, v) =>
+      id -> cents.toSeq
+        .map { case (l, c) => (l, r6(cos(v, c))) }
+        .minBy { case (l, s) => (-s, l) }._1
+    }.toMap
+    val byId = rows.map(r => r._1 -> r._3).toMap
+    val ids = rows.map(_._1).sorted
+    val pairs = for {
+      a <- ids; b <- ids
+      if a < b && cluster(a) == cluster(b) && r6(cos(byId(a), byId(b))) >= 0.35
+    } yield (cluster(a), a, b)
+    val expected = rows.groupBy(r => cluster(r._1)).map { case (c, vs) =>
+      val cp = pairs.filter(_._1 == c)
+      (c, (vs.length.toLong, cp.length.toLong,
+        cp.map(_._3).distinct.length.toLong))
+    }
+    out.foreach { case (c, nVec, nPairs, nDrop, _) =>
+      assert(expected(c) === ((nVec, nPairs, nDrop)),
+        s"cluster $c mismatch vs independent reimplementation")
+    }
+  }
+
   test("sessionization: hand-checked tiny stream") {
     val min = 60L * 1000000000L // ns
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
