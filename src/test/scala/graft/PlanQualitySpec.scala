@@ -100,6 +100,40 @@ class PlanQualitySpec extends SparkTestBase {
       s"no bucket equi-join on day in the overlap plan:\n$p")
   }
 
+  test("semantic dedup: centroid scoring broadcasts, pair join keys on cluster") {
+    val df = graft.ops.Similarity.semanticDedup(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the within-cluster pairwise block must be an equi-join on the
+    // cluster id (the SemDeDup scale contract) — a cartesian over the
+    // corpus would be the n² plan the method exists to avoid
+    assert(!p.contains("CartesianProduct"),
+      s"pair search degraded to cartesian:\n$p")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cluster".r
+      .findFirstIn(p).isDefined
+      || "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[c_label".r
+        .findFirstIn(p).isDefined,
+      s"no cluster-keyed equi-join in the pair plan:\n$p")
+    // the tiny centroid relation rides in as a broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin")
+      || p.contains("BroadcastExchange"),
+      s"centroid scoring does not broadcast:\n$p")
+  }
+
+  test("language mixture: per-lang epochs broadcast back over the scan") {
+    val df = graft.ops.Curation.langMixture(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // K-row epochs / totals relations must broadcast — the corpus-side
+    // scan stays shuffle-free until the final per-lang rollup
+    assert("BroadcastHashJoin \\[lang".r.findFirstIn(p).isDefined,
+      s"epochs join is not a broadcast on lang:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scalar totals degraded to cartesian:\n$p")
+  }
+
   test("audio frame energy keeps whole-stage codegen over the media scan") {
     val df = graft.ops.Multimodal.audioEnergy(spark, sf)
     df.collect() // materialize so AQE finalizes and WSCG spans appear
