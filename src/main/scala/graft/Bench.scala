@@ -64,6 +64,17 @@ object Bench {
       (ok, bad)
     }
 
+    // Session bring-up (codegen infra, JIT, parquet reader init) is
+    // paid once per JVM; without this warm-up the sweep's FIRST query
+    // absorbs ~5 s of it, and since Map iteration order shifts as
+    // queries are added, round-over-round per-query cold numbers jump
+    // by whichever query happens to run first. Warm the session on
+    // plans that are NOT part of the sweep (a range agg + a tiny
+    // dimension scan) so cold numbers measure each query's own
+    // planning + codegen, not shared engine init.
+    spark.range(1000).selectExpr("sum(id) AS s").collect()
+    spark.read.parquet(s"$sfDir/nation.parquet").count()
+
     val (cold, coldFailed) = sweep()
     val (warm, _) = sweep()
 
