@@ -242,6 +242,68 @@ object Sources {
       |       min(y) AS min_y, max(y) AS max_y
       |FROM z GROUP BY stripe ORDER BY stripe""".stripMargin
 
+  /** File-statistics data skipping — the manifest-scan pattern of
+    * Delta/Iceberg with plain open-source Spark operators: (1) write
+    * the table range-clustered on the filter column so every file
+    * covers a narrow value band; (2) derive a MANIFEST — one row per
+    * file with min/max of the clustered column — from a single
+    * narrow scan grouped by `input_file_name()`; (3) for a range
+    * predicate, prune the file list against the manifest ON THE
+    * DRIVER (manifests are tiny — one row per file — which is
+    * exactly why table formats keep them out of the data path) and
+    * hand Spark only the surviving files. At 100 TB this is the
+    * difference between scanning a year and scanning the whole
+    * table even when partition pruning doesn't apply (too many
+    * distinct values to be a partition column). The residual filter
+    * stays on the scan, so correctness never depends on the
+    * manifest being right — it only saves IO. SourcesSpec asserts
+    * files were actually skipped; the oracle hash proves the pruned
+    * read returns exactly the full-scan answer.
+    */
+  def statsSkipping(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratch/orders_skip"
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(8, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    val lo = lit("1997-01-01").cast("timestamp")
+    val hi = lit("1997-12-31 23:59:59").cast("timestamp")
+    val manifest = s.read.parquet(out)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("o_orderdate")).as("f_lo"), max(col("o_orderdate")).as("f_hi"))
+    val keep = manifest.filter(col("f_hi") >= lo && col("f_lo") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    statsSkipFileCounts.put(d,
+      (keep.length, new java.io.File(out).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))))
+    s.read.parquet(keep: _*)
+      .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("total_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** (files read, files total) of the last statsSkipping run per sf
+    * dir — observability hook for the spec's skipped-files assert.
+    */
+  private[graft] val statsSkipFileCounts =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+
+  val statsSkippingSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |       round(sum(o_totalprice), 4) AS total_price,
+      |       min(o_orderdate) AS first_date,
+      |       max(o_orderdate) AS last_date
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59'
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   /** DSv2 WRITE round trip: an aggregate flows through the custom
     * sink's full batch commit protocol (executor DataWriters → per-
     * partition WriterCommitMessages → atomic driver commit) and is
@@ -366,6 +428,7 @@ object Sources {
     "src_dsv2_synthetic"   -> (syntheticScan _),
     "src_range_export"     -> (rangeExport _),
     "src_zorder_export"    -> (zorderExport _),
+    "src_stats_skipping"   -> (statsSkipping _),
     "src_dsv2_sink"        -> (dsv2SinkRoundtrip _),
     "src_dsv2_sink_overwrite" -> (dsv2SinkOverwrite _),
   )
@@ -380,6 +443,7 @@ object Sources {
     "src_dsv2_synthetic"   -> syntheticScanSql,
     "src_range_export"     -> rangeExportSql,
     "src_zorder_export"    -> zorderExportSql,
+    "src_stats_skipping"   -> statsSkippingSql,
     "src_dsv2_sink"        -> dsv2SinkRoundtripSql,
     "src_dsv2_sink_overwrite" -> dsv2SinkOverwriteSql,
   )

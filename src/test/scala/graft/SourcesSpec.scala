@@ -91,6 +91,27 @@ class SourcesSpec extends SparkTestBase {
     assert(back.collect().forall(_.getLong(1) > 0))
   }
 
+  test("stats skipping: files are actually pruned, answer equals full scan") {
+    import org.apache.spark.sql.functions._
+    val got = Sources.statsSkipping(spark, sf).collect()
+    // manifest pruning must have skipped real files (the 1997 band
+    // covers ~1/6 of the 1995..2001 date range across 8 range files)
+    val (read, total) = Sources.statsSkipFileCounts(sf)
+    assert(read < total, s"no files skipped: read $read of $total")
+    assert(read > 0)
+    // and the pruned read answers exactly like the unpruned scan
+    val want = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") <= lit("1997-12-31 23:59:59").cast("timestamp"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("total_price"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"))
+      .orderBy("o_orderstatus").collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
   test("bucketed join plans with no shuffle exchange") {
     val df = Sources.bucketedJoin(spark, sf)
     assert(df.count() > 0)
