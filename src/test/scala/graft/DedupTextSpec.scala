@@ -101,6 +101,19 @@ class DedupTextSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("incremental LSH merge equals the full rebuild, edge for edge") {
+    // the delta-only update (sign the new batch, band-join it against
+    // base ∪ delta, keep base-base edges untouched) must produce
+    // EXACTLY the edge relation a from-scratch rebuild would — same
+    // candidates, same estimates, same verified Jaccards
+    val inc = Dedup.incrementalEdges(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val full = Dedup.candidateEdges(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(inc.nonEmpty)
+    assert(inc === full)
+  }
+
   test("simhash: near-identical docs differ in fewer bits than distinct docs") {
     val base = (1 to 80).map(i => s"w$i").mkString(" ")
     val nearDup = base + " extra"
