@@ -304,6 +304,51 @@ object Sources {
       |  AND o_orderdate <= TIMESTAMP '1997-12-31 23:59:59'
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** Small-file compaction — the table-maintenance pass every
+    * streaming/micro-batch ingest needs at scale: a fragmented table
+    * (here: one file per ingest slice, 32 of them) is rewritten into
+    * few size-targeted files with `coalesce` — a NARROW rewrite, no
+    * shuffle: each output task concatenates input slices, so
+    * compacting N TB costs one read + one write and zero exchange.
+    * (`repartition` would also rebalance skewed slices, at shuffle
+    * price; coalesce is the default OPTIMIZE/compact shape.) The
+    * result aggregate is computed off the COMPACTED files, so the
+    * oracle hash proves the rewrite conserved every row; the spec
+    * additionally asserts the file count actually collapsed.
+    */
+  def compaction(s: SparkSession, d: String): DataFrame = {
+    val frag = s"$scratch/events_frag"
+    val out = s"$scratch/events_compact"
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .repartition(32) // stand-in for 32 micro-batch ingest files
+      .write.mode(SaveMode.Overwrite).parquet(frag)
+    s.read.parquet(frag).coalesce(4)
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    def nFiles(dir: String): Int = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    compactionFileCounts.put(d, (nFiles(frag), nFiles(out)))
+    s.read.parquet(out)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** (files before, files after) of the last compaction run per sf
+    * dir — observability hook for the spec's collapse assert.
+    */
+  private[graft] val compactionFileCounts =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+
+  val compactionSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** DSv2 WRITE round trip: an aggregate flows through the custom
     * sink's full batch commit protocol (executor DataWriters → per-
     * partition WriterCommitMessages → atomic driver commit) and is
@@ -429,6 +474,7 @@ object Sources {
     "src_range_export"     -> (rangeExport _),
     "src_zorder_export"    -> (zorderExport _),
     "src_stats_skipping"   -> (statsSkipping _),
+    "src_compaction"       -> (compaction _),
     "src_dsv2_sink"        -> (dsv2SinkRoundtrip _),
     "src_dsv2_sink_overwrite" -> (dsv2SinkOverwrite _),
   )
@@ -444,6 +490,7 @@ object Sources {
     "src_range_export"     -> rangeExportSql,
     "src_zorder_export"    -> zorderExportSql,
     "src_stats_skipping"   -> statsSkippingSql,
+    "src_compaction"       -> compactionSql,
     "src_dsv2_sink"        -> dsv2SinkRoundtripSql,
     "src_dsv2_sink_overwrite" -> dsv2SinkOverwriteSql,
   )

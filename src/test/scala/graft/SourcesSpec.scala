@@ -112,6 +112,16 @@ class SourcesSpec extends SparkTestBase {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("compaction collapses the file count without losing a row") {
+    val agg = Sources.compaction(spark, sf).collect()
+    val (before, after) = Sources.compactionFileCounts(sf)
+    assert(before > after, s"no collapse: $before -> $after files")
+    assert(after <= 4 && after > 0)
+    // row conservation across the rewrite
+    val n = agg.map(_.getLong(1)).sum
+    assert(n === spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
   test("bucketed join plans with no shuffle exchange") {
     val df = Sources.bucketedJoin(spark, sf)
     assert(df.count() > 0)
