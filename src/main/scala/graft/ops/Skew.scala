@@ -223,6 +223,39 @@ object Skew {
       .orderBy("event_type")
   }
 
+  /** Mergeable-QUANTILE-sketch rollup — the percentile counterpart of
+    * `hllRollup`, via graft's KLL aggregate pair (functions/
+    * KllQuantiles.scala, datasketches-backed like Spark 4's own hll_*
+    * functions): per-day KLL sketches of the value distribution per
+    * event type, merged into the full-window sketch WITHOUT re-reading
+    * raw data, then p50/p90/p99 estimates read from the merged sketch.
+    * Exact percentiles at 100 TB need a global sort per group; a KLL
+    * sketch is a few KB with a proven ~1.65% rank-error bound and —
+    * unlike percentile_approx, whose result shifts with partition
+    * count — merges associatively, so stored daily sketches answer any
+    * time-range percentile after the fact. Estimates are approximate →
+    * rows-only for the driver; SkewSketchSpec proves each reported
+    * quantile's EXACT rank lands within the KLL bound and that the
+    * daily-merge path agrees with a direct whole-window sketch.
+    */
+  def kllRollup(s: SparkSession, d: String): DataFrame = {
+    val kllAgg = udaf(graft.functions.KllQuantiles.SketchAgg)
+    val kllMerge = udaf(graft.functions.KllQuantiles.MergeAgg)
+    val q = udf(graft.functions.KllQuantiles.quantile _)
+    val daily = events(s, d)
+      .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(kllAgg(col("value")).as("sk"), count(lit(1)).as("n"))
+    daily.groupBy(col("event_type"))
+      .agg(kllMerge(col("sk")).as("sk"),
+        sum(col("n")).as("n_events"), count(lit(1)).as("n_days"))
+      .select(col("event_type"), col("n_events"), col("n_days"),
+        round(q(col("sk"), lit(0.5)), 6).as("approx_p50"),
+        round(q(col("sk"), lit(0.9)), 6).as("approx_p90"),
+        round(q(col("sk"), lit(0.99)), 6).as("approx_p99"))
+      .orderBy("event_type")
+  }
+
   /** Count-min-sketch heavy-hitter probe: build one CMS over the
     * full event stream (distributed, mergeable — `DataFrameStat
     * Functions.countMinSketch` reduces per-partition sketches), then
@@ -273,6 +306,7 @@ object Skew {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_topk_exact" -> (topkSketch _),
     "sketch_hll_rollup" -> (hllRollup _),
+    "sketch_kll_rollup" -> (kllRollup _),
     "sketch_cms_probe"  -> (cmsProbe _),
     "skew_salted_agg" -> (saltedAgg _),
     "skew_aqe_join"   -> (skewJoinAqe _),

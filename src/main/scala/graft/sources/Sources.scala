@@ -186,6 +186,96 @@ object Sources {
       |       max(i) AS max_id
       |FROM g WHERE bucket < 10 GROUP BY tag ORDER BY tag""".stripMargin
 
+  /** DSv2 FILTER pushdown through the custom connector: the `id`
+    * range predicate crosses the DSv2 boundary
+    * (`SupportsPushDownFilters`) and narrows the generator's key
+    * space at partition-planning time — rows outside [90000, 99000)
+    * are never created (SourcesSpec asserts the narrowed range in
+    * the scan description). The `tag` predicate is deliberately NOT
+    * pushable and stays a residual Spark-side filter, proving the
+    * pushed/residual split is sound. At 100 TB this is the contract
+    * that makes a selective query cheap: the source skips, Spark
+    * re-checks only what the source couldn't.
+    */
+  def dsv2Pushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-synthetic")
+      .option("rows", "100000").option("numPartitions", "8").load()
+      .filter(col("id") >= 90000L && col("id") < 99000L
+        && col("tag") =!= "t3")
+      .groupBy(col("tag"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy("tag")
+
+  val dsv2PushdownSql: String =
+    """WITH g AS (
+      |  SELECT i, (i * 31) % 1000 AS value,
+      |         't' || CAST(i % 10 AS VARCHAR) AS tag
+      |  FROM (SELECT unnest(generate_series(90000, 98999)) AS i)
+      |)
+      |SELECT tag, count(*) AS n, CAST(sum(value) AS BIGINT) AS sum_value,
+      |       min(i) AS min_id, max(i) AS max_id
+      |FROM g WHERE tag <> 't3' GROUP BY tag ORDER BY tag""".stripMargin
+
+  /** Dynamic partition pruning — THE partitioned-fact-table join
+    * optimization at warehouse scale: the fact side is laid out
+    * hive-partitioned on `ship_year`; the dimension side's filter
+    * (`era = 'recent'`) only reveals the matching years at RUNTIME,
+    * so static partition pruning can't help. Spark's DPP turns the
+    * broadcast dim into a subquery filter on the fact's PARTITION
+    * column (`dynamicpruningexpression` in PartitionFilters —
+    * spec-asserted), so only the 3 matching year directories are
+    * ever scanned. On a 100 TB date-partitioned fact this is the
+    * difference between scanning 7 years and scanning the filtered
+    * 3 — without the query author naming the years.
+    */
+  def dppJoin(s: SparkSession, d: String): DataFrame = {
+    val fact = s"$scratch/lineitem_by_year"
+    val dim = s"$scratch/year_dim"
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        year(col("l_shipdate")).as("ship_year"))
+      .write.mode(SaveMode.Overwrite).partitionBy("ship_year").parquet(fact)
+    // dimension as a real (scanned) relation, filtered at query time
+    s.range(1992, 1999).toDF("y")
+      .select(col("y").cast("int").as("ship_year"),
+        when(col("y") >= 1996, "recent").otherwise("legacy").as("era"))
+      .write.mode(SaveMode.Overwrite).parquet(dim)
+    dppPlan(s, fact, dim)
+  }
+
+  /** The join itself, separate so the spec can explain() it against
+    * the already-written layout.
+    */
+  private[graft] def dppPlan(s: SparkSession, fact: String,
+      dim: String): DataFrame =
+    s.read.parquet(fact)
+      .join(s.read.parquet(dim).filter(col("era") === "recent"),
+        Seq("ship_year"))
+      .groupBy(col("ship_year"), col("era"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        // integer-cents sum: order-independent, hash-stable x-engine
+        (sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")) / 100.0)
+          .as("sum_price"))
+      .orderBy("ship_year")
+
+  val dppJoinSql: String =
+    """WITH dim AS (
+      |  SELECT y AS ship_year,
+      |         CASE WHEN y >= 1996 THEN 'recent' ELSE 'legacy' END AS era
+      |  FROM (SELECT unnest(generate_series(1992, 1998)) AS y)
+      |)
+      |SELECT CAST(year(l_shipdate) AS INT) AS ship_year, era,
+      |       count(*) AS n_lines,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+      |         AS sum_price
+      |FROM lineitem
+      |JOIN dim ON CAST(year(l_shipdate) AS INT) = ship_year
+      |WHERE era = 'recent'
+      |GROUP BY 1, 2 ORDER BY ship_year""".stripMargin
+
   /** Z-order (Morton) clustered layout: interleave the low 10 bits of
     * two join/filter dimensions into one sort key, range-partition +
     * sort the write on it, so every output file covers a bounded TILE
@@ -471,6 +561,8 @@ object Sources {
     "src_bucketed_join"    -> (bucketedJoin _),
     "src_orc_roundtrip"    -> (orcRoundtrip _),
     "src_dsv2_synthetic"   -> (syntheticScan _),
+    "src_dsv2_pushdown"    -> (dsv2Pushdown _),
+    "src_dpp_join"         -> (dppJoin _),
     "src_range_export"     -> (rangeExport _),
     "src_zorder_export"    -> (zorderExport _),
     "src_stats_skipping"   -> (statsSkipping _),
@@ -487,6 +579,8 @@ object Sources {
     "src_bucketed_join"    -> bucketedJoinSql,
     "src_orc_roundtrip"    -> orcRoundtripSql,
     "src_dsv2_synthetic"   -> syntheticScanSql,
+    "src_dsv2_pushdown"    -> dsv2PushdownSql,
+    "src_dpp_join"         -> dppJoinSql,
     "src_range_export"     -> rangeExportSql,
     "src_zorder_export"    -> zorderExportSql,
     "src_stats_skipping"   -> statsSkippingSql,

@@ -7,8 +7,8 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -25,7 +25,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    parallelizes),
   *  - column pruning: `SupportsPushDownRequiredColumns` — a query
   *    projecting 2 of 4 columns generates rows of width 2 (pruning
-  *    reaches the generator, spec-asserted).
+  *    reaches the generator, spec-asserted),
+  *  - filter pushdown: `SupportsPushDownFilters` — range predicates
+  *    on the ordered `id` column narrow the generated key range at
+  *    partition-planning time (the source-side analog of parquet
+  *    row-group skipping: rows outside the range are never CREATED,
+  *    let alone scanned). Non-range predicates stay residual on the
+  *    Spark side, so correctness never depends on the source's
+  *    filter handling being complete.
   *
   * Row i (0 ≤ i < rows): id=i, bucket=i%97, value=(i*31)%1000,
   * tag='t'||i%10 — pure integer arithmetic, so the DuckDB oracle
@@ -79,28 +86,76 @@ class SyntheticTable(rows: Long, numPartitions: Int)
 }
 
 class SyntheticScanBuilder(rows: Long, numPartitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
   private var required: StructType = SyntheticSource.FullSchema
+  private var idLo: Long = 0L
+  private var idHi: Long = rows
+  private var accepted: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // empty projections (e.g. count(*)) still need a non-zero-width
     // reader schema in this simple generator
     if (requiredSchema.nonEmpty) required = requiredSchema
 
-  override def build(): Scan = new SyntheticScan(rows, numPartitions, required)
+  /** Accept range predicates on `id` (the generator's ordered key) by
+    * intersecting them into [idLo, idHi); everything else is returned
+    * as residual for Spark to evaluate post-scan. Accepted filters
+    * are reported fully-handled — the narrowed range makes them true
+    * by construction, so Spark can drop its own copy.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val num: PartialFunction[Any, Long] = {
+      case n: java.lang.Number => n.longValue()
+    }
+    val (ok, residual) = filters.partition {
+      case EqualTo("id", v) => num.isDefinedAt(v)
+      case GreaterThan("id", v) => num.isDefinedAt(v)
+      case GreaterThanOrEqual("id", v) => num.isDefinedAt(v)
+      case LessThan("id", v) => num.isDefinedAt(v)
+      case LessThanOrEqual("id", v) => num.isDefinedAt(v)
+      case IsNotNull("id") => true // id is non-null by schema
+      case _ => false
+    }
+    ok.foreach {
+      case EqualTo("id", v) =>
+        idLo = math.max(idLo, num(v)); idHi = math.min(idHi, num(v) + 1)
+      case GreaterThan("id", v) => idLo = math.max(idLo, num(v) + 1)
+      case GreaterThanOrEqual("id", v) => idLo = math.max(idLo, num(v))
+      case LessThan("id", v) => idHi = math.min(idHi, num(v))
+      case LessThanOrEqual("id", v) => idHi = math.min(idHi, num(v) + 1)
+      case IsNotNull("id") => ()
+      case _ => ()
+    }
+    accepted = ok
+    residual
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new SyntheticScan(idLo, math.max(idLo, idHi), numPartitions, required)
 }
 
 case class SyntheticRange(start: Long, end: Long) extends InputPartition
 
-class SyntheticScan(rows: Long, numPartitions: Int, schema: StructType)
-    extends Scan with Batch {
+class SyntheticScan(lo: Long, hi: Long, numPartitions: Int,
+    schema: StructType) extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
 
+  /** Shows the (possibly filter-narrowed) generated range in explain
+    * output — the spec asserts pushdown actually reached the source
+    * through this string.
+    */
+  override def description(): String =
+    s"graft-synthetic range=[$lo,$hi) cols=${schema.fieldNames.mkString(",")}"
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val step = math.max(1L, (rows + numPartitions - 1) / numPartitions)
-    (0L until rows by step)
-      .map(s => SyntheticRange(s, math.min(s + step, rows)))
+    val n = hi - lo
+    val step = math.max(1L, (n + numPartitions - 1) / numPartitions)
+    (lo until hi by step)
+      .map(s => SyntheticRange(s, math.min(s + step, hi)))
       .toArray[InputPartition]
   }
 

@@ -66,6 +66,43 @@ class SkewSketchSpec extends SparkTestBase {
     }
   }
 
+  test("KLL rollup: merged daily sketches hit exact ranks within the bound") {
+    val r = Skew.kllRollup(spark, sf)
+      .select($"event_type", $"approx_p50", $"approx_p90", $"approx_p99")
+      .as[(String, Double, Double, Double)].collect()
+    assert(r.nonEmpty)
+    val byType = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    // KLL k=200 ⇒ ~1.65% normalized rank error at 99% confidence; the
+    // INCLUSIVE rank of each reported quantile must land within a
+    // conservative 4% of its target rank
+    def exactRank(sorted: Array[Double], v: Double): Double =
+      sorted.count(_ <= v).toDouble / sorted.length
+    r.foreach { case (t, p50, p90, p99) =>
+      val sorted = byType(t)
+      for ((est, target) <- Seq(p50 -> 0.5, p90 -> 0.9, p99 -> 0.99)) {
+        val rk = exactRank(sorted, est)
+        assert(math.abs(rk - target) <= 0.04,
+          s"$t: quantile($target)=$est has exact rank $rk")
+      }
+    }
+    // reaggregability: the daily-merge path must agree with a direct
+    // whole-window sketch to within twice the single-sketch bound
+    val kllAgg = udaf(graft.functions.KllQuantiles.SketchAgg)
+    val q = udf(graft.functions.KllQuantiles.quantile _)
+    val direct = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy($"event_type").agg(kllAgg($"value").as("sk"))
+      .select($"event_type", q($"sk", lit(0.5)).as("p50"))
+      .as[(String, Double)].collect().toMap
+    r.foreach { case (t, p50, _, _) =>
+      val sorted = byType(t)
+      val drift = math.abs(exactRank(sorted, p50) - exactRank(sorted, direct(t)))
+      assert(drift <= 0.035,
+        s"$t: merged-path p50 $p50 vs direct ${direct(t)} rank drift $drift")
+    }
+  }
+
   test("CMS probe honors the one-sided count-min guarantee") {
     val total = spark.read.parquet(s"$sf/events.parquet").count()
     val rows = Skew.cmsProbe(spark, sf)

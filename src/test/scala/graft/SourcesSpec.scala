@@ -34,6 +34,33 @@ class SourcesSpec extends SparkTestBase {
       s"pruned scan still reads 'bucket':\n$scan")
   }
 
+  test("DSv2 filter pushdown narrows the generated id range at the source") {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.format("graft-synthetic")
+      .option("rows", "100000").option("numPartitions", "8").load()
+      .filter(col("id") >= 90000L && col("id") < 99000L
+        && col("tag") =!= "t3")
+    val plan = df.queryExecution.executedPlan.toString()
+    // the range predicate crossed the DSv2 boundary: the scan's
+    // description shows the narrowed generator range
+    assert(plan.contains("range=[90000,99000)"),
+      s"expected filter-narrowed source range in:\n$plan")
+    // the non-pushable tag predicate stayed a residual Spark filter
+    assert(plan.contains("Filter"), s"expected residual filter in:\n$plan")
+    assert(df.count() === 9000 - 900) // 9000 ids minus the t3 decile
+  }
+
+  test("dynamic partition pruning scans only dim-selected year partitions") {
+    val out = Sources.dppJoin(spark, sf) // writes fact+dim layouts
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // only years the filtered dim selects appear (1996..1998)
+    assert(rows.map(_.getInt(0)).toSet.subsetOf(Set(1996, 1997, 1998)))
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamicpruningexpression in fact PartitionFilters:\n$plan")
+  }
+
   test("range export writes disjoint, internally-sorted files") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
