@@ -804,7 +804,33 @@ object Relational3 {
       |  ON f.k IS NOT DISTINCT FROM d.k
       |GROUP BY label ORDER BY label""".stripMargin
 
+  /** Ordered string aggregation — Spark 4's `listagg` WITHIN GROUP
+    * (SQL:2016), the report/export shape for collapsing a group's
+    * members into one delimited field. The explicit ORDER BY inside
+    * the aggregate is what makes the result deterministic across
+    * partitionings (collect_list order is not a contract); c_name is
+    * unique so the sort is tie-free and the oracle hash is exact.
+    * Scale: one partial+final aggregate pair like any other agg —
+    * the per-group payload (not the corpus) bounds memory.
+    */
+  def listAgg(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_nationkey") < 10)
+      .groupBy(col("c_nationkey"))
+      .agg(expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)")
+        .as("names"),
+        count(lit(1)).as("n_customers"))
+      .orderBy("c_nationkey")
+
+  val listAggSql: String =
+    """SELECT c_nationkey,
+      |       string_agg(c_name, ',' ORDER BY c_name) AS names,
+      |       count(*) AS n_customers
+      |FROM customer WHERE c_nationkey < 10
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_listagg" -> (listAgg _),
     "rel_null_safe_join" -> (nullSafeJoin _),
     "rel_grouping_sets" -> (groupingSets _),
     "rel_percentile_disc" -> (percentileDisc _),
@@ -833,6 +859,7 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_listagg" -> listAggSql,
     "rel_null_safe_join" -> nullSafeJoinSql,
     "rel_grouping_sets" -> groupingSetsSql,
     "rel_percentile_disc" -> percentileDiscSql,

@@ -38,6 +38,24 @@ class MultimodalStreamSpec extends SparkTestBase {
     assert(streamed === batch)
   }
 
+  test("streaming KLL sketch state: quantile ranks inside the bound") {
+    val r = EventStream.kllSketchStream(spark, sf)
+      .select($"event_type", $"approx_p50", $"approx_p90")
+      .as[(String, Double, Double)].collect()
+    assert(r.nonEmpty)
+    val byType = spark.read.parquet(s"$sf/events.parquet")
+      .select($"event_type", $"value").as[(String, Double)].collect()
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    r.foreach { case (t, p50, p90) =>
+      val sorted = byType(t)
+      for ((est, target) <- Seq(p50 -> 0.5, p90 -> 0.9)) {
+        val rk = sorted.count(_ <= est).toDouble / sorted.length
+        assert(math.abs(rk - target) <= 0.04,
+          s"$t: streaming quantile($target)=$est has exact rank $rk")
+      }
+    }
+  }
+
   test("streaming stateful sessionization equals the batch window form") {
     val streamed = EventStream.sessionCounts(spark, sf)
       .select($"user_id", $"n_sessions").as[(Long, Long)].collect().toSet

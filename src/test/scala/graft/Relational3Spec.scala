@@ -17,6 +17,28 @@ class Relational3Spec extends SparkTestBase {
     assert(total === spark.read.parquet(s"$sf/lineitem.parquet").count())
   }
 
+  test("listagg: WITHIN GROUP ordering is partitioning-independent") {
+    import spark.implicits._
+    val direct = Relational3.listAgg(spark, sf)
+      .select($"c_nationkey", $"names").as[(Int, String)].collect().toMap
+    // same aggregate over an adversarially re-partitioned input must
+    // produce byte-identical strings — the ORDER BY inside the
+    // aggregate, not arrival order, defines the result
+    val shuffled = spark.read.parquet(s"$sf/customer.parquet")
+      .repartition(7, $"c_custkey")
+      .filter($"c_nationkey" < 10)
+      .groupBy($"c_nationkey")
+      .agg(expr("listagg(c_name, ',') WITHIN GROUP (ORDER BY c_name)")
+        .as("names"))
+      .select($"c_nationkey", $"names").as[(Int, String)].collect().toMap
+    assert(direct === shuffled)
+    // and each group's field really is sorted
+    direct.values.foreach { s =>
+      val parts = s.split(",").toSeq
+      assert(parts === parts.sorted)
+    }
+  }
+
   test("window nav: lag/lead invert each other along the frame") {
     import spark.implicits._
     val df = Relational3.windowNav(spark, sf).cache()
