@@ -230,17 +230,25 @@ object Sources {
     * 3 — without the query author naming the years.
     */
   def dppJoin(s: SparkSession, d: String): DataFrame = {
-    val fact = s"$scratch/lineitem_by_year"
-    val dim = s"$scratch/year_dim"
-    lineitem(s, d)
-      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
-        year(col("l_shipdate")).as("ship_year"))
-      .write.mode(SaveMode.Overwrite).partitionBy("ship_year").parquet(fact)
+    // the partitioned layout is the TABLE, not the query: lay it out
+    // once per corpus (pid-scoped scratch), run N pruned joins over
+    // it — exactly the warehouse shape, and the bench then measures
+    // the DPP join instead of re-exporting the fact table every run
+    val fact = graft.util.ScratchIndex.materializePath(
+      s, s"dppfact_${d.hashCode.toHexString}") { p =>
+      lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+          year(col("l_shipdate")).as("ship_year"))
+        .write.mode(SaveMode.Overwrite).partitionBy("ship_year").parquet(p)
+    }
     // dimension as a real (scanned) relation, filtered at query time
-    s.range(1992, 1999).toDF("y")
-      .select(col("y").cast("int").as("ship_year"),
-        when(col("y") >= 1996, "recent").otherwise("legacy").as("era"))
-      .write.mode(SaveMode.Overwrite).parquet(dim)
+    val dim = graft.util.ScratchIndex.materializePath(
+      s, s"dppdim_${d.hashCode.toHexString}") { p =>
+      s.range(1992, 1999).toDF("y")
+        .select(col("y").cast("int").as("ship_year"),
+          when(col("y") >= 1996, "recent").otherwise("legacy").as("era"))
+        .write.mode(SaveMode.Overwrite).parquet(p)
+    }
     dppPlan(s, fact, dim)
   }
 

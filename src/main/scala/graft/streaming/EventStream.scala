@@ -399,7 +399,75 @@ object EventStream {
       .orderBy("event_type")
   }
 
+  /** Checkpoint recovery / exactly-once across restarts — the
+    * fault-tolerance contract that makes streaming viable at scale:
+    * a file-source query consumes the first half of the landing
+    * files, is STOPPED (planned restart ≈ crash, same recovery
+    * path), more files arrive, and a brand-new query — same
+    * checkpoint, same sink — resumes from the recorded offsets. The
+    * source WAL (checkpoint offsets) guarantees no file is re-read;
+    * the parquet sink's _spark_metadata commit log guarantees
+    * readers see only committed batches. The result aggregate is
+    * over the SINK's committed output, so the DuckDB oracle hash
+    * proves end-to-end exactly-once: every event exactly once,
+    * across a restart. (StreamRecoverySpec additionally pins zero
+    * event_id duplicates and full coverage.)
+    */
+  def checkpointRecovery(s: SparkSession, dir: String): DataFrame = {
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ckrec_${dir.hashCode.toHexString}")
+    // fresh deterministic scratch per run: recovery must be
+    // demonstrated from ITS OWN first half, not a previous run's
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    val landing = s"$root/landing"
+    val out = s"$root/out"
+    val ck = s"$root/ck"
+    val ev = graft.util.Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    ev.filter(pmod(col("event_id"), lit(2)) === 0).coalesce(2)
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(landing)
+    def runOnce(): Unit = {
+      val q = s.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+        .withColumn("vcat",
+          when(col("value") >= 0, "pos").otherwise("neg"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode(OutputMode.Append()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce() // consumes the even half, then "crashes" (stop)
+    // late arrivals land while no query is running
+    ev.filter(pmod(col("event_id"), lit(2)) === 1).coalesce(2)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(landing)
+    runOnce() // NEW query, SAME checkpoint: resumes, no re-read
+    s.read.parquet(out) // _spark_metadata: committed batches only
+      .groupBy(col("event_type"), col("vcat"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("event_id")).as("n_distinct"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy("event_type", "vcat")
+  }
+
+  val checkpointRecoverySql: String =
+    """SELECT event_type,
+      |       CASE WHEN value >= 0 THEN 'pos' ELSE 'neg' END AS vcat,
+      |       count(*) AS n,
+      |       count(DISTINCT event_id) AS n_distinct,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY event_type, vcat""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_ckpt_recovery"   -> (checkpointRecovery _),
     "stream_quantile_sketch" -> (kllSketchStream _),
     "stream_topk_sketch"     -> (topkSketchStream _),
     "stream_gapfill"         -> (gapFillStream _),
@@ -414,6 +482,7 @@ object EventStream {
   )
 
   val oracle: Map[String, String] = Map(
+    "stream_ckpt_recovery"   -> checkpointRecoverySql,
     "stream_topk_sketch"     -> topkSketchStreamSql,
     "stream_gapfill"         -> graft.ops.Events.gapFillSql,
     "stream_tumbling_window" -> tumblingCountsSql,

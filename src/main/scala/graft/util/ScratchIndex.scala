@@ -49,6 +49,28 @@ object ScratchIndex {
     s.read.parquet(dst.toString)
   }
 
+  /** Like `materialize`, but the builder controls the write (e.g. a
+    * hive-partitioned `partitionBy` layout a plain parquet dump can't
+    * express). The callback writes into a unique temp dir which is
+    * atomically renamed into place; returns the final path.
+    */
+  def materializePath(s: SparkSession, key: String)(write: String => Unit)
+      : String = {
+    val dst = new File(root, key)
+    if (!dst.exists()) {
+      val tmp = new File(root,
+        s"$key.build_${java.util.UUID.randomUUID().toString.take(8)}")
+      write(tmp.toString)
+      try Files.move(tmp.toPath, dst.toPath,
+        StandardCopyOption.ATOMIC_MOVE): Unit
+      catch {
+        case _: java.nio.file.FileSystemException =>
+          deleteRecursively(tmp) // another builder won the rename
+      }
+    }
+    dst.toString
+  }
+
   private def deleteRecursively(f: File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)
