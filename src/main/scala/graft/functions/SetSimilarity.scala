@@ -107,6 +107,50 @@ object SortedLongIntersect {
   }
 }
 
+/** Intersection SIZE of two SORTED DISTINCT string arrays — the same
+  * merge pass as [[JaccardSorted]] but returning the raw |A∩B|, from
+  * which asymmetric measures (containment |A∩B|/|A|) derive without
+  * materializing the intersection. Same precondition as
+  * [[JaccardSorted]].
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
+object SortedIntersectCount {
+  /** Static hot path — called from both eval and generated code. */
+  def compute(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
 object SetSimilarityFunctions {
   import org.apache.spark.sql.GraftColumnBridge._
 
@@ -117,4 +161,8 @@ object SetSimilarityFunctions {
   /** |A∩B| of two sorted distinct long-array columns. */
   def sorted_long_intersect(a: Column, b: Column): Column =
     column(SortedLongIntersect(expression(a), expression(b)))
+
+  /** |A∩B| of two sorted distinct string-set columns. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expression(a), expression(b)))
 }

@@ -133,6 +133,57 @@ object Dedup {
        |FROM t a JOIN t b ON a.doc_id < b.doc_id
        |ORDER BY jaccard DESC, a_id, b_id LIMIT 100""".stripMargin
 
+  /** Asymmetric shingle CONTAINMENT over the same bounded pair block:
+    * |A∩B|/|A| and |A∩B|/|B| — the subset-duplication measure.
+    * Jaccard under-scores a short document quoted verbatim inside a
+    * long one (union is dominated by the long side); containment of
+    * the short side hits ~1.0 — exactly the boilerplate-wrapping /
+    * quotation case a pretraining dedup pass must catch. One fused
+    * sorted-merge intersect count per pair (SortedIntersectCount),
+    * both directions derived from it without materializing the
+    * intersection; ranked by the rounded max-direction value with id
+    * tie-breaks so both engines order identically.
+    */
+  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val inter = graft.functions.SetSimilarityFunctions
+      .sorted_intersect_count(col("a_sh"), col("b_sh"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(inter.cast("double") / size(col("a_sh")), 6)
+          .as("cont_a_in_b"),
+        round(inter.cast("double") / size(col("b_sh")), 6)
+          .as("cont_b_in_a"))
+      .withColumn("containment",
+        greatest(col("cont_a_in_b"), col("cont_b_in_a")))
+      .orderBy(desc("containment"), asc("a_id"), asc("b_id"))
+      .limit(100)
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         $shinglesSql AS sh
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+       |        FROM documents WHERE doc_id < 300)
+       |)
+       |SELECT a_id, b_id, cont_a_in_b, cont_b_in_a,
+       |       greatest(cont_a_in_b, cont_b_in_a) AS containment
+       |FROM (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |               / len(a.sh), 6) AS cont_a_in_b,
+       |         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |               / len(b.sh), 6) AS cont_b_in_a
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |)
+       |ORDER BY containment DESC, a_id, b_id LIMIT 100""".stripMargin
+
   // ---------------------------------------------------------------- //
   // MinHash + LSH banding — the at-scale near-dup path (rows-only     //
   // check: murmur3 seeds are Spark-internal, not DuckDB-replayable).  //
@@ -496,6 +547,7 @@ object Dedup {
     "dedup_exact"       -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_jaccard"     -> (jaccardPairs _),
+    "dedup_containment" -> (containmentPairs _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_lsh_incremental" -> (minhashLshIncremental _),
     "dedup_simhash"     -> (simhash _),
@@ -507,6 +559,7 @@ object Dedup {
     "dedup_exact"       -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_jaccard"     -> jaccardPairsSql,
+    "dedup_containment" -> containmentPairsSql,
     // minhash_lsh / simhash: murmur3-seeded, not DuckDB-replayable →
     // rows-only check here; cross-validated against dedup_jaccard in
     // the ScalaTest suite instead.

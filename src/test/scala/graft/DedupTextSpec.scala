@@ -47,6 +47,49 @@ class DedupTextSpec extends SparkTestBase {
     assert(got === Seq("only two"))
   }
 
+  test("containment: kernel equals declarative intersect, dominates jaccard") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"doc_id" < 60)
+      .select($"doc_id", Dedup.shingles($"text").as("sh"))
+    val a = docs.select($"doc_id".as("a_id"), $"sh".as("a_sh"))
+    val b = docs.select($"doc_id".as("b_id"), $"sh".as("b_sh"))
+    val kernel = graft.functions.SetSimilarityFunctions
+      .sorted_intersect_count($"a_sh", $"b_sh")
+    val rows = a.join(b, $"a_id" < $"b_id")
+      .select($"a_id", $"b_id",
+        kernel.as("inter_kernel"),
+        size(array_intersect($"a_sh", $"b_sh")).cast("long")
+          .as("inter_declarative"),
+        graft.functions.SetSimilarityFunctions
+          .jaccard_sorted($"a_sh", $"b_sh").as("jaccard"),
+        size($"a_sh").as("na"), size($"b_sh").as("nb"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("inter_kernel") === r.getAs[Long]("inter_declarative"),
+        s"kernel/declarative intersect disagree on (${r.get(0)},${r.get(1)})")
+      val inter = r.getAs[Long]("inter_kernel").toDouble
+      val cont = math.max(inter / r.getAs[Int]("na"), inter / r.getAs[Int]("nb"))
+      // max-direction containment always dominates jaccard:
+      // inter/min(na,nb) >= inter/union
+      assert(cont >= r.getAs[Double]("jaccard") - 1e-12)
+    }
+    // a strict subset scores containment 1.0 but jaccard < 1
+    val sub = docsDf((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .select($"doc_id", Dedup.shingles($"text").as("sh"))
+    val sa = sub.filter($"doc_id" === 1).select($"sh".as("a_sh"))
+    val sb = sub.filter($"doc_id" === 2).select($"sh".as("b_sh"))
+    val pair = sa.crossJoin(sb).select(
+      graft.functions.SetSimilarityFunctions
+        .sorted_intersect_count($"a_sh", $"b_sh").as("inter"),
+      size($"a_sh").as("na"),
+      graft.functions.SetSimilarityFunctions
+        .jaccard_sorted($"a_sh", $"b_sh").as("j")).first()
+    assert(pair.getAs[Long]("inter") === pair.getAs[Int]("na").toLong)
+    assert(pair.getAs[Double]("j") < 1.0)
+  }
+
   test("minhash LSH finds planted near-duplicates and skips distinct docs") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 60).map(i => if (i == 30) "CHANGED" else s"tok$i")
