@@ -30,6 +30,11 @@ object Sources {
   private lazy val scratch: String =
     Files.createTempDirectory("graft_sources").toString
 
+  /** Spec hook: resolve a layout written under this session's
+    * scratch root.
+    */
+  private[graft] def scratchPath(name: String): String = s"$scratch/$name"
+
   /** CSV sink → CSV source round-trip with explicit schema (header
     * off, typed read-back — the engine-default parse path of
     * SURVEY §1.3).
@@ -447,6 +452,43 @@ object Sources {
       |       round(sum(value), 4) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Schema evolution across ingest epochs — the lakehouse reality
+    * that a long-lived table's files do NOT share one schema: epoch-1
+    * files lack `o_orderpriority` (written before the column
+    * existed), epoch-2 files carry it. `mergeSchema` unifies the
+    * footers at read time; rows from pre-upgrade files surface the
+    * new column as NULL, which the query folds to a sentinel. At
+    * 100 TB this is why adding a column is a metadata operation —
+    * nothing is rewritten; the reader reconciles. The oracle replays
+    * the epoch split from the orderkey parity, so the hash proves
+    * NULL-backfill semantics exactly; the spec additionally asserts
+    * the on-disk footers really differ.
+    */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratch/orders_evolving"
+    val o = orders(s, d)
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode(SaveMode.Append).parquet(out)
+    s.read.option("mergeSchema", "true").parquet(out)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<pre-upgrade>"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("total"))
+      .orderBy("priority")
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
+      |            ELSE '<pre-upgrade>' END AS priority,
+      |       count(*) AS n_orders,
+      |       round(sum(o_totalprice), 4) AS total
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
   /** DSv2 WRITE round trip: an aggregate flows through the custom
     * sink's full batch commit protocol (executor DataWriters → per-
     * partition WriterCommitMessages → atomic driver commit) and is
@@ -575,6 +617,7 @@ object Sources {
     "src_zorder_export"    -> (zorderExport _),
     "src_stats_skipping"   -> (statsSkipping _),
     "src_compaction"       -> (compaction _),
+    "src_schema_evolution" -> (schemaEvolution _),
     "src_dsv2_sink"        -> (dsv2SinkRoundtrip _),
     "src_dsv2_sink_overwrite" -> (dsv2SinkOverwrite _),
   )
@@ -593,6 +636,7 @@ object Sources {
     "src_zorder_export"    -> zorderExportSql,
     "src_stats_skipping"   -> statsSkippingSql,
     "src_compaction"       -> compactionSql,
+    "src_schema_evolution" -> schemaEvolutionSql,
     "src_dsv2_sink"        -> dsv2SinkRoundtripSql,
     "src_dsv2_sink_overwrite" -> dsv2SinkOverwriteSql,
   )

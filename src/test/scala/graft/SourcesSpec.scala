@@ -61,6 +61,27 @@ class SourcesSpec extends SparkTestBase {
       s"expected dynamicpruningexpression in fact PartitionFilters:\n$plan")
   }
 
+  test("schema evolution: divergent footers merge, old rows null-backfill") {
+    import org.apache.spark.sql.functions._
+    val agg = Sources.schemaEvolution(spark, sf) // writes both epochs
+    assert(agg.columns.toSeq ===
+      Seq("priority", "n_orders", "total"))
+    assert(agg.filter(col("priority") === "<pre-upgrade>").count() === 1)
+    // the merged read exposes the evolved column over ALL files
+    val out = Sources.scratchPath("orders_evolving")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.contains("o_orderpriority"))
+    // per-file footers genuinely differ: some files lack the column
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    val widths = files.map(f => spark.read.parquet(f).columns.length).toSet
+    assert(widths === Set(3, 4),
+      s"expected mixed 3- and 4-column footers, got widths $widths")
+    // old-epoch rows surface NULL, new-epoch rows a real priority
+    assert(merged.filter(col("o_orderpriority").isNull)
+      .filter(pmod(col("o_orderkey"), lit(2)) === 1).count() === 0)
+  }
+
   test("range export writes disjoint, internally-sorted files") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
