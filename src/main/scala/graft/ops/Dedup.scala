@@ -357,17 +357,6 @@ object Dedup {
       .orderBy(desc("est_jaccard"), desc("jaccard"), asc("a_id"), asc("b_id"))
       .limit(50)
 
-  /** Collect a small bounded result, run `release` (unpersist of the
-    * intermediates that produced it), and return the rows as a local
-    * DataFrame with the same schema.
-    */
-  private def localized(s: SparkSession, df: DataFrame,
-      release: => Unit): DataFrame = {
-    val rows = df.collect()
-    release
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-  }
-
   /** SimHash: 32-bit sign-aggregated fingerprint over murmur3 token
     * hashes; docs whose fingerprints share a 16-bit half are near-dup
     * candidates (Hamming-LSH). Emits per-doc fingerprints plus bucket
@@ -416,6 +405,12 @@ object Dedup {
     * band-collision cross-check is spec-asserted on top).
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    // the converged clustering is itself a per-corpus derived index:
+    // the whole propagation runs inside the build thunk, so repeat
+    // calls read the memoized assignment table instead of re-looping
+    var release: () => Unit = () => ()
+    val clusters = graft.util.ScratchIndex.materialize(
+        s, s"dedupclusters_v1_${d.hashCode.toHexString}") {
     val pairs = candidateEdges(s, d)
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"))
@@ -468,10 +463,15 @@ object Dedup {
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"),
         lit(1L).as("cluster_size"))
-    val out = clustered.unionByName(singles).orderBy("doc_id")
     val labelsFinal = persisted
-    localized(s, out,
-      { edges.unpersist(); labelsFinal.unpersist(); () })
+    release = () => { edges.unpersist(); labelsFinal.unpersist(); () }
+    clustered.unionByName(singles)
+    }
+    // the materialize write executed the plan (distributed — no rows
+    // funnel through the driver); the cached intermediates behind it
+    // can now go
+    release()
+    clusters.orderBy("doc_id")
   }
 
   val dedupClustersSql: String =

@@ -44,15 +44,14 @@ object AlsPipeline {
 
   /** Ratings with declared schema; the timestamp column is dropped
     * exactly as the reference's parser does (recommender.py:44).
-    * Sorted + single-partition so randomSplit is deterministic
-    * regardless of the session's parallelism (per-partition sampling
-    * seeds depend on partition index).
+    * No imposed ordering or partitioning: the split downstream is
+    * content-hashed, so nothing here needs to funnel the relation
+    * into one partition for determinism.
     */
   def ratings(s: SparkSession): DataFrame = cached("ratings") {
     s.read.schema("userId INT, movieId INT, rating DOUBLE, ts LONG")
       .csv(s"$DataDir/ratings.csv")
       .select("userId", "movieId", "rating")
-      .orderBy("userId", "movieId").coalesce(1)
       .cache()
   }
 
@@ -107,11 +106,26 @@ object AlsPipeline {
       .setFinalStorageLevel("MEMORY_ONLY")
       .fit(train)
 
-  /** train/validation/test = 3/1/1, seed 0 (recommender.py:51). */
+  /** train/validation/test = 3/1/1 (recommender.py:51), via a
+    * CONTENT-HASH bucket split instead of `randomSplit`: each row's
+    * bucket is `xxhash64(userId, movieId) mod 5` ({0,1,2}=train,
+    * 3=val, 4=test). randomSplit's per-partition sampling seeds
+    * depend on partition index, so its determinism contract needed
+    * an `orderBy().coalesce(1)` funnel — fine at 100k reference
+    * rows, a non-starter at corpus scale. The hash split is
+    * deterministic under ANY partitioning (the assignment is a pure
+    * row function), assigns each row exactly once (no sampling
+    * variance in the partition sizes beyond hash uniformity), and is
+    * the split a 100-TB pipeline would use. (userId, movieId) is the
+    * ratings key, so buckets are well-defined per row.
+    */
   def splits(s: SparkSession): (DataFrame, DataFrame, DataFrame) =
     cached("splits") {
-      val Array(tr, va, te) =
-        ratings(s).randomSplit(Array(3, 1, 1), seed = 0)
+      val r = ratings(s).withColumn("bucket",
+        pmod(xxhash64(col("userId"), col("movieId")), lit(5)))
+      val tr = r.filter(col("bucket") <= 2).drop("bucket")
+      val va = r.filter(col("bucket") === 3).drop("bucket")
+      val te = r.filter(col("bucket") === 4).drop("bucket")
       (tr.cache(), va.cache(), te.cache())
     }
 

@@ -351,15 +351,19 @@ object Sources {
     * covers a narrow value band; (2) derive a MANIFEST — one row per
     * file with min/max of the clustered column — from a single
     * narrow scan grouped by `input_file_name()`; (3) for a range
-    * predicate, prune the file list against the manifest ON THE
-    * DRIVER (manifests are tiny — one row per file — which is
-    * exactly why table formats keep them out of the data path) and
-    * hand Spark only the surviving files. At 100 TB this is the
+    * predicate, prune the manifest DISTRIBUTED (the range filter
+    * runs as a Spark job over the manifest relation) and collect
+    * only the SURVIVING file names to the driver — bounded by a
+    * constant cap, because the planner needs a concrete path list
+    * (this is how Delta/Iceberg plan too; file scans are enumerated
+    * driver-side). Past the cap, pruning would keep most of the
+    * table, skipping saves little IO, and the query falls back to
+    * the full scan — identical answer, since the residual filter
+    * stays on the scan either way: correctness never depends on the
+    * manifest being right, it only saves IO. At 100 TB this is the
     * difference between scanning a year and scanning the whole
     * table even when partition pruning doesn't apply (too many
-    * distinct values to be a partition column). The residual filter
-    * stays on the scan, so correctness never depends on the
-    * manifest being right — it only saves IO. SourcesSpec asserts
+    * distinct values to be a partition column). SourcesSpec asserts
     * files were actually skipped; the oracle hash proves the pruned
     * read returns exactly the full-scan answer.
     */
@@ -376,12 +380,25 @@ object Sources {
     val manifest = s.read.parquet(out)
       .groupBy(input_file_name().as("file"))
       .agg(min(col("o_orderdate")).as("f_lo"), max(col("o_orderdate")).as("f_hi"))
-    val keep = manifest.filter(col("f_hi") >= lo && col("f_lo") <= hi)
-      .select(col("file")).collect().map(_.getString(0)).sorted
-    statsSkipFileCounts.put(d,
-      (keep.length, new java.io.File(out).listFiles()
-        .count(f => f.getName.endsWith(".parquet"))))
-    s.read.parquet(keep: _*)
+    // pruning filter executes distributed; only survivors cross to
+    // the driver, and never more than the planning cap (+1 detects
+    // overflow without counting the rest)
+    val survivors = manifest
+      .filter(col("f_hi") >= lo && col("f_lo") <= hi)
+      .select(col("file"))
+      .limit(MaxPlannedFiles + 1).collect().map(_.getString(0))
+    val total = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val scan =
+      if (survivors.length > MaxPlannedFiles) {
+        // skipping would keep ~everything: full scan, same answer
+        statsSkipFileCounts.put(d, (total, total))
+        s.read.parquet(out)
+      } else {
+        statsSkipFileCounts.put(d, (survivors.length, total))
+        s.read.parquet(survivors.sorted.toIndexedSeq: _*)
+      }
+    scan
       .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
@@ -390,6 +407,13 @@ object Sources {
         max(col("o_orderdate")).as("last_date"))
       .orderBy("o_orderstatus")
   }
+
+  /** Driver-side planning cap for statsSkipping's pruned file list:
+    * ~100k paths ≈ 10 MB of strings, comfortably below driver heap
+    * at any realistic manifest cardinality; beyond it the fallback
+    * full scan costs at most what skipping would barely have saved.
+    */
+  private val MaxPlannedFiles = 100000
 
   /** (files read, files total) of the last statsSkipping run per sf
     * dir — observability hook for the spec's skipped-files assert.
@@ -478,7 +502,11 @@ object Sources {
       .groupBy(coalesce(col("o_orderpriority"), lit("<pre-upgrade>"))
         .as("priority"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 4).as("total"))
+        // integer-cents sum (dppJoin pattern): ~1e10-magnitude double
+        // sums accumulate cross-engine in different orders, and the
+        // error is near round(...,4)'s granularity — hash fragile
+        (sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")) / 100.0)
+          .as("total"))
       .orderBy("priority")
   }
 
@@ -486,7 +514,7 @@ object Sources {
     """SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority
       |            ELSE '<pre-upgrade>' END AS priority,
       |       count(*) AS n_orders,
-      |       round(sum(o_totalprice), 4) AS total
+      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total
       |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
 
   /** DSv2 WRITE round trip: an aggregate flows through the custom

@@ -117,13 +117,23 @@ class SyntheticScanBuilder(rows: Long, numPartitions: Int)
       case IsNotNull("id") => true // id is non-null by schema
       case _ => false
     }
+    // saturating successor: v+1 on Long.MaxValue wraps to MinValue,
+    // which would silently WIDEN a bound that was reported as fully
+    // handled (e.g. id > MaxValue must yield the empty range, and
+    // id <= MaxValue must stay all-rows)
+    def succ(v: Long): Long =
+      if (v == Long.MaxValue) Long.MaxValue else v + 1
     ok.foreach {
       case EqualTo("id", v) =>
-        idLo = math.max(idLo, num(v)); idHi = math.min(idHi, num(v) + 1)
-      case GreaterThan("id", v) => idLo = math.max(idLo, num(v) + 1)
+        idLo = math.max(idLo, num(v)); idHi = math.min(idHi, succ(num(v)))
+      case GreaterThan("id", v) =>
+        // id > MaxValue is unsatisfiable: empty the range explicitly
+        // (succ saturates, so bump hi down instead of lo up)
+        if (num(v) == Long.MaxValue) idHi = idLo
+        else idLo = math.max(idLo, num(v) + 1)
       case GreaterThanOrEqual("id", v) => idLo = math.max(idLo, num(v))
       case LessThan("id", v) => idHi = math.min(idHi, num(v))
-      case LessThanOrEqual("id", v) => idHi = math.min(idHi, num(v) + 1)
+      case LessThanOrEqual("id", v) => idHi = math.min(idHi, succ(num(v)))
       case IsNotNull("id") => ()
       case _ => ()
     }

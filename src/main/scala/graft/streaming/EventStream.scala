@@ -26,6 +26,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 case class Ev(user_id: Long, tsUs: Long)
 case class UserSessions(user_id: Long, n_sessions: Long, max_session_ms: Long)
 
+/** Per-micro-batch sessionization emission: `n_events` is the size of
+  * the accumulated state the row was computed from, so for any user
+  * the emission with the largest n_events covers all of that user's
+  * events seen so far — the key to micro-batch-count-invariant output
+  * (see `sessionCounts`).
+  */
+case class UserSessionsAt(user_id: Long, n_sessions: Long,
+    max_session_ms: Long, n_events: Long)
+
 object EventStream {
 
   private val qid = new AtomicInteger(0)
@@ -39,7 +48,7 @@ object EventStream {
     * file source and return the materialized result. Memory sink +
     * processAllAvailable = deterministic synchronous drain.
     */
-  private[streaming] def runToCompletion(s: SparkSession, df: DataFrame,
+  private[graft] def runToCompletion(s: SparkSession, df: DataFrame,
       mode: OutputMode): DataFrame = {
     val name = s"graft_stream_${qid.incrementAndGet()}"
     // Stateful streaming cost per micro-batch scales with the number
@@ -99,16 +108,26 @@ object EventStream {
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
   /** Stateful sessionization with flatMapGroupsWithState: per-user
-    * state machine splitting on >30-min gaps. Bounded input drains in
-    * one batch; the state-machine logic is what a live stream runs.
+    * state machine splitting on >30-min gaps.
+    *
+    * Micro-batch invariance: Append mode emits one row per user PER
+    * MICRO-BATCH the user appears in, so if the source splits the
+    * input across triggers (more files, maxFilesPerTrigger), a user
+    * surfaces multiple times with progressively-complete results.
+    * Every emission is computed from the FULL accumulated state and
+    * carries `n_events` (the state size it saw), so keeping each
+    * user's max-`n_events` emission yields the same answer no matter
+    * how the source batches — proven by StreamRecoverySpec against a
+    * one-file-per-trigger replay.
     */
-  def sessionCounts(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def sessionizeCore(s: SparkSession, src: DataFrame)
+      : DataFrame = {
     import s.implicits._
     val gapUs = 30L * 60 * 1000000L // µs basis, see ops.Events scaladoc
-    val ds = eventsStream(s, dir)
+    val ds = src
       .select(col("user_id"), expr("ts div 1000").as("tsUs")).as[Ev]
     val sessions = ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[Long], UserSessions](
+      .flatMapGroupsWithState[List[Long], UserSessionsAt](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[List[Long]]) =>
           val ts = (evs.map(_.tsUs) ++ state.getOption.getOrElse(Nil))
@@ -128,11 +147,28 @@ object EventStream {
           }
           n += 1
           maxMs = math.max(maxMs, (prev - start) / 1000)
-          Iterator(UserSessions(uid, n, maxMs))
+          Iterator(UserSessionsAt(uid, n, maxMs, ts.length.toLong))
       }
-    runToCompletion(s, sessions.toDF(), OutputMode.Append())
-      .orderBy("user_id")
+    sessions.toDF()
   }
+
+  /** Final per-user sessions from the drained emissions: the
+    * max-`n_events` row per user is the one computed from the user's
+    * complete event set (ties impossible — state only grows).
+    */
+  private[graft] def sessionizeFinal(emissions: DataFrame): DataFrame =
+    emissions
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("n_sessions"), col("max_session_ms")), col("n_events"))
+        .as("fin"))
+      .select(col("user_id"), col("fin.n_sessions").as("n_sessions"),
+        col("fin.max_session_ms").as("max_session_ms"))
+      .orderBy("user_id")
+
+  def sessionCounts(s: SparkSession, dir: String): DataFrame =
+    sessionizeFinal(runToCompletion(s,
+      sessionizeCore(s, eventsStream(s, dir)), OutputMode.Append()))
 
   val sessionCountsSql: String =
     """WITH marked AS (
@@ -227,14 +263,13 @@ object EventStream {
     * stream→sink→batch round trip against the batch oracle.
     */
   def foreachBatchSink(s: SparkSession, dir: String): DataFrame = {
-    // deterministic scratch path, cleared up-front: foreachBatch must
-    // append per micro-batch, so Overwrite can't be used inside the
-    // sink — but a fresh createTempDirectory per invocation would
-    // leak a full copy of the events table into /tmp on every run
-    // (bench sweeps this twice per round)
-    val out = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_febatch_${dir.hashCode.toHexString}").toString
+    // deterministic pid-scoped scratch path, cleared up-front:
+    // foreachBatch must append per micro-batch, so Overwrite can't be
+    // used inside the sink — but a fresh createTempDirectory per
+    // invocation would leak a full copy of the events table into /tmp
+    // on every run (bench sweeps this twice per round)
+    val out = graft.util.ScratchIndex
+      .dir(s"febatch_${dir.hashCode.toHexString}").toString
     deleteRecursively(new java.io.File(out))
     val src = eventsStream(s, dir)
       .select(col("event_id"), col("event_type"), col("value"))
@@ -413,10 +448,17 @@ object EventStream {
     * across a restart. (StreamRecoverySpec additionally pins zero
     * event_id duplicates and full coverage.)
     */
+  /** Scratch root for `checkpointRecovery` — pid-scoped via
+    * ScratchIndex.dir: the run starts by recursively deleting it, so
+    * a path shared across JVMs would let two concurrent harnesses
+    * delete each other's in-flight checkpoint/sink. Exposed so the
+    * spec derives the offsets path from the same rule.
+    */
+  private[graft] def ckrecRoot(dir: String): java.io.File =
+    graft.util.ScratchIndex.dir(s"ckrec_${dir.hashCode.toHexString}")
+
   def checkpointRecovery(s: SparkSession, dir: String): DataFrame = {
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_ckrec_${dir.hashCode.toHexString}")
+    val root = ckrecRoot(dir)
     // fresh deterministic scratch per run: recovery must be
     // demonstrated from ITS OWN first half, not a previous run's
     def rm(f: java.io.File): Unit = {

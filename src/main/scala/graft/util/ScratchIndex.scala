@@ -71,6 +71,15 @@ object ScratchIndex {
     dst.toString
   }
 
+  /** A named scratch directory under the pid-scoped root, for callers
+    * that manage their own file layout (streaming checkpoints/sinks).
+    * Pid-scoping matters because those callers typically START by
+    * recursively deleting the directory — a path shared across JVMs
+    * would let two concurrent harnesses delete each other's in-flight
+    * state. Cleaned up by the same shutdown hook as the indexes.
+    */
+  def dir(key: String): File = new File(root, key)
+
   private def deleteRecursively(f: File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)

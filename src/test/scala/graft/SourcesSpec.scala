@@ -50,6 +50,19 @@ class SourcesSpec extends SparkTestBase {
     assert(df.count() === 9000 - 900) // 9000 ids minus the t3 decile
   }
 
+  test("DSv2 pushdown bound arithmetic saturates at Long.MaxValue") {
+    import org.apache.spark.sql.functions._
+    def synth = spark.read.format("graft-synthetic")
+      .option("rows", "1000").option("numPartitions", "2").load()
+    // id > MaxValue is unsatisfiable; a wrapping v+1 would have left
+    // the range un-narrowed while reporting the filter fully handled
+    assert(synth.filter(col("id") > Long.MaxValue).count() === 0)
+    // id <= MaxValue is a tautology; a wrapping v+1 would have
+    // collapsed the range to empty
+    assert(synth.filter(col("id") <= Long.MaxValue).count() === 1000)
+    assert(synth.filter(col("id") === Long.MaxValue).count() === 0)
+  }
+
   test("dynamic partition pruning scans only dim-selected year partitions") {
     val out = Sources.dppJoin(spark, sf) // writes fact+dim layouts
     val rows = out.collect()

@@ -4,6 +4,40 @@ import graft.streaming.EventStream
 
 class StreamRecoverySpec extends SparkTestBase {
 
+  test("sessionize output is micro-batch-count invariant") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    val root = graft.util.ScratchIndex.dir(s"sessmb_${sf.hashCode.toHexString}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    val landing = new java.io.File(root, "landing").toString
+    // split the corpus across 6 files; one file per trigger forces a
+    // multi-batch drain where users straddle micro-batches
+    graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"))
+      .repartition(6)
+      .write.parquet(landing)
+    val src = spark.readStream.schema("user_id LONG, ts LONG")
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    val emissions = EventStream.runToCompletion(spark,
+      EventStream.sessionizeCore(spark, src), OutputMode.Append()).cache()
+    val users = emissions.select("user_id").distinct().count()
+    // the hazard is real: Append mode re-emitted users across batches
+    assert(emissions.count() > users,
+      "expected duplicate per-batch emissions — input drained in one batch")
+    // ...and the final-emission reduction recovers the exact batch answer
+    val fin = EventStream.sessionizeFinal(emissions)
+      .select("user_id", "n_sessions", "max_session_ms")
+    val batch = graft.ops.Events.sessionize(spark, sf)
+      .select("user_id", "n_sessions", "max_session_ms")
+    assert(fin.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(fin).count() === 0)
+    emissions.unpersist()
+  }
+
   test("checkpoint restart delivers every event exactly once") {
     val agg = EventStream.checkpointRecovery(spark, sf).collect()
     assert(agg.nonEmpty)
@@ -20,9 +54,7 @@ class StreamRecoverySpec extends SparkTestBase {
     assert(total === expected)
     // and the restart actually split the work: the checkpoint's WAL
     // must record offsets from BOTH query incarnations
-    val ckRoot = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_ckrec_${sf.hashCode.toHexString}/ck/offsets")
+    val ckRoot = new java.io.File(EventStream.ckrecRoot(sf), "ck/offsets")
     val batches = ckRoot.listFiles().map(_.getName).filterNot(_.startsWith("."))
     assert(batches.length >= 2,
       s"expected multiple micro-batches across restarts, got ${batches.toSeq}")
