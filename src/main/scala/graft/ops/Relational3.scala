@@ -720,6 +720,51 @@ object Relational3 {
   // identical to the full rebuild — that equality IS the check
   val scd2IncrementalSql: String = scd2Sql
 
+  /** INCREMENTAL AGGREGATE maintenance — materialized-view upkeep for
+    * distributive aggregates: yesterday's per-customer state
+    * (count / integer-cents sum / max date) + today's delta,
+    * combined state-to-state. The merge is ONE outer combine on the
+    * key — counts and sums add, max takes the greater — so raw
+    * history is NEVER re-scanned: the delta aggregates over one
+    * ingest window and the base table is touched only as already-
+    * aggregated state. At 100 TB this is the difference between an
+    * overnight MV refresh costing O(delta) and one costing
+    * O(history). avg/stddev derive from (sum, count, sum²) the same
+    * way; non-distributive aggregates (median, distinct) need
+    * sketches (see sketch_kll_rollup / sketch_hll_rollup — the same
+    * merge discipline with mergeable summaries).
+    *
+    * The ORACLE is the FULL REBUILD (rel_scd2_incremental
+    * discipline): hash equality proves merged state ≡ recomputing
+    * from all of history.
+    */
+  def aggIncremental(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val ord = orders(s, d)
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+        max(col("o_orderdate")).as("last_order"))
+    val base = partial(ord.filter(col("o_orderdate") < cutoff))
+    val delta = partial(ord.filter(col("o_orderdate") >= cutoff))
+    base.as("b").join(delta.as("dl"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("b.n_orders"), lit(0L))
+          + coalesce(col("dl.n_orders"), lit(0L))).as("n_orders"),
+        ((coalesce(col("b.cents"), lit(0L))
+          + coalesce(col("dl.cents"), lit(0L))) / 100.0).as("total_spend"),
+        greatest(col("b.last_order"), col("dl.last_order")).as("last_order"))
+      .orderBy("o_custkey")
+  }
+
+  val aggIncrementalSql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+      |         AS total_spend,
+      |       max(o_orderdate) AS last_order
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   /** Explicit GROUPING SETS — arbitrary grouping combinations in one
     * Expand + one shuffle (cube/rollup are the closed-form cousins;
     * this is the general form a reporting layer emits). grouping_id
@@ -835,6 +880,7 @@ object Relational3 {
     "rel_grouping_sets" -> (groupingSets _),
     "rel_percentile_disc" -> (percentileDisc _),
     "rel_scd2_incremental" -> (scd2Incremental _),
+    "rel_agg_incremental"  -> (aggIncremental _),
     "rel_rolling_median" -> (rollingMedian _),
     "rel_scd2"        -> (scd2 _),
     "rel_cube"        -> (cubeAgg _),
@@ -864,6 +910,7 @@ object Relational3 {
     "rel_grouping_sets" -> groupingSetsSql,
     "rel_percentile_disc" -> percentileDiscSql,
     "rel_scd2_incremental" -> scd2IncrementalSql,
+    "rel_agg_incremental"  -> aggIncrementalSql,
     "rel_rolling_median" -> rollingMedianSql,
     "rel_scd2"        -> scd2Sql,
     "rel_cube"        -> cubeAggSql,

@@ -303,6 +303,132 @@ object Skew {
     """SELECT event_type, count(*) AS cnt FROM events
       |GROUP BY event_type ORDER BY cnt DESC, event_type LIMIT 8""".stripMargin
 
+  /** Theta-sketch SET ALGEBRA over distinct users per event type —
+    * the audience-overlap / funnel-conversion primitive: "distinct
+    * users who viewed AND purchased" is NOT computable from
+    * per-segment HLL counts (HLL only unions; inclusion-exclusion
+    * subtraction amplifies error), but theta sketches retain a
+    * uniform hash sample of the distinct set, so union, intersection
+    * and difference compose sketch-to-sketch over stored summaries —
+    * no raw-data re-read, any segment pair answerable after the
+    * fact. Build is one exact-shuffle-free pass (partial unions
+    * merge associatively); the per-type sketches collected to the
+    * driver are ≤ 4096 entries each by construction (segment-count
+    * bounded, like the other ≤20-row driver sites). Estimates are
+    * approximate ⇒ rows-only; SkewSketchSpec pins each estimate
+    * against the exact distinct sets within the published RSE bound.
+    */
+  def thetaOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val thetaAgg = udaf(graft.functions.ThetaSketches.SketchAgg)
+    val perType = events(s, d)
+      .groupBy(col("event_type"))
+      .agg(thetaAgg(col("user_id")).as("sk"))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("sk")).toMap
+    val T = graft.functions.ThetaSketches
+    val pairs = Seq(("view", "purchase"), ("view", "click"),
+      ("signup", "purchase"))
+    pairs.map { case (a, b) =>
+      (a, b,
+        math.round(T.estimate(perType(a))),
+        math.round(T.estimate(perType(b))),
+        math.round(T.unionEstimate(perType(a), perType(b))),
+        math.round(T.intersectEstimate(perType(a), perType(b))),
+        math.round(T.aNotBEstimate(perType(a), perType(b))))
+    }.toDF("type_a", "type_b", "n_a", "n_b",
+      "n_union", "n_intersect", "n_a_not_b")
+      .orderBy("type_a", "type_b")
+  }
+
+  // ------------------------------------------------------------------ //
+
+  /** Catalog database holding ANALYZEd narrow projections for the
+    * cost-based-optimization demo, built + ANALYZEd once per corpus
+    * per JVM. `ANALYZE TABLE ... FOR ALL COLUMNS` persists rowCount +
+    * per-column min/max/ndv/null stats into the metastore — the
+    * inputs CostBasedJoinReorder's dynamic program and the stats-
+    * based broadcast decisions consume.
+    */
+  private val cboDbs = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private[graft] def cboStatsDb(s: SparkSession, d: String): String =
+    cboDbs.getOrElseUpdate(d, {
+      val db = s"graft_cbo_${d.hashCode.toHexString}"
+      for (t <- Seq("lineitem_c", "part_c", "supplier_c")) {
+        s.sql(s"DROP TABLE IF EXISTS $db.$t")
+        // the warehouse dir outlives the per-JVM Derby metastore
+        val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+        val loc = new java.io.File(s"$wh/$db.db/$t")
+        if (loc.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete(): Unit
+          }
+          rm(loc)
+        }
+      }
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      lineitem(s, d).select("l_partkey", "l_suppkey", "l_quantity")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(s"$db.lineitem_c")
+      part(s, d).select("p_partkey", "p_size")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(s"$db.part_c")
+      supplier(s, d).select("s_suppkey", "s_nationkey")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .saveAsTable(s"$db.supplier_c")
+      for (t <- Seq("lineitem_c", "part_c", "supplier_c"))
+        s.sql(s"ANALYZE TABLE $db.$t COMPUTE STATISTICS FOR ALL COLUMNS")
+      db
+    })
+
+  /** The join written in a deliberately BAD syntactic order —
+    * supplier ⋈ lineitem first (its intermediate is every lineitem
+    * row), with the selective part filter joined last. The rule-based
+    * optimizer executes joins in syntactic order; with CBO + column
+    * stats the join-reorder DP sees |σ(part)| ≪ |supplier| and joins
+    * lineitem ⋈ σ(part) FIRST, shrinking the intermediate by the
+    * filter's selectivity — at 100 TB the difference between
+    * shuffling the whole fact once or twice. SkewSketchSpec asserts
+    * the reorder actually fires (part joins innermost under CBO, not
+    * without), and the oracle hash proves reordering never changes
+    * the answer.
+    */
+  private[graft] def cboPlan(s: SparkSession, db: String): DataFrame =
+    s.table(s"$db.supplier_c")
+      .join(s.table(s"$db.lineitem_c"), col("s_suppkey") === col("l_suppkey"))
+      .join(s.table(s"$db.part_c"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_size") <= 2)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy("s_nationkey")
+
+  def cboReorder(s: SparkSession, d: String): DataFrame = {
+    val db = cboStatsDb(s, d)
+    graft.util.Confs.withConfs(s)(
+      "spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true") {
+      val out = cboPlan(s, db)
+      // materialize while CBO is live (plans optimize at action time);
+      // ≤25 rows (one per nation key) — bounded by construction
+      val rows = out.collect().toSeq
+      s.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), out.schema)
+    }
+  }
+
+  val cboReorderSql: String =
+    """SELECT s_nationkey, count(*) AS n_lines,
+      |       round(sum(l_quantity), 2) AS sum_qty
+      |FROM supplier
+      |JOIN lineitem ON s_suppkey = l_suppkey
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_size <= 2
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sketch_topk_exact" -> (topkSketch _),
     "sketch_hll_rollup" -> (hllRollup _),
@@ -312,6 +438,8 @@ object Skew {
     "skew_aqe_join"   -> (skewJoinAqe _),
     "sketch_agg"      -> (sketchAgg _),
     "bloom_join"      -> (bloomJoin _),
+    "opt_cbo_reorder" -> (cboReorder _),
+    "sketch_theta_ops" -> (thetaOps _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -319,6 +447,7 @@ object Skew {
     "skew_salted_agg" -> saltedAggSql,
     "skew_aqe_join"   -> skewJoinAqeSql,
     "bloom_join"      -> bloomJoinSql,
+    "opt_cbo_reorder" -> cboReorderSql,
     // sketch_agg: approximate → rows-only; error-bounded in SketchSpec
   )
 }

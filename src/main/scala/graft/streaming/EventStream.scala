@@ -508,6 +508,100 @@ object EventStream {
       |FROM events
       |GROUP BY 1, 2 ORDER BY event_type, vcat""".stripMargin
 
+  /** Rows dropped by the watermark in the last `lateDataDrop` run per
+    * sf dir — observability hook for the spec's dropped-rows assert.
+    */
+  private[graft] val lateDropCounts =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  /** Watermark LATE-DATA semantics, proven end-to-end: the state-
+    * bounding contract that makes unbounded streaming aggregation
+    * viable — without it, window state grows forever and every
+    * straggler reopens history.
+    *
+    * Staged replay (one file per trigger, modification-time ordered):
+    *  1. every event, one file → the watermark advances to
+    *     max(event_time) − 1 h at batch end;
+    *  2. a far-future flush event → the first-stage windows are
+    *     evicted + emitted under the advanced watermark, which then
+    *     moves past every original window;
+    *  3. LATE REPLAYS — duplicates of the first hour's events
+    *     (negated ids, same values) arriving after their windows were
+    *     evicted → the state operator DROPS them (they'd otherwise
+    *     reopen closed windows and re-emit them). The flush's own
+    *     window stays pending and never surfaces.
+    *
+    * Ordering matters, and is itself the documented Spark contract:
+    * a watermark only GUARANTEES a drop once eviction has run, i.e.
+    * data later than the threshold that arrives in the very next
+    * trigger may still be aggregated ("may or may not get
+    * aggregated" in the Structured Streaming guide). The flush
+    * trigger between on-time and late stages is what makes the drop
+    * deterministic here — at production scale that spacing is the
+    * steady stream itself.
+    *
+    * The oracle aggregates the ORIGINAL events only: if the engine
+    * failed to drop the late replays, the first hour's buckets would
+    * double-count (or re-emit) and the hash would diverge — so the
+    * oracle equality IS the proof of the drop. The spec additionally
+    * pins numRowsDroppedByWatermark > 0 (drops really happened, the
+    * late file wasn't just ignored).
+    */
+  def lateDataDrop(s: SparkSession, dir: String): DataFrame = {
+    val root = graft.util.ScratchIndex.dir(s"late_${dir.hashCode.toHexString}")
+    deleteRecursively(root)
+    val landing = new java.io.File(root, "landing")
+    landing.mkdirs(): Unit
+    val ev = graft.util.Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
+    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val hourNs = 3600L * 1000000000L
+    // land each stage as ONE file with a strictly increasing mod time:
+    // FileStreamSource orders by (modTime, path), and maxFilesPerTrigger=1
+    // turns the three files into three deterministic micro-batches
+    def land(df: DataFrame, name: String, order: Int): Unit = {
+      val tmp = new java.io.File(root, s"stage_$name")
+      df.coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+      val part = tmp.listFiles()
+        .find(f => f.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(landing, f"$order%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath): Unit
+      dst.setLastModified(1600000000000L + order * 60000L): Unit
+      deleteRecursively(tmp)
+    }
+    land(ev, "ontime", 1)
+    land(ev.limit(1).select(lit(-1L).as("event_id"),
+      lit("view").as("event_type"), lit(0.0).as("value"),
+      lit(hi + 3 * hourNs).as("ts")), "flush", 2)
+    land(ev.filter(col("ts") < lo + hourNs)
+      .withColumn("event_id", -col("event_id")), "late", 3)
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val agg = s.readStream
+        .schema("event_id LONG, event_type STRING, value DOUBLE, ts LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing.toString)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"))
+      val name = s"graft_stream_late_${qid.incrementAndGet()}"
+      val q = agg.writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+      lateDropCounts.put(dir, q.recentProgress
+        .flatMap(p => p.stateOperators.map(_.numRowsDroppedByWatermark)).sum)
+      s.table(name)
+        .select(expr("unix_timestamp(window.start) div 3600").as("bucket"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("bucket", "event_type")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_ckpt_recovery"   -> (checkpointRecovery _),
     "stream_quantile_sketch" -> (kllSketchStream _),
@@ -521,6 +615,7 @@ object EventStream {
     "stream_dedup_exact"     -> (dedupExactStream _),
     "stream_rocksdb_window"  -> (tumblingCountsRocksDb _),
     "stream_rate_source"     -> (rateSource _),
+    "stream_late_drop"       -> (lateDataDrop _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -534,5 +629,8 @@ object EventStream {
     "stream_foreachbatch"    -> foreachBatchSinkSql,
     "stream_dedup_exact"     -> dedupExactStreamSql,
     "stream_rocksdb_window"  -> tumblingCountsSql,
+    // late replays dropped ⇒ original-events aggregate: oracle equality
+    // IS the late-drop proof (doubled first-hour buckets otherwise)
+    "stream_late_drop"       -> tumblingCountsSql,
   )
 }

@@ -17,6 +17,25 @@ class Relational3Spec extends SparkTestBase {
     assert(total === spark.read.parquet(s"$sf/lineitem.parquet").count())
   }
 
+  test("incremental aggregate merge equals the full rebuild, key for key") {
+    import spark.implicits._
+    val merged = Relational3.aggIncremental(spark, sf)
+    val rebuilt = spark.read.parquet(s"$sf/orders.parquet")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")) / 100.0)
+          .as("total_spend"),
+        max($"o_orderdate").as("last_order"))
+      .orderBy("o_custkey")
+    assert(merged.exceptAll(rebuilt).count() === 0)
+    assert(rebuilt.exceptAll(merged).count() === 0)
+    // the split is non-vacuous: both epochs really contribute
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+    assert(ord.filter($"o_orderdate" < cutoff).count() > 0)
+    assert(ord.filter($"o_orderdate" >= cutoff).count() > 0)
+  }
+
   test("listagg: WITHIN GROUP ordering is partitioning-independent") {
     import spark.implicits._
     val direct = Relational3.listAgg(spark, sf)

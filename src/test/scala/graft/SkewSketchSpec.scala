@@ -7,6 +7,60 @@ class SkewSketchSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("theta set algebra tracks exact distinct overlaps within the RSE bound") {
+    val ev = graft.util.Tables.events(spark, sf)
+    def users(t: String): Set[Long] = ev
+      .filter($"event_type" === t).select("user_id")
+      .distinct().as[Long].collect().toSet
+    val rows = Skew.thetaOps(spark, sf)
+      .as[(String, String, Long, Long, Long, Long, Long)].collect()
+    assert(rows.length === 3)
+    // lgK=12 → RSE ≈ 1.6%; intersections compound error, allow 3×RSE
+    // (+2 absolute slack for tiny sets)
+    def close(est: Long, exact: Long, rse: Double): Unit =
+      assert(math.abs(est - exact) <= exact * rse + 2,
+        s"estimate $est vs exact $exact (rse $rse)")
+    rows.foreach { case (a, b, nA, nB, nU, nI, nD) =>
+      val (ua, ub) = (users(a), users(b))
+      close(nA, ua.size.toLong, 0.016)
+      close(nB, ub.size.toLong, 0.016)
+      close(nU, ua.union(ub).size.toLong, 0.016)
+      close(nI, ua.intersect(ub).size.toLong, 0.05)
+      close(nD, ua.diff(ub).size.toLong, 0.05)
+    }
+  }
+
+  test("CBO join reorder: stats move the selective dimension innermost") {
+    val db = Skew.cboStatsDb(spark, sf)
+    // leaf order of a left-deep join tree, reading the plan top-down:
+    // ((A ⋈ B) ⋈ C) prints A, B, C
+    def leafOrder(cbo: Boolean): Seq[String] =
+      graft.util.Confs.withConfs(spark)(
+        "spark.sql.cbo.enabled" -> cbo.toString,
+        "spark.sql.cbo.joinReorder.enabled" -> cbo.toString) {
+        Skew.cboPlan(spark, db).queryExecution.optimizedPlan
+          .collectLeaves()
+          .map(_.toString)
+          .flatMap(l => Seq("lineitem_c", "part_c", "supplier_c")
+            .find(l.contains))
+          .toSeq
+      }
+    // rule-based order = syntactic: supplier joins first, part last
+    assert(leafOrder(cbo = false) ===
+      Seq("supplier_c", "lineitem_c", "part_c"))
+    // CBO sees |σ(part)| ≪ |supplier| from ANALYZE stats and joins
+    // the filtered dimension against the fact FIRST
+    assert(leafOrder(cbo = true) ===
+      Seq("lineitem_c", "part_c", "supplier_c"))
+    // reordering is answer-preserving (the oracle hash also pins this)
+    val withCbo = Skew.cboReorder(spark, sf)
+      .as[(Int, Long, Double)].collect().toSeq
+    val without = Skew.cboPlan(spark, db)
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(withCbo === without)
+    assert(withCbo.nonEmpty)
+  }
+
   test("salted aggregation equals direct groupBy exactly") {
     val salted = Skew.saltedAgg(spark, sf)
       .as[(String, Double, Long, Double)].collect().toSet

@@ -38,6 +38,27 @@ class StreamRecoverySpec extends SparkTestBase {
     emissions.unpersist()
   }
 
+  test("watermark drops late replays; emitted windows equal the batch answer") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.lateDataDrop(spark, sf).cache()
+    // the oracle-equality form, locally: window counts over the
+    // ORIGINAL events only — doubled first-hour buckets would mean
+    // the late replays got in
+    val batch = graft.util.Tables.events(spark, sf)
+      .select(expr("(ts div 1000) div 3600000000").as("bucket"),
+        col("event_type"), col("value"))
+      .groupBy("bucket", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+    assert(out.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(out).count() === 0)
+    // and the state store really refused rows (the late file wasn't
+    // just never delivered)
+    assert(EventStream.lateDropCounts.getOrElse(sf, 0L) > 0L,
+      s"expected numRowsDroppedByWatermark > 0, got ${EventStream.lateDropCounts.get(sf)}")
+    out.unpersist()
+  }
+
   test("checkpoint restart delivers every event exactly once") {
     val agg = EventStream.checkpointRecovery(spark, sf).collect()
     assert(agg.nonEmpty)
