@@ -765,6 +765,58 @@ object Relational3 {
       |       max(o_orderdate) AS last_order
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** Query-attached OBSERVABLE METRICS (`Dataset.observe`): data-
+    * quality counters accumulated on the executors as a side effect
+    * of the pipeline's OWN action — scan count, integer-cents
+    * revenue, constraint-violation tallies — delivered to the driver
+    * with the action's result. At 100 TB a separate validation query
+    * doubles the IO bill; the observe() node rides the main pass for
+    * free. The observe sits directly on the scan (ABOVE the filter),
+    * so the metrics describe the full input relation while the
+    * pipeline exports only the filtered rows — the usual
+    * ingest-audit split. Oracled against a direct SQL recompute,
+    * proving the side channel saw exactly the scanned relation.
+    */
+  def observeMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Observation instances are single-use: fresh name per call so
+    // bench cold/warm sweeps don't collide
+    val obs = new org.apache.spark.sql.Observation(
+      s"graft_obs_${java.util.UUID.randomUUID().toString.take(8)}")
+    val pipeline = lineitem(s, d)
+      .observe(obs,
+        count(lit(1)).as("rows_seen"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("revenue_cents"),
+        sum(when(col("l_quantity") < 0, 1L).otherwise(0L))
+          .as("neg_qty_rows"),
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L))
+          .as("null_shipdate_rows"))
+      .filter(col("l_quantity") > 10)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val exported = pipeline.count() // the pipeline's action; metrics ride along
+    val m = obs.get
+    Seq((m("rows_seen").asInstanceOf[Long],
+      m("revenue_cents").asInstanceOf[Long] / 100.0,
+      m("neg_qty_rows").asInstanceOf[Long],
+      m("null_shipdate_rows").asInstanceOf[Long],
+      exported))
+      .toDF("rows_seen", "revenue", "neg_qty_rows", "null_shipdate_rows",
+        "rows_exported")
+  }
+
+  val observeMetricsSql: String =
+    """SELECT count(*) AS rows_seen,
+      |       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+      |         AS revenue,
+      |       CAST(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS neg_qty_rows,
+      |       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS null_shipdate_rows,
+      |       (SELECT count(*) FROM lineitem WHERE l_quantity > 10)
+      |         AS rows_exported
+      |FROM lineitem""".stripMargin
+
   /** Explicit GROUPING SETS — arbitrary grouping combinations in one
     * Expand + one shuffle (cube/rollup are the closed-form cousins;
     * this is the general form a reporting layer emits). grouping_id
@@ -881,6 +933,7 @@ object Relational3 {
     "rel_percentile_disc" -> (percentileDisc _),
     "rel_scd2_incremental" -> (scd2Incremental _),
     "rel_agg_incremental"  -> (aggIncremental _),
+    "rel_observe_metrics"  -> (observeMetrics _),
     "rel_rolling_median" -> (rollingMedian _),
     "rel_scd2"        -> (scd2 _),
     "rel_cube"        -> (cubeAgg _),
@@ -911,6 +964,7 @@ object Relational3 {
     "rel_percentile_disc" -> percentileDiscSql,
     "rel_scd2_incremental" -> scd2IncrementalSql,
     "rel_agg_incremental"  -> aggIncrementalSql,
+    "rel_observe_metrics"  -> observeMetricsSql,
     "rel_rolling_median" -> rollingMedianSql,
     "rel_scd2"        -> scd2Sql,
     "rel_cube"        -> cubeAggSql,

@@ -201,6 +201,17 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected partial+final WindowGroupLimit:\n$p")
   }
 
+  test("fused contamination plans joinless: narrow map + one TakeOrdered") {
+    val p = plan(graft.ops.Curation.contamination(spark, sf))
+    // the corpus side must NOT explode + join against the benchmark:
+    // the eval-set shingles ship as a literal into the intersect kernel
+    assert(!p.contains("Join"), s"expected joinless fused plan:\n$p")
+    assert(!p.toLowerCase.contains("generate"),
+      s"expected no explode on the probe side:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 should be the only wide operation:\n$p")
+  }
+
   test("top-k sketch aggregates partially before the single-point merge") {
     val p = plan(graft.ops.Skew.topkSketch(spark, sf))
     // partial ObjectHashAggregate per input partition, then one
