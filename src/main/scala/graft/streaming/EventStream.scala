@@ -35,6 +35,43 @@ case class UserSessions(user_id: Long, n_sessions: Long, max_session_ms: Long)
 case class UserSessionsAt(user_id: Long, n_sessions: Long,
     max_session_ms: Long, n_events: Long)
 
+/** transformWithState row types (top-level for encoder codegen). */
+case class EvVal(user_id: Long, value: Double)
+case class UserTotalsAt(user_id: Long, n_events: Long, sum_value: Double)
+
+/** StatefulProcessor for `twsTotals`: per-user running (count, sum) in
+  * a typed ValueState cell. The transformWithState API (Spark 4's
+  * successor to flatMapGroupsWithState) gives composite typed state
+  * (Value/List/Map cells), per-cell TTL, and timers — this processor
+  * deliberately uses the minimal shape so the oracle stays exact.
+  * Emissions carry `n_events` (the state size they saw) for the same
+  * max-emission reduction that makes sessionize micro-batch-count
+  * invariant.
+  */
+class TotalsProcessor extends org.apache.spark.sql.streaming
+    .StatefulProcessor[Long, EvVal, UserTotalsAt] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    val enc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    totals = getHandle.getValueState[(Long, Double)](
+      "totals", enc, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[EvVal],
+      timerValues: TimerValues): Iterator[UserTotalsAt] = {
+    var (n, sum) = if (totals.exists()) totals.get() else (0L, 0.0)
+    rows.foreach { r => n += 1; sum += r.value }
+    totals.update((n, sum))
+    Iterator(UserTotalsAt(key, n, sum))
+  }
+}
+
 object EventStream {
 
   private val qid = new AtomicInteger(0)
@@ -508,6 +545,49 @@ object EventStream {
       |FROM events
       |GROUP BY 1, 2 ORDER BY event_type, vcat""".stripMargin
 
+  /** Arbitrary stateful processing via transformWithState — the
+    * Spark 4 state-processor API that supersedes
+    * flatMapGroupsWithState: typed state CELLS (Value/List/Map) per
+    * key instead of one opaque blob, per-cell TTL, timers, and
+    * initial-state bootstrap. Requires the RocksDB state store
+    * (set for this query, restored after — the provider is fixed
+    * into the query at stream start). The processor keeps per-user
+    * running (count, sum) totals; emissions are reduced to each
+    * user's most-complete one (the sessionize discipline), so the
+    * result is micro-batch-count invariant and the plain per-user
+    * SQL aggregate is an exact oracle.
+    */
+  def twsTotals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventsStream(s, dir)
+        .select(col("user_id"), col("value")).as[EvVal]
+      val out = src.groupByKey(_.user_id)
+        .transformWithState(new TotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      runToCompletion(s, out.toDF(), OutputMode.Append())
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("n_events"), col("sum_value")),
+          col("n_events")).as("fin"))
+        .select(col("user_id"), col("fin.n_events").as("n_events"),
+          round(col("fin.sum_value"), 4).as("sum_value"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  val twsTotalsSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Rows dropped by the watermark in the last `lateDataDrop` run per
     * sf dir — observability hook for the spec's dropped-rows assert.
     */
@@ -616,6 +696,7 @@ object EventStream {
     "stream_rocksdb_window"  -> (tumblingCountsRocksDb _),
     "stream_rate_source"     -> (rateSource _),
     "stream_late_drop"       -> (lateDataDrop _),
+    "stream_tws_totals"      -> (twsTotals _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -632,5 +713,6 @@ object EventStream {
     // late replays dropped ⇒ original-events aggregate: oracle equality
     // IS the late-drop proof (doubled first-hour buckets otherwise)
     "stream_late_drop"       -> tumblingCountsSql,
+    "stream_tws_totals"      -> twsTotalsSql,
   )
 }

@@ -59,6 +59,18 @@ class StreamRecoverySpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("transformWithState totals equal the batch per-user aggregate") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.twsTotals(spark, sf)
+    val batch = graft.util.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+    assert(out.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(out).count() === 0)
+    assert(out.count() > 0)
+  }
+
   test("checkpoint restart delivers every event exactly once") {
     val agg = EventStream.checkpointRecovery(spark, sf).collect()
     assert(agg.nonEmpty)
