@@ -163,9 +163,8 @@ object Skew {
   private[graft] def skewJoinAqePlan(s: SparkSession, d: String): DataFrame = {
     val skewKey = when(pmod(col("user_id"), lit(10)) < 8, 0L)
       .otherwise(col("user_id"))
-    val dimPath = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_skew_dim_${d.hashCode.toHexString}").toString
+    val dimPath = graft.util.ScratchIndex
+      .dir(s"skew_dim_${d.hashCode.toHexString}").toString
     events(s, d).select(skewKey.as("k")).distinct()
       .withColumn("k_tag", concat(lit("u"), col("k")))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dimPath)

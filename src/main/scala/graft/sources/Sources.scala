@@ -27,8 +27,11 @@ object Sources {
   /** Session-scoped scratch root (fresh per JVM; safe under parallel
     * suites; never inside the repo).
     */
-  private lazy val scratch: String =
-    Files.createTempDirectory("graft_sources").toString
+  private lazy val scratch: String = {
+    val d = graft.util.ScratchIndex.dir("sources")
+    d.mkdirs()
+    d.toString
+  }
 
   /** Spec hook: resolve a layout written under this session's
     * scratch root.
@@ -598,9 +601,7 @@ object Sources {
     * hash.
     */
   def atomicPublish(s: SparkSession, d: String): DataFrame = {
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_snap_${d.hashCode.toHexString}")
+    val root = graft.util.ScratchIndex.dir(s"snap_${d.hashCode.toHexString}")
     root.mkdirs()
     val agg = supplier(s, d)
       .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))

@@ -99,7 +99,15 @@ object EventStream {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
+      // Explicit checkpoint under the scratch root (tmpfs-backed when
+      // available): without it Spark puts the temp checkpoint under
+      // java.io.tmpdir, and every state-store commit fsyncs there —
+      // on a throttled host that disk traffic, not the plan, dominated
+      // the stateful queries' measured time. Checkpoint state is
+      // per-query-run and discarded, so RAM-backed storage is correct.
       val q = df.writeStream.outputMode(mode)
+        .option("checkpointLocation",
+          graft.util.ScratchIndex.dir(s"ck_$name").toString)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -313,7 +321,12 @@ object EventStream {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
+      // qid-scoped checkpoint (NOT a fixed name): the sink dir above is
+      // cleared per run, so a reused source WAL would mark every file
+      // already-processed and leave the fresh sink empty
       val q = src.writeStream
+        .option("checkpointLocation", graft.util.ScratchIndex
+          .dir(s"ck_febatch_${qid.incrementAndGet()}").toString)
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], _: Long) =>
           batch.write.mode("append").parquet(out)
@@ -390,6 +403,8 @@ object EventStream {
       .select(col("value"))
     val name = s"graft_rate_${qid.incrementAndGet()}"
     val q = src.writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation",
+        graft.util.ScratchIndex.dir(s"ck_$name").toString)
       .format("memory").queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -419,8 +434,12 @@ object EventStream {
         col("avg_value"))
     // the spine derives FROM the sink and joins back against it; the
     // memory-sink relation carries fixed attribute ids, so localize
-    // the (small, complete-mode) aggregate to break the self-join
-    // ambiguity — at scale the sink is a real table and re-scans
+    // the aggregate to break the self-join ambiguity. BOUNDED BY
+    // CONSTRUCTION at |hours in timeline| × |event types| rows (the
+    // complete-mode hourly aggregate — 3,600 at sf0.1; ~9k/type-year
+    // even on a years-long timeline), NOT by the event volume; at
+    // scale the sink is a real table and densifyHourly re-scans it,
+    // with no driver localization anywhere
     val sink = {
       val rows = sinkOut.collect()
       s.createDataFrame(java.util.Arrays.asList(rows: _*), sinkOut.schema)
@@ -671,6 +690,8 @@ object EventStream {
           round(sum(col("value")), 4).as("sum_value"))
       val name = s"graft_stream_late_${qid.incrementAndGet()}"
       val q = agg.writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation",
+          graft.util.ScratchIndex.dir(s"ck_$name").toString)
         .format("memory").queryName(name).start()
       try q.processAllAvailable() finally q.stop()
       lateDropCounts.put(dir, q.recentProgress

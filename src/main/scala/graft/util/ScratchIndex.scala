@@ -22,14 +22,55 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object ScratchIndex {
 
+  /** Scratch lives on tmpfs when possible. Three rounds running, the
+    * bench headline was inflated 3-6× by host storage throttling, and
+    * the dominant victim was fsync traffic the engine itself controls:
+    * streaming state-store commits (checkpoint deltas), shuffle spill,
+    * and scratch-index builds. None of that data needs durability — it
+    * is all per-JVM and deleted at exit — so it belongs on RAM-backed
+    * storage, insulating the measurement (and any real run on a
+    * throttled host) from disk health. Selection order: explicit
+    * `GRAFT_SCRATCH_DIR` env override, then `/dev/shm` if writable
+    * with ample headroom, then `java.io.tmpdir`. The size guard keeps
+    * a small-tmpfs host from ENOSPC-ing mid-query: tmpfs pages come
+    * out of RAM, so we only opt in when at least 16 GiB are free —
+    * two orders of magnitude above the observed sf0.1 scratch
+    * footprint (~150 MB indexes + ~100 MB checkpoints).
+    */
+  private val MinTmpfsFreeBytes = 16L << 30
+
+  private[graft] lazy val base: File = {
+    def writable(d: File): Boolean = d.isDirectory && d.canWrite
+    sys.env.get("GRAFT_SCRATCH_DIR").map(new File(_)).filter(writable)
+      .orElse(Option(new File("/dev/shm"))
+        .filter(d => writable(d) && d.getUsableSpace >= MinTmpfsFreeBytes))
+      .getOrElse(new File(System.getProperty("java.io.tmpdir")))
+  }
+
+  /** Whether the chosen base is the RAM-backed fast path (reported in
+    * the bench contract line so a round's numbers carry their own
+    * storage context).
+    */
+  lazy val tmpfsBacked: Boolean = base.getPath == "/dev/shm"
+
   private lazy val root: File = {
-    val dir = new File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_scratch_${ProcessHandle.current().pid()}")
+    val dir = new File(base, s"graft_scratch_${ProcessHandle.current().pid()}")
     dir.mkdirs()
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       deleteRecursively(dir)))
     dir
+  }
+
+  /** A per-JVM `spark.local.dir` under the scratch root, for session
+    * builders: routes shuffle spill, broadcast scratch, and the RocksDB
+    * state store's working files onto the fast base. Under the same
+    * pid-scoped root so the shutdown hook cleans it with everything
+    * else.
+    */
+  def sparkLocalDir(): String = {
+    val d = new File(root, "spark_local")
+    d.mkdirs()
+    d.toString
   }
 
   def materialize(s: SparkSession, key: String)(build: => DataFrame)

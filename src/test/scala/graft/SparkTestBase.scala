@@ -20,6 +20,7 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.local.dir", graft.util.ScratchIndex.sparkLocalDir())
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
