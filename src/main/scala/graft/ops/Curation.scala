@@ -153,7 +153,17 @@ object Curation {
     * a literal (beyond [[MaxBenchShingles]]) falls back to the
     * broadcast-join form — same answer, join-shaped plan.
     */
-  def contamination(s: SparkSession, d: String): DataFrame = {
+  def contamination(s: SparkSession, d: String): DataFrame =
+    contaminationWithCap(s, d, MaxBenchShingles)
+
+  /** Cap-parameterized body — the spec lowers `cap` to force the
+    * broadcast-join fallback on test data and prove it row-identical
+    * to the fused literal path (the guard is load-bearing for the
+    * at-scale story, so the branch it selects must not be dead code
+    * in the test suite).
+    */
+  private[graft] def contaminationWithCap(s: SparkSession, d: String,
+      cap: Int): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
     // doc_id < 5 prunes below the shingle projection, so only the 5
@@ -162,11 +172,11 @@ object Curation {
     val benchSh = docs.filter(col("doc_id") < 5)
       .select(explode(col("sh")).as("shingle")).distinct()
       .orderBy("shingle")
-      .limit(MaxBenchShingles + 1)
+      .limit(cap + 1)
       .collect().map(_.getString(0))
     val probe = docs.filter(col("doc_id") >= 5)
     val scored =
-      if (benchSh.length <= MaxBenchShingles)
+      if (benchSh.length <= cap)
         probe.select(col("doc_id"), size(col("sh")).as("n_shingles"),
           graft.functions.SetSimilarityFunctions
             .sorted_intersect_count(col("sh"),

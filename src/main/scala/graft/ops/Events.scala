@@ -535,6 +535,37 @@ object Events {
     * dedup is needed. All arithmetic is integer µs; the oracle
     * replays the plain nested-loop overlap join.
     */
+  /** Level-1 islands of a hot-hour relation, partitioned by day:
+    * per-day maximal runs of consecutive hot hours, each flagged
+    * `edge` when it touches a day boundary (only those can continue
+    * across midnight). At most one fragment touches each edge of a
+    * day, so the edge subset is ≤ 2 rows/day — the bound the level-2
+    * stitch window rests on (spec-asserted).
+    */
+  private[graft] def islandFragments(hot: DataFrame): DataFrame = {
+    val wDay = Window.partitionBy(col("day0")).orderBy(col("hour"))
+    hot.select(expr("hour div 24").as("day0"), col("hour"))
+      .select(col("day0"), col("hour"),
+        (col("hour") - row_number().over(wDay)).as("grp"))
+      .groupBy(col("day0"), col("grp"))
+      .agg(min(col("hour")).as("h_start"), max(col("hour")).as("h_end"))
+      .withColumn("edge",
+        col("h_start") % 24 === 0 || col("h_end") % 24 === 23)
+  }
+
+  /** Spec hook: the hot-hour relation intervalJoin derives its
+    * incidents from.
+    */
+  private[graft] def hotHours(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+    val hourly = ev.groupBy(expr(s"ts_us div ${HourUs}L").as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val thresh = hourly.agg((avg(col("n")) * 1.2).as("t"))
+    hourly.crossJoin(broadcast(thresh)).filter(col("n") > col("t"))
+      .select(col("hour"))
+  }
+
   def intervalJoin(s: SparkSession, d: String): DataFrame = {
     val DayUs = 86400L * 1000000L
     val ev = events(s, d)
@@ -543,18 +574,32 @@ object Events {
       .withColumn("day", expr(s"ts_us div ${DayUs}L"))
       .groupBy(col("user_id"), col("day"))
       .agg(min(col("ts_us")).as("a_start"), max(col("ts_us")).as("a_end"))
-    val hourly = ev.groupBy(expr(s"ts_us div ${HourUs}L").as("hour"))
-      .agg(count(lit(1)).as("n"))
-    val thresh = hourly.agg((avg(col("n")) * 1.2).as("t"))
-    // hot hours are a sliver of the timeline → the unpartitioned
-    // islands window is a handful of rows, not a scale hazard
-    val wIsl = Window.orderBy(col("hour"))
-    val incidents = hourly.crossJoin(broadcast(thresh))
-      .filter(col("n") > col("t"))
-      .select(col("hour"), (col("hour") - row_number().over(wIsl)).as("grp"))
-      .groupBy(col("grp"))
-      .agg((min(col("hour")) * HourUs).as("b_start"),
-        ((max(col("hour")) + 1) * HourUs).as("b_end"))
+    // Gaps-and-islands hierarchically, so no window ever sees the full
+    // hot-hour relation in one partition:
+    //  level 1 — islands WITHIN each day (window partitioned by day;
+    //    ≤24 rows per partition by construction). A fragment that
+    //    touches neither day edge is globally maximal (its flanking
+    //    hours in the same day are provably cold) and is final as-is.
+    //  level 2 — only edge-touching fragments can continue across
+    //    midnight; stitch them by hour-adjacency. That relation is
+    //    bounded by 2 rows per day (one fragment can touch each edge)
+    //    — timeline-metadata-sized, independent of data volume, and
+    //    12×+ smaller than the hot-hour set the previous single
+    //    global window sorted.
+    val frags = islandFragments(hotHours(s, d))
+    val wStitch = Window.orderBy(col("h_start")) // ≤ 2 rows/day input
+    val stitched = frags.filter(col("edge"))
+      .withColumn("brk",
+        when(col("h_start") ===
+          lag(col("h_end"), 1).over(wStitch) + 1, 0).otherwise(1))
+      .withColumn("chain", sum(col("brk")).over(wStitch))
+      .groupBy(col("chain"))
+      .agg(min(col("h_start")).as("h_start"), max(col("h_end")).as("h_end"))
+    val incidents = frags.filter(!col("edge"))
+      .select(col("h_start"), col("h_end"))
+      .unionByName(stitched.select(col("h_start"), col("h_end")))
+      .select((col("h_start") * HourUs).as("b_start"),
+        ((col("h_end") + 1) * HourUs).as("b_end"))
     val bDays = incidents.select(col("b_start"), col("b_end"),
       explode(sequence(expr(s"b_start div ${DayUs}L"),
         expr(s"(b_end - 1) div ${DayUs}L"))).as("day"))

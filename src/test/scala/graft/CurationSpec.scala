@@ -57,6 +57,22 @@ class CurationSpec extends SparkTestBase {
     })
   }
 
+  test("contamination fallback (cap exceeded) is row-identical to the fused path") {
+    // The MaxBenchShingles guard selects a broadcast-join plan when the
+    // benchmark shingle set is too large for a codegen literal. That
+    // branch is the load-bearing at-scale escape hatch, so force it
+    // (cap=1 — any real benchmark exceeds one shingle) and prove both
+    // branches compute the same relation, row for row.
+    val fused = Curation.contaminationWithCap(spark, sf, 1000000)
+      .collect().toSeq
+    val fallback = Curation.contaminationWithCap(spark, sf, 1)
+      .collect().toSeq
+    assert(fused.nonEmpty)
+    // deterministic total order (rounded ratio desc, doc_id asc) →
+    // direct sequence equality, not just set equality
+    assert(fallback === fused)
+  }
+
   test("ChunkFingerprints matches the declarative slice+md5 formulation") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .withColumn("toks", filter(split($"text", "\\s+"), t => t =!= lit("")))

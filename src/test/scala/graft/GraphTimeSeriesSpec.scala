@@ -92,6 +92,25 @@ class GraphTimeSeriesSpec extends SparkTestBase {
     assert(got.toSeq.sortBy(_._1) === want)
   }
 
+  test("interval join stitch input is bounded: ≤2 edge fragments per day") {
+    // the level-2 stitch window is unpartitioned, which is safe only
+    // because its input is edge-touching fragments — at most one per
+    // day boundary side. Assert the bound holds on real data, and that
+    // fragments really are within-day maximal runs.
+    val frags = graft.ops.Events
+      .islandFragments(graft.ops.Events.hotHours(spark, sf))
+      .select($"day0", $"h_start", $"h_end", $"edge")
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(frags.nonEmpty)
+    frags.groupBy(_._1).foreach { case (day, fs) =>
+      assert(fs.count(_._4) <= 2, s"day $day has >2 edge fragments")
+      // fragments never cross their day and are non-empty runs
+      fs.foreach { case (d, s0, e0, _) =>
+        assert(s0 <= e0 && s0 / 24 === d && e0 / 24 === d)
+      }
+    }
+  }
+
   test("stratified sample takes exactly ceil(10%) of every stratum") {
     val out = Curation.stratifiedSample(spark, sf)
       .select($"n_sampled", $"n_stratum").as[(Long, Long)].collect()
