@@ -72,6 +72,113 @@ class TotalsProcessor extends org.apache.spark.sql.streaming
   }
 }
 
+/** One closed session, emitted by [[SessionTimerProcessor]] when the
+  * event-time watermark passes the session's timeout point.
+  */
+case class SessionClosed(user_id: Long, start_us: Long, duration_ms: Long,
+    n_events: Long)
+
+/** StatefulProcessor for `twsSessionTimers`: EVENT-TIME TIMERS — the
+  * session-timeout emission pattern, and the one timer shape with a
+  * deterministic oracle (processing-time timers are wall-clock).
+  *
+  * Per user: a ListState accumulates event timestamps (µs); a
+  * ValueState counts sessions already emitted. A session (>30-min-gap
+  * split, same rule as the sessionize suite) is CLOSED once the
+  * watermark passes `end + gap` — no on-time event can extend it
+  * (any row ≥ the watermark is ≥ gap past the session end, hence a
+  * new session) and late rows are filtered by the operator's
+  * watermark predicate. Closed sessions are emitted exactly once:
+  * the emitted-count high-water mark advances monotonically over the
+  * start-ordered session list, which makes the output micro-batch-
+  * count invariant (spec-replayed).
+  *
+  * Timer discipline: every input batch and every timer fire
+  * (re-)registers one timer at the first PENDING session's close
+  * point, `ceil((end+gap)/1000)` ms. Spark fires timers with
+  * `expiryMs <= watermarkMs` (TimerStateImpl's expired-timer scan is
+  * `> threshold → stop`), and `ceil(due/1000) <= wmMs  ⇔  due <=
+  * wmMs*1000` for integer wmMs — so the fire condition and the
+  * emission condition `due <= watermark` are exactly equivalent, and
+  * the SQL oracle can replay the closed-session set from
+  * `max(event_time)` alone. Duplicate registrations are idempotent
+  * (the timer key space is a set) and re-fires are harmless (the
+  * emitted-count guard).
+  */
+class SessionTimerProcessor extends org.apache.spark.sql.streaming
+    .StatefulProcessor[Long, Ev, SessionClosed] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
+    TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  private val GapUs = 30L * 60 * 1000000L
+
+  @transient private var ts: ListState[Long] = _
+  @transient private var emitted: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    val encL: Encoder[Long] = Encoders.scalaLong
+    ts = getHandle.getListState[Long]("ts", encL, TTLConfig.NONE)
+    emitted = getHandle.getValueState[Long]("emitted", encL, TTLConfig.NONE)
+  }
+
+  /** Sessions of the full accumulated timestamp set, start-ordered:
+    * (startUs, endUs, nEvents).
+    */
+  private def sessions(all: Array[Long]): Seq[(Long, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var start = all.head
+    var prev = all.head
+    var n = 1L
+    for (t <- all.iterator.drop(1)) {
+      if (t - prev > GapUs) { out += ((start, prev, n)); start = t; n = 0L }
+      n += 1
+      prev = t
+    }
+    out += ((start, prev, n))
+    out.toSeq
+  }
+
+  /** Emit every closed-but-unemitted session at watermark `wmUs`,
+    * advance the high-water mark, and arm a timer for the next
+    * pending close point (if any).
+    */
+  private def emitClosed(key: Long, wmUs: Long): Iterator[SessionClosed] = {
+    val all = ts.get().toArray.sorted
+    if (all.isEmpty) return Iterator.empty
+    val sess = sessions(all)
+    val done = (if (emitted.exists()) emitted.get() else 0L).toInt
+    // session ends are strictly increasing → closed set is a prefix
+    val closed = sess.takeWhile { case (_, e, _) => e + GapUs <= wmUs }
+    val fresh = closed.drop(done)
+    if (fresh.nonEmpty) emitted.update(closed.size.toLong)
+    if (closed.size < sess.size) {
+      val nextDueUs = sess(closed.size)._2 + GapUs
+      getHandle.registerTimer((nextDueUs + 999) / 1000) // ceil → ms
+    }
+    fresh.iterator.map { case (s0, e0, n) =>
+      SessionClosed(key, s0, (e0 - s0) / 1000, n)
+    }
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[SessionClosed] = {
+    ts.appendList(rows.map(_.tsUs).toArray)
+    emitClosed(key, timerValues.getCurrentWatermarkInMs * 1000L)
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionClosed] = {
+    // any fired timer's expiry is ≤ the eviction watermark, so taking
+    // the max guards against a stale getCurrentWatermarkInMs without
+    // ever emitting beyond what the engine's own fire condition allows
+    val wmMs = math.max(timerValues.getCurrentWatermarkInMs,
+      expiredTimerInfo.getExpiryTimeInMs)
+    emitClosed(key, wmMs * 1000L)
+  }
+}
+
 object EventStream {
 
   private val qid = new AtomicInteger(0)
@@ -607,6 +714,91 @@ object EventStream {
       |       round(sum(value), 4) AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Event-time TIMERS on transformWithState: per-user session-timeout
+    * emission (see [[SessionTimerProcessor]]). Each >30-min-gap
+    * session is emitted by a timer once the watermark (1-hour delay)
+    * passes its close point; the final answer aggregates the emitted
+    * (= closed) sessions per user. The closed-session set is a pure
+    * function of the data and the final watermark
+    * (`floor(max(ts_us)/1000)ms − 1h`), so — unlike the other timer
+    * shapes — this query has an exact SQL oracle: sessions whose
+    * `end + gap ≤ watermark`, replayed by gaps-and-islands in DuckDB.
+    * Requires RocksDB like every tws query. Micro-batch invariance
+    * (timers firing across many triggers emit the same session set)
+    * is spec-replayed one-file-per-trigger over time-range-split
+    * landings.
+    */
+  def twsSessionTimers(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try twsSessionTimersCore(s, eventsStream(s, dir))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  /** Core of `twsSessionTimers` against any events-shaped stream —
+    * the spec feeds a staged multi-file landing through it. Caller
+    * owns the state-store-provider conf.
+    */
+  private[graft] def twsSessionTimersCore(s: SparkSession, src: DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    val ds = src
+      .withWatermark("event_time", "1 hour")
+      .select(col("user_id"), expr("ts div 1000").as("tsUs")).as[Ev]
+    val out = ds.groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+    runToCompletion(s, out.toDF(), OutputMode.Append())
+      // emissions are unique by construction (emitted-count guard);
+      // dedup by session identity anyway so a re-fire can never
+      // silently double a count
+      .dropDuplicates("user_id", "start_us")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_closed_sessions"),
+        sum(col("n_events")).as("n_closed_events"),
+        max(col("duration_ms")).as("max_session_ms"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle: watermark = floor(max_ts_us/1000)ms − 1h (Spark tracks
+    * event-time stats in milliseconds); a session is closed iff
+    * `end + gap ≤ watermark` in µs.
+    */
+  val twsSessionTimersSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |), wm AS (
+      |  SELECT ((max(ts_us) // 1000) - 3600000) * 1000 AS wm_us FROM ev
+      |), marked AS (
+      |  SELECT user_id, ts_us,
+      |         CASE WHEN lag(ts_us) OVER w IS NULL
+      |                OR ts_us - lag(ts_us) OVER w > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+      |), sess AS (
+      |  SELECT user_id, ts_us,
+      |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked
+      |), per_session AS (
+      |  SELECT user_id, sid, min(ts_us) AS s, max(ts_us) AS e,
+      |         count(*) AS n
+      |  FROM sess GROUP BY 1, 2
+      |)
+      |SELECT user_id, count(*) AS n_closed_sessions,
+      |       CAST(sum(n) AS BIGINT) AS n_closed_events,
+      |       max((e - s) // 1000) AS max_session_ms
+      |FROM per_session, wm
+      |WHERE e + 1800000000 <= wm_us
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** Rows dropped by the watermark in the last `lateDataDrop` run per
     * sf dir — observability hook for the spec's dropped-rows assert.
     */
@@ -718,6 +910,7 @@ object EventStream {
     "stream_rate_source"     -> (rateSource _),
     "stream_late_drop"       -> (lateDataDrop _),
     "stream_tws_totals"      -> (twsTotals _),
+    "stream_tws_timers"      -> (twsSessionTimers _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -735,5 +928,6 @@ object EventStream {
     // IS the late-drop proof (doubled first-hour buckets otherwise)
     "stream_late_drop"       -> tumblingCountsSql,
     "stream_tws_totals"      -> twsTotalsSql,
+    "stream_tws_timers"      -> twsSessionTimersSql,
   )
 }

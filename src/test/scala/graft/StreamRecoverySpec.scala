@@ -71,6 +71,110 @@ class StreamRecoverySpec extends SparkTestBase {
     assert(out.count() > 0)
   }
 
+  test("tws event-time timers close exactly the watermark-passed sessions") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.twsSessionTimers(spark, sf)
+    // closed-session oracle, engine-local: sessions whose end+gap the
+    // final watermark (floor-ms of max ts, minus 1h) passed
+    val batch = spark.sql(localOracleSql(s"$sf/events.parquet"))
+    assert(out.count() > 0, "no sessions closed — timer path never fired")
+    assert(out.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(out).count() === 0)
+    // non-vacuity the other way: some sessions must remain OPEN (the
+    // last hour+gap of every user's timeline), or the query degrades
+    // to plain sessionize and the timer semantics are untested
+    val allSessions = spark.sql(localOracleSql(s"$sf/events.parquet",
+      closedOnly = false))
+    assert(batch.agg(sum("n_closed_sessions")).head.getLong(0) <
+      allSessions.agg(sum("n_closed_sessions")).head.getLong(0),
+      "every session closed — watermark boundary untested")
+  }
+
+  test("tws timer emissions are micro-batch-count invariant") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.OutputMode
+    val root = graft.util.ScratchIndex.dir(s"twsmb_${sf.hashCode.toHexString}")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    val landing = new java.io.File(root, "landing")
+    landing.mkdirs(): Unit
+    // time-RANGE split (not random): each file covers a disjoint ts
+    // band and lands with increasing mod time, so the per-file replay
+    // is in event-time order and nothing is ever late under the 1-h
+    // watermark — the timers, not late-row filtering, decide emission
+    val ev = graft.util.Tables.events(spark, sf).select(col("user_id"), col("ts"))
+    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = hi - lo + 1
+    for (k <- 0 until 6) {
+      val part = ev.filter(col("ts") >= lo + k * span / 6 &&
+        col("ts") < lo + (k + 1) * span / 6 + (if (k == 5) 1 else 0))
+      val tmp = new java.io.File(root, s"stage_$k")
+      part.coalesce(1).write
+        .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
+      val pf = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(landing, f"$k%04d.parquet")
+      java.nio.file.Files.move(pf.toPath, dst.toPath): Unit
+      dst.setLastModified(1600000000000L + k * 60000L): Unit
+      rm(tmp)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      val src = spark.readStream.schema("user_id LONG, ts LONG")
+        .option("maxFilesPerTrigger", "1").parquet(landing.toString)
+        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      val replay = EventStream.twsSessionTimersCore(spark, src)
+      val oneShot = EventStream.twsSessionTimers(spark, sf)
+      assert(replay.exceptAll(oneShot).count() === 0)
+      assert(oneShot.exceptAll(replay).count() === 0)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Spark-SQL twin of the DuckDB oracle (µs basis, floor-ms
+    * watermark); closedOnly=false drops the watermark filter.
+    */
+  private def localOracleSql(path: String, closedOnly: Boolean = true)
+      : String = {
+    val filter = if (closedOnly) "WHERE e + 1800000000 <= wm_us" else ""
+    s"""WITH ev AS (
+       |  SELECT user_id, ts div 1000 AS ts_us
+       |  FROM parquet.`$path`
+       |), wm AS (
+       |  SELECT ((max(ts_us) div 1000) - 3600000) * 1000 AS wm_us FROM ev
+       |), marked AS (
+       |  SELECT user_id, ts_us,
+       |         CASE WHEN lag(ts_us) OVER w IS NULL
+       |                OR ts_us - lag(ts_us) OVER w > 1800000000
+       |              THEN 1 ELSE 0 END AS new_session
+       |  FROM ev
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+       |), sess AS (
+       |  SELECT user_id, ts_us,
+       |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM marked
+       |), per_session AS (
+       |  SELECT user_id, sid, min(ts_us) AS s, max(ts_us) AS e,
+       |         count(*) AS n
+       |  FROM sess GROUP BY 1, 2
+       |)
+       |SELECT user_id, count(*) AS n_closed_sessions,
+       |       sum(n) AS n_closed_events,
+       |       max((e - s) div 1000) AS max_session_ms
+       |FROM per_session, wm
+       |$filter
+       |GROUP BY user_id ORDER BY user_id""".stripMargin
+  }
+
   test("checkpoint restart delivers every event exactly once") {
     val agg = EventStream.checkpointRecovery(spark, sf).collect()
     assert(agg.nonEmpty)
