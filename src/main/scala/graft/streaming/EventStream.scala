@@ -72,6 +72,100 @@ class TotalsProcessor extends org.apache.spark.sql.streaming
   }
 }
 
+/** Row types for `twsMapTotals` (top-level for encoder codegen). */
+case class EvTyped(user_id: Long, event_type: String, value: Double)
+case class UserTypeTotalsAt(user_id: Long, event_type: String,
+    n_events: Long, sum_value: Double)
+
+/** StatefulProcessor for `twsMapTotals`: a typed MAP state cell —
+  * per-user running (count, sum) PER EVENT TYPE, the composite-state
+  * shape flatMapGroupsWithState forced into one opaque blob (read,
+  * deserialize, mutate, reserialize the whole map per batch) and
+  * MapState reads/writes per entry. Each batch updates only the
+  * touched entries, then emits the full (small: |event types|)
+  * snapshot; the per-(user,type) max-count emission is the complete
+  * one, making the drained output micro-batch-count invariant like
+  * the other tws queries.
+  */
+class TypedTotalsProcessor extends org.apache.spark.sql.streaming
+    .StatefulProcessor[Long, EvTyped, UserTypeTotalsAt] {
+  import org.apache.spark.sql.streaming.{MapState, TimerValues, TTLConfig}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var totals: MapState[String, (Long, Double)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    val encV: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    totals = getHandle.getMapState[String, (Long, Double)](
+      "totals", Encoders.STRING, encV, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[EvTyped],
+      timerValues: TimerValues): Iterator[UserTypeTotalsAt] = {
+    rows.foreach { r =>
+      val (n, s) =
+        if (totals.containsKey(r.event_type)) totals.getValue(r.event_type)
+        else (0L, 0.0)
+      totals.updateValue(r.event_type, (n + 1, s + r.value))
+    }
+    totals.iterator().map { case (t, (n, s)) =>
+      UserTypeTotalsAt(key, t, n, s)
+    }
+  }
+}
+
+/** Seed/emission rows for `twsBootstrap` (top-level for encoders). */
+case class SeedTotals(user_id: Long, n_seed: Long, sum_seed: Double)
+case class UserTotalsSeeded(user_id: Long, n_events: Long,
+    sum_value: Double, n_seed_events: Long)
+
+/** StatefulProcessorWithInitialState for `twsBootstrap`: the WARM-
+  * START pattern — a batch relation seeds the state store before the
+  * first micro-batch, then the stream increments it. This is how a
+  * stateful job migrates (from a batch table, a lambda-architecture
+  * history, or another engine's checkpoint) without replaying all of
+  * history through the stream. `handleInitialState` runs once per
+  * seeded key; a separate seed-count cell records what came from the
+  * batch side so the output proves the seed actually flowed through
+  * the initial-state path rather than the stream.
+  */
+class SeededTotalsProcessor extends org.apache.spark.sql.streaming
+    .StatefulProcessorWithInitialState[Long, EvVal, UserTotalsSeeded,
+      SeedTotals] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var totals: ValueState[(Long, Double)] = _
+  @transient private var seedN: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    val enc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    totals = getHandle.getValueState[(Long, Double)](
+      "totals", enc, TTLConfig.NONE)
+    seedN = getHandle.getValueState[Long](
+      "seedN", Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInitialState(key: Long, initialState: SeedTotals,
+      timerValues: TimerValues): Unit = {
+    totals.update((initialState.n_seed, initialState.sum_seed))
+    seedN.update(initialState.n_seed)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[EvVal],
+      timerValues: TimerValues): Iterator[UserTotalsSeeded] = {
+    var (n, sum) = if (totals.exists()) totals.get() else (0L, 0.0)
+    rows.foreach { r => n += 1; sum += r.value }
+    totals.update((n, sum))
+    Iterator(UserTotalsSeeded(key, n, sum,
+      if (seedN.exists()) seedN.get() else 0L))
+  }
+}
+
 /** One closed session, emitted by [[SessionTimerProcessor]] when the
   * event-time watermark passes the session's timeout point.
   */
@@ -714,6 +808,104 @@ object EventStream {
       |       round(sum(value), 4) AS sum_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** MapState on transformWithState: per-user per-event-type running
+    * totals in a typed map cell (see [[TypedTotalsProcessor]]) —
+    * with `twsTotals` (ValueState) and `twsSessionTimers` (ListState)
+    * this completes the typed state-cell triple. Same RocksDB + max-
+    * emission discipline; oracle = the plain two-key SQL aggregate.
+    */
+  def twsMapTotals(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = eventsStream(s, dir)
+        .select(col("user_id"), col("event_type"), col("value")).as[EvTyped]
+      val out = src.groupByKey(_.user_id)
+        .transformWithState(new TypedTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+      runToCompletion(s, out.toDF(), OutputMode.Append())
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max_by(struct(col("n_events"), col("sum_value")),
+          col("n_events")).as("fin"))
+        .select(col("user_id"), col("event_type"),
+          col("fin.n_events").as("n_events"),
+          round(col("fin.sum_value"), 4).as("sum_value"))
+        .orderBy("user_id", "event_type")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  val twsMapTotalsSql: String =
+    """SELECT user_id, event_type, count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
+
+  /** Initial-state bootstrap on transformWithState (see
+    * [[SeededTotalsProcessor]]): even-event_id history is aggregated
+    * as a BATCH relation and seeds the state store; only the odd half
+    * streams. The final per-user totals must equal the all-events
+    * aggregate — proving seeded state + incremental continuation ≡
+    * full rebuild (the rel_scd2_incremental discipline, in streaming
+    * form) — and `n_seed_events` surfaces what arrived via the
+    * initial-state path. Users whose events are all-even never appear
+    * in the stream and are absent from the output by contract (the
+    * oracle is live-driven for the same reason).
+    */
+  def twsBootstrap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val seed = graft.util.Tables.events(s, dir)
+        .filter(col("event_id") % 2 === 0)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_seed"), sum(col("value")).as("sum_seed"))
+        .as[SeedTotals]
+        .groupByKey(_.user_id)
+      val src = eventsStream(s, dir)
+        .filter(col("event_id") % 2 === 1)
+        .select(col("user_id"), col("value")).as[EvVal]
+      val out = src.groupByKey(_.user_id)
+        .transformWithState(new SeededTotalsProcessor,
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append(), seed)
+      runToCompletion(s, out.toDF(), OutputMode.Append())
+        .groupBy(col("user_id"))
+        .agg(max_by(struct(col("n_events"), col("sum_value"),
+          col("n_seed_events")), col("n_events")).as("fin"))
+        .select(col("user_id"), col("fin.n_events").as("n_events"),
+          round(col("fin.sum_value"), 4).as("sum_value"),
+          col("fin.n_seed_events").as("n_seed_events"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  val twsBootstrapSql: String =
+    """WITH seed AS (
+      |  SELECT user_id, count(*) AS n_seed, sum(value) AS sum_seed
+      |  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+      |), live AS (
+      |  SELECT user_id, count(*) AS n_live, sum(value) AS sum_live
+      |  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+      |)
+      |SELECT l.user_id,
+      |       l.n_live + COALESCE(s.n_seed, 0) AS n_events,
+      |       round(COALESCE(s.sum_seed, 0) + l.sum_live, 4) AS sum_value,
+      |       COALESCE(s.n_seed, 0) AS n_seed_events
+      |FROM live l LEFT JOIN seed s USING (user_id)
+      |ORDER BY user_id""".stripMargin
+
   /** Event-time TIMERS on transformWithState: per-user session-timeout
     * emission (see [[SessionTimerProcessor]]). Each >30-min-gap
     * session is emitted by a timer once the watermark (1-hour delay)
@@ -911,6 +1103,8 @@ object EventStream {
     "stream_late_drop"       -> (lateDataDrop _),
     "stream_tws_totals"      -> (twsTotals _),
     "stream_tws_timers"      -> (twsSessionTimers _),
+    "stream_tws_map"         -> (twsMapTotals _),
+    "stream_tws_bootstrap"   -> (twsBootstrap _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -929,5 +1123,7 @@ object EventStream {
     "stream_late_drop"       -> tumblingCountsSql,
     "stream_tws_totals"      -> twsTotalsSql,
     "stream_tws_timers"      -> twsSessionTimersSql,
+    "stream_tws_map"         -> twsMapTotalsSql,
+    "stream_tws_bootstrap"   -> twsBootstrapSql,
   )
 }

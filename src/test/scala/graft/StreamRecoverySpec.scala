@@ -175,6 +175,43 @@ class StreamRecoverySpec extends SparkTestBase {
        |GROUP BY user_id ORDER BY user_id""".stripMargin
   }
 
+  test("tws MapState per-type totals equal the batch two-key aggregate") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.twsMapTotals(spark, sf)
+    val batch = graft.util.Tables.events(spark, sf)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+    assert(out.count() > 0)
+    assert(out.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(out).count() === 0)
+    // the map cell really is composite: users carry multiple types
+    assert(out.groupBy("user_id").count().filter(col("count") > 1).count() > 0)
+  }
+
+  test("tws initial-state bootstrap: seed + stream equals full rebuild") {
+    import org.apache.spark.sql.functions._
+    val out = EventStream.twsBootstrap(spark, sf).cache()
+    val ev = graft.util.Tables.events(spark, sf)
+    // live-driven oracle: all-events totals for users with >=1 odd
+    // event, plus the even-half count that must have come via the
+    // initial-state path
+    val batch = ev.filter(col("event_id") % 2 === 1)
+      .select("user_id").distinct()
+      .join(ev, "user_id")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        sum(when(col("event_id") % 2 === 0, 1L).otherwise(0L))
+          .as("n_seed_events"))
+    assert(out.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(out).count() === 0)
+    // non-vacuous: state really was seeded (not all users start cold)
+    assert(out.filter(col("n_seed_events") > 0).count() > 0,
+      "no user received initial state — the bootstrap path never ran")
+    out.unpersist()
+  }
+
   test("checkpoint restart delivers every event exactly once") {
     val agg = EventStream.checkpointRecovery(spark, sf).collect()
     assert(agg.nonEmpty)
