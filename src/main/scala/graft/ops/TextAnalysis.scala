@@ -444,7 +444,48 @@ object TextAnalysis {
       |       bg AS top_bigram, CAST(cnt AS BIGINT) AS top_bigram_n
       |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
+  /** Semi-structured metadata through Spark 4's VARIANT type: per-doc
+    * metadata is serialized to a JSON sidecar (`to_json`), parsed into
+    * VARIANT binary (`parse_json`), and typed values are pulled back
+    * out with `variant_get` JSON-path extraction — including a nested
+    * object field and an array index. This is the pretraining-metadata
+    * shape (JSON sidecar columns of heterogeneous provenance info)
+    * where VARIANT's binary encoding beats per-query string re-parsing
+    * at scale: parse once at ingest, extract typed paths thereafter.
+    * The whole pipeline is narrow (one projection chain under WSCG;
+    * the only shuffle is the final small aggregate).
+    *
+    * The oracle computes the same aggregate straight from the typed
+    * columns, so a divergence anywhere in the round trip
+    * (serialization, variant encoding, path navigation, cast
+    * semantics) breaks the hash.
+    */
+  def variantExtract(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        parse_json(to_json(struct(
+          col("lang"),
+          struct(col("source").as("name"), col("n_chars").as("chars"))
+            .as("src"),
+          array(col("lang"), col("source")).as("tags")))).as("meta"))
+      .select(
+        expr("variant_get(meta, '$.lang', 'string')").as("lang"),
+        expr("variant_get(meta, '$.src.chars', 'long')").as("chars"),
+        expr("variant_get(meta, '$.tags[1]', 'string')").as("tag_source"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars")).as("sum_chars"),
+        max(col("tag_source")).as("max_source"))
+      .orderBy("lang")
+
+  val variantExtractSql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |       max(source) AS max_source
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_variant"      -> (variantExtract _),
     "text_repetition"   -> (repetition _),
     "text_postings"     -> (postings _),
     "text_bigram_lm"    -> (bigramLm _),
@@ -458,6 +499,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_variant"      -> variantExtractSql,
     "text_repetition"   -> repetitionSql,
     "text_postings"     -> postingsSql,
     "text_bigram_lm"    -> bigramLmSql,

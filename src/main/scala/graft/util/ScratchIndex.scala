@@ -39,13 +39,22 @@ object ScratchIndex {
     */
   private val MinTmpfsFreeBytes = 16L << 30
 
-  private[graft] lazy val base: File = {
+  /** Pure selection rule (spec-tested): explicit override if
+    * writable, else `fast` if writable with `minFree` headroom, else
+    * `fallback`.
+    */
+  private[graft] def selectBase(overridePath: Option[String], fast: File,
+      fallback: File, minFree: Long): File = {
     def writable(d: File): Boolean = d.isDirectory && d.canWrite
-    sys.env.get("GRAFT_SCRATCH_DIR").map(new File(_)).filter(writable)
-      .orElse(Option(new File("/dev/shm"))
-        .filter(d => writable(d) && d.getUsableSpace >= MinTmpfsFreeBytes))
-      .getOrElse(new File(System.getProperty("java.io.tmpdir")))
+    overridePath.map(new File(_)).filter(writable)
+      .orElse(Option(fast)
+        .filter(d => writable(d) && d.getUsableSpace >= minFree))
+      .getOrElse(fallback)
   }
+
+  private[graft] lazy val base: File = selectBase(
+    sys.env.get("GRAFT_SCRATCH_DIR"), new File("/dev/shm"),
+    new File(System.getProperty("java.io.tmpdir")), MinTmpfsFreeBytes)
 
   /** Whether the chosen base is the RAM-backed fast path (reported in
     * the bench contract line so a round's numbers carry their own

@@ -177,6 +177,18 @@ class DedupTextSpec extends SparkTestBase {
     assert(n === distinctTexts)
   }
 
+  test("VARIANT round trip: json sidecar extraction equals typed columns") {
+    import org.apache.spark.sql.functions._
+    val viaVariant = TextAnalysis.variantExtract(spark, sf)
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        max(col("source")).as("max_source"))
+    assert(viaVariant.count() > 0)
+    assert(viaVariant.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(viaVariant).count() === 0)
+  }
+
   test("BPE-ish token count >= whitespace token count") {
     val bad = TextAnalysis.tokenCount(spark, sf)
       .filter($"n_bpe_tokens" < $"n_ws_tokens").count()

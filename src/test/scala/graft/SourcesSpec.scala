@@ -192,4 +192,22 @@ class SourcesSpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"),
       s"unexpected hash exchange in bucketed join plan:\n$plan")
   }
+
+  test("scratch base selection: override > tmpfs-with-headroom > fallback") {
+    import graft.util.ScratchIndex.selectBase
+    val tmp = java.nio.file.Files.createTempDirectory("graft_base_spec")
+    val a = new java.io.File(tmp.toFile, "override"); a.mkdirs()
+    val fast = new java.io.File(tmp.toFile, "fast"); fast.mkdirs()
+    val fb = new java.io.File(tmp.toFile, "fallback"); fb.mkdirs()
+    // writable override always wins
+    assert(selectBase(Some(a.getPath), fast, fb, 0L) === a)
+    // missing/unwritable override falls through to the fast base
+    assert(selectBase(Some(new java.io.File(tmp.toFile, "nope").getPath),
+      fast, fb, 0L) === fast)
+    assert(selectBase(None, fast, fb, 0L) === fast)
+    // insufficient headroom on the fast base -> durable fallback (the
+    // guard that keeps a small-tmpfs host from ENOSPC mid-query)
+    assert(selectBase(None, fast, fb, Long.MaxValue) === fb)
+    a.delete(); fast.delete(); fb.delete(); tmp.toFile.delete(): Unit
+  }
 }
