@@ -34,6 +34,18 @@ class PlanQualitySpec extends SparkTestBase {
       s"scan reads more columns than the projection needs: $readSchema")
   }
 
+  test("variant extraction never reads the text column") {
+    // text_variant touches only metadata columns; the documents scan
+    // must prune away `text` (the fat column) or the VARIANT pipeline
+    // pays a corpus-sized read for a metadata query
+    val p = plan(graft.ops.TextAnalysis.variantExtract(spark, sf))
+    val readSchema = "ReadSchema: struct<([^>]*)".r
+      .findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(readSchema.nonEmpty, s"no ReadSchema in:\n$p")
+    assert(!readSchema.contains("text"),
+      s"variant query reads the fat text column: $readSchema")
+  }
+
   test("top-k plans as TakeOrderedAndProject, not a global sort") {
     val p = plan(Relational.topK(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), p)
