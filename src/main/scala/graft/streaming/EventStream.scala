@@ -176,16 +176,20 @@ case class SessionClosed(user_id: Long, start_us: Long, duration_ms: Long,
   * session-timeout emission pattern, and the one timer shape with a
   * deterministic oracle (processing-time timers are wall-clock).
   *
-  * Per user: a ListState accumulates event timestamps (µs); a
-  * ValueState counts sessions already emitted. A session (>30-min-gap
-  * split, same rule as the sessionize suite) is CLOSED once the
-  * watermark passes `end + gap` — no on-time event can extend it
-  * (any row ≥ the watermark is ≥ gap past the session end, hence a
-  * new session) and late rows are filtered by the operator's
-  * watermark predicate. Closed sessions are emitted exactly once:
-  * the emitted-count high-water mark advances monotonically over the
-  * start-ordered session list, which makes the output micro-batch-
-  * count invariant (spec-replayed).
+  * Per user: a ListState holds the PENDING event timestamps (µs). A
+  * session (>30-min-gap split, same rule as the sessionize suite) is
+  * CLOSED once the watermark passes `end + gap` — no on-time event
+  * can extend it (any row ≥ the watermark is ≥ gap past the session
+  * end, hence a new session) and late rows are filtered by the
+  * operator's watermark predicate. Closed sessions are emitted and
+  * their timestamps EVICTED from the list in the same handler pass:
+  * state per user is bounded by the open event-time horizon
+  * (watermark delay + gap), NOT by the user's history — the property
+  * that keeps an infinite stream's state store finite. Eviction also
+  * makes emission exactly-once by construction (a closed session no
+  * longer exists to re-derive, so a stale timer re-fire emits
+  * nothing), which in turn makes the output micro-batch-count
+  * invariant (spec-replayed).
   *
   * Timer discipline: every input batch and every timer fire
   * (re-)registers one timer at the first PENDING session's close
@@ -202,19 +206,17 @@ case class SessionClosed(user_id: Long, start_us: Long, duration_ms: Long,
 class SessionTimerProcessor extends org.apache.spark.sql.streaming
     .StatefulProcessor[Long, Ev, SessionClosed] {
   import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState,
-    TimerValues, TTLConfig, ValueState}
+    TimerValues, TTLConfig}
   import org.apache.spark.sql.{Encoder, Encoders}
 
   private val GapUs = 30L * 60 * 1000000L
 
   @transient private var ts: ListState[Long] = _
-  @transient private var emitted: ValueState[Long] = _
 
   override def init(outputMode: OutputMode,
       timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
     val encL: Encoder[Long] = Encoders.scalaLong
     ts = getHandle.getListState[Long]("ts", encL, TTLConfig.NONE)
-    emitted = getHandle.getValueState[Long]("emitted", encL, TTLConfig.NONE)
   }
 
   /** Sessions of the full accumulated timestamp set, start-ordered:
@@ -234,24 +236,30 @@ class SessionTimerProcessor extends org.apache.spark.sql.streaming
     out.toSeq
   }
 
-  /** Emit every closed-but-unemitted session at watermark `wmUs`,
-    * advance the high-water mark, and arm a timer for the next
+  /** Emit every closed session at watermark `wmUs`, EVICT their
+    * timestamps from the pending list, and arm a timer for the next
     * pending close point (if any).
     */
   private def emitClosed(key: Long, wmUs: Long): Iterator[SessionClosed] = {
     val all = ts.get().toArray.sorted
     if (all.isEmpty) return Iterator.empty
     val sess = sessions(all)
-    val done = (if (emitted.exists()) emitted.get() else 0L).toInt
     // session ends are strictly increasing → closed set is a prefix
     val closed = sess.takeWhile { case (_, e, _) => e + GapUs <= wmUs }
-    val fresh = closed.drop(done)
-    if (fresh.nonEmpty) emitted.update(closed.size.toLong)
+    if (closed.nonEmpty) {
+      // keep only timestamps of still-open sessions: state stays
+      // bounded by the open horizon, and closed sessions cease to
+      // exist — a stale timer re-fire cannot re-emit them
+      val keepFrom = if (closed.size < sess.size) sess(closed.size)._1
+        else Long.MaxValue
+      val pending = all.filter(_ >= keepFrom)
+      if (pending.isEmpty) ts.clear() else ts.put(pending)
+    }
     if (closed.size < sess.size) {
       val nextDueUs = sess(closed.size)._2 + GapUs
       getHandle.registerTimer((nextDueUs + 999) / 1000) // ceil → ms
     }
-    fresh.iterator.map { case (s0, e0, n) =>
+    closed.iterator.map { case (s0, e0, n) =>
       SessionClosed(key, s0, (e0 - s0) / 1000, n)
     }
   }
