@@ -373,6 +373,13 @@ object EventStream {
     * user's max-`n_events` emission yields the same answer no matter
     * how the source batches — proven by StreamRecoverySpec against a
     * one-file-per-trigger replay.
+    *
+    * State here grows with each user's full history BY DESIGN: the
+    * max-emission reduction needs complete recomputation, and this
+    * query demonstrates the legacy flatMapGroupsWithState API shape.
+    * The production-bounded form of the same sessionization is
+    * `twsSessionTimers`, whose state is evicted down to the open
+    * event-time horizon as the watermark closes sessions.
     */
   private[graft] def sessionizeCore(s: SparkSession, src: DataFrame)
       : DataFrame = {
