@@ -62,6 +62,7 @@ object Bench {
       // the tmpfs-backed scratch base — see ScratchIndex: the bench
       // measures plans, not the host disk's fsync backlog
       .config("spark.local.dir", graft.util.ScratchIndex.sparkLocalDir())
+      .config("spark.sql.warehouse.dir", graft.util.ScratchIndex.warehouseDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

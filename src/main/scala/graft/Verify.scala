@@ -14,6 +14,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.local.dir", graft.util.ScratchIndex.sparkLocalDir())
+      .config("spark.sql.warehouse.dir", graft.util.ScratchIndex.warehouseDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -16,6 +16,7 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.local.dir", graft.util.ScratchIndex.sparkLocalDir())
+      .config("spark.sql.warehouse.dir", graft.util.ScratchIndex.warehouseDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -82,6 +82,20 @@ object ScratchIndex {
     d.toString
   }
 
+  /** A per-JVM `spark.sql.warehouse.dir` under the scratch root. The
+    * warehouse's contents here are rebuild-per-JVM by construction
+    * (bucketed tables and CBO catalog tables drop + recreate their
+    * physical locations on first touch), so the default
+    * `./spark-warehouse` was de-facto scratch living on the host disk
+    * — and a shared physical path two concurrent JVMs could corrupt
+    * for each other (the hazard class this object exists to remove).
+    */
+  def warehouseDir(): String = {
+    val d = new File(root, "warehouse")
+    d.mkdirs()
+    d.toString
+  }
+
   def materialize(s: SparkSession, key: String)(build: => DataFrame)
       : DataFrame = {
     val dst = new File(root, key)

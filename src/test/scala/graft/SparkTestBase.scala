@@ -21,6 +21,7 @@ object SparkTestBase {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.local.dir", graft.util.ScratchIndex.sparkLocalDir())
+      .config("spark.sql.warehouse.dir", graft.util.ScratchIndex.warehouseDir())
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
