@@ -178,10 +178,16 @@ case class SessionClosed(user_id: Long, start_us: Long, duration_ms: Long,
   *
   * Per user: a ListState holds the PENDING event timestamps (µs). A
   * session (>30-min-gap split, same rule as the sessionize suite) is
-  * CLOSED once the watermark passes `end + gap` — no on-time event
-  * can extend it (any row ≥ the watermark is ≥ gap past the session
-  * end, hence a new session) and late rows are filtered by the
-  * operator's watermark predicate. Closed sessions are emitted and
+  * CLOSED once the watermark STRICTLY passes `end + gap` — no on-time
+  * event can extend it. The strict inequality is load-bearing at the
+  * µs-exact boundary: the gap rule keeps a row with `t − prev == gap`
+  * in the SAME session, so a session may only close once every
+  * on-time row that could still join it (`ts <= end + gap`, i.e.
+  * `ts < watermark` would not cover `ts == end+gap == watermark`) is
+  * impossible — `end + gap < watermark` guarantees any on-time row
+  * (`ts >= watermark`) has `ts − end > gap` and starts a new session.
+  * Late rows are filtered by the operator's watermark predicate.
+  * Closed sessions are emitted and
   * their timestamps EVICTED from the list in the same handler pass:
   * state per user is bounded by the open event-time horizon
   * (watermark delay + gap), NOT by the user's history — the property
@@ -193,15 +199,15 @@ case class SessionClosed(user_id: Long, start_us: Long, duration_ms: Long,
   *
   * Timer discipline: every input batch and every timer fire
   * (re-)registers one timer at the first PENDING session's close
-  * point, `ceil((end+gap)/1000)` ms. Spark fires timers with
-  * `expiryMs <= watermarkMs` (TimerStateImpl's expired-timer scan is
-  * `> threshold → stop`), and `ceil(due/1000) <= wmMs  ⇔  due <=
-  * wmMs*1000` for integer wmMs — so the fire condition and the
-  * emission condition `due <= watermark` are exactly equivalent, and
-  * the SQL oracle can replay the closed-session set from
-  * `max(event_time)` alone. Duplicate registrations are idempotent
-  * (the timer key space is a set) and re-fires are harmless (the
-  * emitted-count guard).
+  * point, `(end+gap)/1000 + 1` ms (floor-div plus one). Spark fires
+  * timers with `expiryMs <= watermarkMs` (TimerStateImpl's
+  * expired-timer scan is `> threshold → stop`), and
+  * `floor(due/1000) + 1 <= wmMs  ⇔  due < wmMs*1000` for integer
+  * wmMs — so the fire condition and the STRICT emission condition
+  * `due < watermark` are exactly equivalent, and the SQL oracle can
+  * replay the closed-session set from `max(event_time)` alone.
+  * Duplicate registrations are idempotent (the timer key space is a
+  * set) and re-fires are harmless (eviction makes them no-ops).
   */
 class SessionTimerProcessor extends org.apache.spark.sql.streaming
     .StatefulProcessor[Long, Ev, SessionClosed] {
@@ -244,8 +250,10 @@ class SessionTimerProcessor extends org.apache.spark.sql.streaming
     val all = ts.get().toArray.sorted
     if (all.isEmpty) return Iterator.empty
     val sess = sessions(all)
-    // session ends are strictly increasing → closed set is a prefix
-    val closed = sess.takeWhile { case (_, e, _) => e + GapUs <= wmUs }
+    // session ends are strictly increasing → closed set is a prefix;
+    // STRICT close (see class scaladoc): at e + gap == wm an on-time
+    // row with ts == wm could still extend this session
+    val closed = sess.takeWhile { case (_, e, _) => e + GapUs < wmUs }
     if (closed.nonEmpty) {
       // keep only timestamps of still-open sessions: state stays
       // bounded by the open horizon, and closed sessions cease to
@@ -257,7 +265,7 @@ class SessionTimerProcessor extends org.apache.spark.sql.streaming
     }
     if (closed.size < sess.size) {
       val nextDueUs = sess(closed.size)._2 + GapUs
-      getHandle.registerTimer((nextDueUs + 999) / 1000) // ceil → ms
+      getHandle.registerTimer(nextDueUs / 1000 + 1) // fire ⇔ due < wm µs
     }
     closed.iterator.map { case (s0, e0, n) =>
       SessionClosed(key, s0, (e0 - s0) / 1000, n)
@@ -975,7 +983,8 @@ object EventStream {
 
   /** Oracle: watermark = floor(max_ts_us/1000)ms − 1h (Spark tracks
     * event-time stats in milliseconds); a session is closed iff
-    * `end + gap ≤ watermark` in µs.
+    * `end + gap < watermark` in µs (strict — see
+    * [[SessionTimerProcessor]]).
     */
   val twsSessionTimersSql: String =
     """WITH ev AS (
@@ -1003,7 +1012,7 @@ object EventStream {
       |       CAST(sum(n) AS BIGINT) AS n_closed_events,
       |       max((e - s) // 1000) AS max_session_ms
       |FROM per_session, wm
-      |WHERE e + 1800000000 <= wm_us
+      |WHERE e + 1800000000 < wm_us
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** Rows dropped by the watermark in the last `lateDataDrop` run per

@@ -36,19 +36,43 @@ object ScratchIndex {
     * out of RAM, so we only opt in when at least 16 GiB are free —
     * two orders of magnitude above the observed sf0.1 scratch
     * footprint (~150 MB indexes + ~100 MB checkpoints).
+    *
+    * FOOTPRINT ASSUMPTION (the guard is evaluated once, at first
+    * touch): scratch grows ~linearly with the scale factor — indexes
+    * and checkpoints are derived relations over the corpus — so the
+    * 16 GiB headroom covers roughly sf6 worth of concurrent scratch
+    * per JVM before tmpfs pressure becomes RAM pressure. Larger runs
+    * (or many concurrent JVMs) should set GRAFT_SCRATCH_DIR to a
+    * disk-backed path; `warnIfLowHeadroom` additionally reports the
+    * first time usable space on the chosen base drops below
+    * `LowWaterBytes` mid-run, so an approaching ENOSPC is visible in
+    * the log before it bites.
     */
   private val MinTmpfsFreeBytes = 16L << 30
+  private val LowWaterBytes = 2L << 30
 
-  /** Pure selection rule (spec-tested): explicit override if
-    * writable, else `fast` if writable with `minFree` headroom, else
-    * `fallback`.
+  /** Selection rule (spec-tested): explicit override if it can be
+    * created/written, else `fast` if writable with `minFree` headroom,
+    * else `fallback`. An explicit override is operator intent, so a
+    * not-yet-existing path is created rather than silently ignored;
+    * one that can't be made writable is rejected WITH a warning
+    * (dropping an explicit override without a signal was the bug).
     */
   private[graft] def selectBase(overridePath: Option[String], fast: File,
       fallback: File, minFree: Long): File = {
     def writable(d: File): Boolean = d.isDirectory && d.canWrite
-    overridePath.map(new File(_)).filter(writable)
-      .orElse(Option(fast)
-        .filter(d => writable(d) && d.getUsableSpace >= minFree))
+    val explicit = overridePath.map { p =>
+      val d = new File(p)
+      d.mkdirs(): Unit
+      d
+    }
+    explicit.filter(writable)
+      .orElse {
+        explicit.foreach(d => System.err.println(
+          s"[graft] scratch override rejected (not a creatable writable " +
+            s"directory): $d — falling through to default selection"))
+        Option(fast).filter(d => writable(d) && d.getUsableSpace >= minFree)
+      }
       .getOrElse(fallback)
   }
 
@@ -56,11 +80,33 @@ object ScratchIndex {
     sys.env.get("GRAFT_SCRATCH_DIR"), new File("/dev/shm"),
     new File(System.getProperty("java.io.tmpdir")), MinTmpfsFreeBytes)
 
-  /** Whether the chosen base is the RAM-backed fast path (reported in
-    * the bench contract line so a round's numbers carry their own
-    * storage context).
+  /** Whether the chosen base is RAM-backed (reported in the bench
+    * contract line so a round's numbers carry their own storage
+    * context). Derived from the FILESYSTEM, not the path literal: a
+    * GRAFT_SCRATCH_DIR override pointing at a tmpfs (or a symlinked
+    * /dev/shm variant) reports true, and a bind-mounted disk at
+    * /dev/shm would report false.
     */
-  lazy val tmpfsBacked: Boolean = base.getPath == "/dev/shm"
+  lazy val tmpfsBacked: Boolean =
+    try {
+      val t = Files.getFileStore(base.toPath.toRealPath()).`type`()
+      t == "tmpfs" || t == "ramfs"
+    } catch { case scala.util.control.NonFatal(_) => false }
+
+  private val lowHeadroomWarned = new java.util.concurrent.atomic
+    .AtomicBoolean(false)
+
+  /** One-shot mid-run headroom report: the MinTmpfsFreeBytes guard
+    * runs once at JVM start, but shuffle spill and state stores keep
+    * writing afterwards — surface the first time the base gets tight
+    * instead of letting a later write hit ENOSPC silently.
+    */
+  private def warnIfLowHeadroom(): Unit =
+    if (base.getUsableSpace < LowWaterBytes
+        && lowHeadroomWarned.compareAndSet(false, true))
+      System.err.println(s"[graft] scratch base $base below " +
+        s"${LowWaterBytes >> 30} GiB usable — large scratch writes may " +
+        "ENOSPC; set GRAFT_SCRATCH_DIR to a roomier path")
 
   private lazy val root: File = {
     val dir = new File(base, s"graft_scratch_${ProcessHandle.current().pid()}")
@@ -98,6 +144,7 @@ object ScratchIndex {
 
   def materialize(s: SparkSession, key: String)(build: => DataFrame)
       : DataFrame = {
+    warnIfLowHeadroom()
     val dst = new File(root, key)
     if (!dst.exists()) {
       val tmp = new File(root,
@@ -142,7 +189,7 @@ object ScratchIndex {
     * would let two concurrent harnesses delete each other's in-flight
     * state. Cleaned up by the same shutdown hook as the indexes.
     */
-  def dir(key: String): File = new File(root, key)
+  def dir(key: String): File = { warnIfLowHeadroom(); new File(root, key) }
 
   private def deleteRecursively(f: File): Unit = {
     val children = f.listFiles()

@@ -201,8 +201,17 @@ class SourcesSpec extends SparkTestBase {
     val fb = new java.io.File(tmp.toFile, "fallback"); fb.mkdirs()
     // writable override always wins
     assert(selectBase(Some(a.getPath), fast, fb, 0L) === a)
-    // missing/unwritable override falls through to the fast base
-    assert(selectBase(Some(new java.io.File(tmp.toFile, "nope").getPath),
+    // a not-yet-existing override is CREATED and wins — an explicit
+    // override is operator intent, not a hint (round-7 advice: the
+    // old rule silently dropped it)
+    val fresh = new java.io.File(tmp.toFile, "fresh_override")
+    assert(selectBase(Some(fresh.getPath), fast, fb, 0L) === fresh)
+    assert(fresh.isDirectory)
+    // an UNCREATABLE override (parent is a file) falls through to the
+    // fast base, with a warning on stderr
+    val blocker = new java.io.File(tmp.toFile, "blocker")
+    java.nio.file.Files.write(blocker.toPath, "x".getBytes): Unit
+    assert(selectBase(Some(new java.io.File(blocker, "sub").getPath),
       fast, fb, 0L) === fast)
     assert(selectBase(None, fast, fb, 0L) === fast)
     // insufficient headroom on the fast base -> durable fallback (the

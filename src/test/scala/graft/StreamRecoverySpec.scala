@@ -144,7 +144,7 @@ class StreamRecoverySpec extends SparkTestBase {
     */
   private def localOracleSql(path: String, closedOnly: Boolean = true)
       : String = {
-    val filter = if (closedOnly) "WHERE e + 1800000000 <= wm_us" else ""
+    val filter = if (closedOnly) "WHERE e + 1800000000 < wm_us" else ""
     s"""WITH ev AS (
        |  SELECT user_id, ts div 1000 AS ts_us
        |  FROM parquet.`$path`
