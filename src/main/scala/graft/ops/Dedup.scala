@@ -281,19 +281,53 @@ object Dedup {
         round(graft.functions.SetSimilarityFunctions
           .jaccard_sorted(col("a_sh"), col("b_sh")), 6).as("jaccard"))
 
-  /** Near-dup candidate pairs via LSH banding + exact-Jaccard verify.
-    * Emits the top-50 candidate pairs by estimated similarity.
+  /** Verified near-dup pairs at exact-Jaccard ≥ 0.7, mined via LSH
+    * banding + verify (all inside the memoized candidateEdges build —
+    * this query reads the index).
     *
     * Plan shape at scale: signatures are narrow; `explode` emits
     * 8 band rows per doc; the self-equi-join on (band_idx, band_sig)
     * shuffles only (band_hash, doc_id) pairs; exact verify joins the
-    * shingle sets back for candidates only (all inside the memoized
-    * candidateEdges build — this query reads the index).
+    * shingle sets back for candidates only.
+    *
+    * FULL HASH ORACLE (was rows-only): the emitted columns are the
+    * post-verify (a_id, b_id, exact jaccard) — none of them depend on
+    * the murmur3 signatures, only the CANDIDATE SET does — so DuckDB
+    * can replay the relation as the exact all-pairs join at the same
+    * threshold. The equality holds iff banding misses no J ≥ 0.7 pair
+    * on this corpus, which is strictly implied by the already-hash-
+    * matched `dedup_clusters` oracle (exact all-pairs closure at the
+    * looser J ≥ 0.5) and spec-asserted besides (DedupTextSpec's
+    * banding cross-check). Signature-estimate quality remains pinned
+    * by the candidateEdges spec (est tracks exact jaccard).
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame =
     candidateEdges(s, d)
-      .orderBy(desc("est_jaccard"), desc("jaccard"), asc("a_id"), asc("b_id"))
-      .limit(50)
+      .filter(col("jaccard") >= 0.7)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
+
+  /** Shared oracle for the LSH pair queries: exact all-pairs Jaccard
+    * at the 0.7 threshold over the full corpus — what banding+verify
+    * computes without the corpus² join. The threshold compares the
+    * ROUNDED value on both sides so the boundary is engine-exact.
+    */
+  val lshVerifiedSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         $shinglesSql AS sh
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+       |        FROM documents)
+       |)
+       |SELECT a_id, b_id, jaccard FROM (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |)
+       |WHERE jaccard >= 0.7
+       |ORDER BY jaccard DESC, a_id, b_id""".stripMargin
 
   /** Incremental LSH index maintenance — the ingestion path of a
     * 100 TB dedup index, where the corpus grows daily and a full
@@ -348,19 +382,33 @@ object Dedup {
     verifyEdges(touching, allSigs).unionByName(baseEdges)
   }
 
-  /** Top-50 near-dup pairs served from the incrementally-maintained
-    * index (rows-only: minhash is murmur3-based, not DuckDB-
-    * replayable; DedupTextSpec hash-proves merge ≡ rebuild).
+  /** Verified near-dup pairs at exact-Jaccard ≥ 0.7 served from the
+    * incrementally-maintained index. Same full hash oracle as
+    * `minhashLsh` (see there for why the murmur3 dependence drops out
+    * of the emitted columns): DuckDB replays the exact all-pairs
+    * relation, so the oracle ALSO proves merge ≡ rebuild on the
+    * emitted surface — on top of DedupTextSpec's edge-for-edge proof
+    * over the full edge relation including estimates.
     */
   def minhashLshIncremental(s: SparkSession, d: String): DataFrame =
     incrementalEdges(s, d)
-      .orderBy(desc("est_jaccard"), desc("jaccard"), asc("a_id"), asc("b_id"))
-      .limit(50)
+      .filter(col("jaccard") >= 0.7)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+      .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
 
-  /** SimHash: 32-bit sign-aggregated fingerprint over murmur3 token
-    * hashes; docs whose fingerprints share a 16-bit half are near-dup
-    * candidates (Hamming-LSH). Emits per-doc fingerprints plus bucket
-    * sizes of the two halves — all narrow + one small groupBy.
+  /** SimHash: 32-bit sign-aggregated fingerprint over token hashes;
+    * docs whose fingerprints share a 16-bit half are near-dup
+    * candidates (Hamming-LSH). Emits per-doc fingerprints plus the
+    * two bucket halves — all narrow, no shuffle at all.
+    *
+    * The token hash is the first 32 bits of md5 (hex → int via
+    * `conv`) rather than Spark-internal murmur3: an ENGINE-PORTABLE
+    * hash, so the whole fingerprint is DuckDB-replayable and the
+    * query takes a FULL hash oracle (it was rows-only when the bits
+    * came from murmur3). Hash choice is immaterial to the algorithm —
+    * Charikar's rounding argument only needs uniform bits — and the
+    * per-token md5 is computed once into `hs`, then 32 sign-sums run
+    * over the precomputed longs.
     */
   def simhash(s: SparkSession, d: String): DataFrame =
     simhashOf(documents(s, d))
@@ -369,9 +417,11 @@ object Dedup {
   def simhashOf(docsIn: DataFrame): DataFrame = {
     val docs = docsIn
       .withColumn("toks", array_distinct(tokens(col("text"))))
+      .withColumn("hs", transform(col("toks"), t =>
+        conv(substring(md5(t), 1, 8), 16, 10).cast("long")))
     val bits = (0 until 32).map { b =>
-      aggregate(col("toks"), lit(0L), (acc, t) =>
-        acc + when(shiftright(hash(t), b).bitwiseAND(1) === 1, 1L)
+      aggregate(col("hs"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L)
           .otherwise(-1L))
     }
     val fp = bits.zipWithIndex.map { case (c, i) =>
@@ -382,6 +432,36 @@ object Dedup {
       .withColumn("hi16", shiftright(col("simhash"), 16))
       .withColumn("lo16", col("simhash").bitwiseAND(0xFFFF))
       .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of the md5-based simhash: per-token 32-bit hash =
+    * the first 8 md5 hex digits positionally decoded (strpos over the
+    * hex alphabet — DuckDB has no hex→int cast), then the same 32
+    * sign-sums and bit-assembly as the Spark side. Empty token lists:
+    * list_sum over [] is NULL → coalesce 0 → every sign-sum ≥ 0 →
+    * fingerprint 0xFFFFFFFF, matching Spark's aggregate-over-empty.
+    */
+  val simhashSql: String = {
+    val bitTerms = (0 until 32).map { b =>
+      s"(CASE WHEN coalesce(list_sum(list_transform(hs, h -> " +
+        s"CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END)), 0) >= 0 " +
+        s"THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("\n         + ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_transform(
+       |           list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x != '')),
+       |           tok -> CAST(list_sum(list_transform(range(1, 9),
+       |                    i -> CAST((strpos('0123456789abcdef', substr(md5(tok), CAST(i AS INT), 1)) - 1) AS BIGINT)
+       |                         * CAST(power(16, 8 - i) AS BIGINT))) AS BIGINT)) AS hs
+       |  FROM documents
+       |), f AS (
+       |  SELECT doc_id,
+       |         $bitTerms AS simhash
+       |  FROM t
+       |)
+       |SELECT doc_id, simhash, simhash >> 16 AS hi16, simhash & 65535 AS lo16
+       |FROM f ORDER BY doc_id""".stripMargin
   }
 
   /** Near-dup CLUSTERING over the FULL corpus: LSH-banded candidate
@@ -560,8 +640,11 @@ object Dedup {
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_jaccard"     -> jaccardPairsSql,
     "dedup_containment" -> containmentPairsSql,
-    // minhash_lsh / simhash: murmur3-seeded, not DuckDB-replayable →
-    // rows-only check here; cross-validated against dedup_jaccard in
-    // the ScalaTest suite instead.
+    // the murmur3 signatures only pick the CANDIDATE set; the emitted
+    // columns are exact — DuckDB replays the all-pairs equivalent
+    // (see minhashLsh scaladoc for the recall argument)
+    "dedup_minhash_lsh" -> lshVerifiedSql,
+    "dedup_lsh_incremental" -> lshVerifiedSql,
+    "dedup_simhash"     -> simhashSql,
   )
 }

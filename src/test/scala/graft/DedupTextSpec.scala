@@ -106,7 +106,7 @@ class DedupTextSpec extends SparkTestBase {
   }
 
   test("minhash estimate tracks exact jaccard on the real corpus") {
-    val pairs = Dedup.minhashLsh(spark, sf)
+    val pairs = Dedup.candidateEdges(spark, sf)
       .select($"est_jaccard", $"jaccard").as[(Double, Double)].collect()
     assert(pairs.nonEmpty)
     // every LSH candidate surfaced at est>=0.5 should be genuinely similar
