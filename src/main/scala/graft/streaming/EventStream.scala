@@ -166,6 +166,137 @@ class SeededTotalsProcessor extends org.apache.spark.sql.streaming
   }
 }
 
+/** StatefulProcessor exercising the BUILT-IN processing-time TTL path
+  * (`TTLConfig(1 ms)`; every other tws cell uses TTLConfig.NONE).
+  * The 1 ms TTL is shorter than any possible micro-batch gap, so state
+  * written in batch N is always expired when batch N+1 reads it:
+  * per-key totals cover exactly one micro-batch each.
+  *
+  * SPEC-ONLY (StreamTtlSpec): processing-time TTL is clock-driven, so
+  * it can never take a hash oracle, and a query holding TTL'd state is
+  * never idle — the engine schedules empty expiry micro-batches
+  * forever, so the spec must stop the query by polling the sink rather
+  * than draining it. The ORACLED TTL query is [[TtlCellProcessor]],
+  * which implements the same evict-idle-state semantics with
+  * event-time timers — a deterministic function of the data.
+  */
+class TtlTotalsProcessor extends org.apache.spark.sql.streaming
+    .StatefulProcessor[Long, EvVal, UserTotalsAt] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  @transient private var totals: ValueState[(Long, Double)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    val enc: Encoder[(Long, Double)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    totals = getHandle.getValueState[(Long, Double)](
+      "totals", enc, TTLConfig(java.time.Duration.ofMillis(1)))
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[EvVal],
+      timerValues: TimerValues): Iterator[UserTotalsAt] = {
+    // an expired cell reads as absent — the TTL contract under test
+    var (n, sum) = if (totals.exists()) totals.get() else (0L, 0.0)
+    rows.foreach { r => n += 1; sum += r.value }
+    totals.update((n, sum))
+    Iterator(UserTotalsAt(key, n, sum))
+  }
+}
+
+/** Input row for [[TtlCellProcessor]] (top-level for encoder codegen). */
+case class EvTsVal(user_id: Long, tsUs: Long, value: Double)
+
+/** One evicted TTL cell: the accumulated totals at eviction and the
+  * event-time point the cell expired (`last write + TTL`, µs).
+  */
+case class TtlEvicted(user_id: Long, n_events: Long, sum_value: Double,
+    expire_us: Long)
+
+/** StatefulProcessor for `stream_tws_ttl`: state TTL as a DETERMINISTIC
+  * function of event time (VERDICT r7 #4). Per user, ONE ValueState
+  * cell `(n, sum, lastUs)` accumulates totals; the cell EXPIRES when no
+  * event arrives for TTL (20 min) of EVENT time past its last write.
+  * Expiry is enforced twice, the canonical cache-cell pattern:
+  *
+  *  - LAZILY on write: an incoming row more than TTL past `lastUs`
+  *    finds its cell expired — the old snapshot is emitted as an
+  *    eviction record and the cell restarts from zero;
+  *  - PHYSICALLY by an event-time timer re-armed at `lastUs + TTL` on
+  *    every write (delete-then-register): when the watermark strictly
+  *    passes the expiry point, the snapshot is emitted and the cell
+  *    CLEARED, so idle keys hold no state — the property that bounds
+  *    state at 100 TB (state ∝ ACTIVE keys, not keys-ever-seen).
+  *
+  * Unlike built-in `TTLConfig` (processing-time: clock-driven, never
+  * idle, unoracleable — see [[TtlTotalsProcessor]]), every eviction
+  * here is a pure function of the event timestamps, so the full output
+  * takes a DuckDB hash oracle: evicted cells are exactly the
+  * >TTL-gap-separated runs of each user's event sequence, emitted iff
+  * a later run exists (lazy path) or the final watermark strictly
+  * passes `end + TTL` (timer path). Rows are folded in event-time
+  * order within a batch, so arrival order never leaks into results.
+  */
+class TtlCellProcessor extends org.apache.spark.sql.streaming
+    .StatefulProcessor[Long, EvTsVal, TtlEvicted] {
+  import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues,
+    TTLConfig, ValueState}
+  import org.apache.spark.sql.{Encoder, Encoders}
+
+  private val TtlUs = 20L * 60 * 1000000L
+
+  @transient private var cell: ValueState[(Long, Double, Long)] = _
+
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+    val enc: Encoder[(Long, Double, Long)] = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaLong)
+    cell = getHandle.getValueState[(Long, Double, Long)](
+      "cell", enc, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[EvTsVal],
+      timerValues: TimerValues): Iterator[TtlEvicted] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[TtlEvicted]
+    var state = if (cell.exists()) Some(cell.get()) else None
+    // event-time order, not arrival order: determinism within a batch
+    for (r <- rows.toArray.sortBy(_.tsUs)) {
+      state match {
+        case Some((n, sum, lastUs)) if r.tsUs - lastUs > TtlUs =>
+          // lazy expiry-on-write: the cell this row finds is past TTL
+          out += TtlEvicted(key, n, sum, lastUs + TtlUs)
+          state = Some((1L, r.value, r.tsUs))
+        case Some((n, sum, lastUs)) =>
+          state = Some((n + 1, sum + r.value, math.max(lastUs, r.tsUs)))
+        case None =>
+          state = Some((1L, r.value, r.tsUs))
+      }
+    }
+    state.foreach { case st @ (_, _, lastUs) =>
+      cell.update(st)
+      // re-arm the physical-expiry timer at the new horizon; stale
+      // timers from earlier writes are deleted so at most one is live
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t))
+      getHandle.registerTimer((lastUs + TtlUs) / 1000 + 1) // fire ⇔ due < wm
+    }
+    out.iterator
+  }
+
+  override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+      expiredTimerInfo: ExpiredTimerInfo): Iterator[TtlEvicted] = {
+    if (!cell.exists()) return Iterator.empty
+    val (n, sum, lastUs) = cell.get()
+    val wmUs = math.max(timerValues.getCurrentWatermarkInMs,
+      expiredTimerInfo.getExpiryTimeInMs) * 1000L
+    // strict: at lastUs + TTL == wm an on-time row could still renew
+    if (lastUs + TtlUs < wmUs) {
+      cell.clear()
+      Iterator.single(TtlEvicted(key, n, sum, lastUs + TtlUs))
+    } else Iterator.empty
+  }
+}
+
 /** One closed session, emitted by [[SessionTimerProcessor]] when the
   * event-time watermark passes the session's timeout point.
   */
@@ -301,6 +432,16 @@ object EventStream {
   /** Run a streaming DataFrame to completion against the bounded
     * file source and return the materialized result. Memory sink +
     * processAllAvailable = deterministic synchronous drain.
+    *
+    * NOT usable for queries holding processing-time-TTL'd state
+    * (`TTLConfig` with a duration): such a query is never idle — the
+    * engine schedules empty micro-batches forever to expire state
+    * (measured: 6,618 state versions before this run was killed), and
+    * neither processAllAvailable nor Trigger.AvailableNow terminates
+    * (the stateful operator reports needs-another-batch on every
+    * trigger). TTLConfig paths are exercised by StreamTtlSpec with an
+    * explicit sink-polling stop; the ORACLED ttl query implements the
+    * TTL cell with event-time timers instead (see [[TtlCellProcessor]]).
     */
   private[graft] def runToCompletion(s: SparkSession, df: DataFrame,
       mode: OutputMode): DataFrame = {
@@ -929,6 +1070,97 @@ object EventStream {
       |FROM live l LEFT JOIN seed s USING (user_id)
       |ORDER BY user_id""".stripMargin
 
+  /** State TTL on transformWithState (see [[TtlCellProcessor]]): each
+    * user's totals live in one ValueState cell that expires after
+    * 20 min of EVENT-time inactivity — lazily on the write that finds
+    * it stale, physically by an event-time timer that clears idle
+    * state once the watermark passes `last write + TTL`. Emissions are
+    * the evicted snapshots; the per-user rollup of those is a pure
+    * function of the event timestamps and takes a full DuckDB oracle.
+    * A TTL that failed to evict (or evicted early) would change which
+    * runs are emitted and hash-diverge.
+    */
+  def twsTtlEvictions(s: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try twsTtlEvictionsCore(s, eventsStream(s, dir))
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  /** Core of `twsTtlEvictions` against any events-shaped stream — the
+    * spec feeds a staged multi-file landing through it. Caller owns
+    * the state-store-provider conf.
+    */
+  private[graft] def twsTtlEvictionsCore(s: SparkSession, src: DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    val ds = src
+      .withWatermark("event_time", "1 hour")
+      .select(col("user_id"), expr("ts div 1000").as("tsUs"), col("value"))
+      .as[EvTsVal]
+    val out = ds.groupByKey(_.user_id)
+      .transformWithState(new TtlCellProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+    runToCompletion(s, out.toDF(), OutputMode.Append())
+      // evictions are unique by construction (a cleared cell cannot
+      // re-emit); dedup by eviction identity anyway so a stale timer
+      // re-fire can never silently double a count
+      .dropDuplicates("user_id", "expire_us")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_evictions"),
+        sum(col("n_events")).as("evicted_events"),
+        round(sum(col("sum_value")), 4).as("evicted_sum"),
+        max(col("expire_us")).as("last_expire_us"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle: evicted cells are the >20-min-gap runs of each user's
+    * event sequence; a run is emitted iff a LATER run exists for that
+    * user (lazy expiry-on-write) or the final watermark — floor-ms of
+    * max ts minus the 1 h delay — strictly passes `run end + TTL`
+    * (timer expiry).
+    */
+  val twsTtlEvictionsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+      |), wm AS (
+      |  SELECT ((max(ts_us) // 1000) - 3600000) * 1000 AS wm_us FROM ev
+      |), marked AS (
+      |  SELECT user_id, ts_us, value,
+      |         CASE WHEN lag(ts_us) OVER w IS NULL
+      |                OR ts_us - lag(ts_us) OVER w > 1200000000
+      |              THEN 1 ELSE 0 END AS new_run
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+      |), runs AS (
+      |  SELECT user_id, ts_us, value,
+      |         sum(new_run) OVER (PARTITION BY user_id ORDER BY ts_us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+      |  FROM marked
+      |), per_run AS (
+      |  SELECT user_id, rid, count(*) AS n, sum(value) AS sv,
+      |         max(ts_us) AS e
+      |  FROM runs GROUP BY 1, 2
+      |), flagged AS (
+      |  SELECT user_id, rid, n, sv, e,
+      |         max(rid) OVER (PARTITION BY user_id) AS max_rid
+      |  FROM per_run
+      |)
+      |SELECT user_id, count(*) AS n_evictions,
+      |       CAST(sum(n) AS BIGINT) AS evicted_events,
+      |       round(sum(sv), 4) AS evicted_sum,
+      |       max(e + 1200000000) AS last_expire_us
+      |FROM flagged, wm
+      |WHERE rid < max_rid OR e + 1200000000 < wm_us
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** Event-time TIMERS on transformWithState: per-user session-timeout
     * emission (see [[SessionTimerProcessor]]). Each >30-min-gap
     * session is emitted by a timer once the watermark (1-hour delay)
@@ -1129,6 +1361,7 @@ object EventStream {
     "stream_tws_timers"      -> (twsSessionTimers _),
     "stream_tws_map"         -> (twsMapTotals _),
     "stream_tws_bootstrap"   -> (twsBootstrap _),
+    "stream_tws_ttl"         -> (twsTtlEvictions _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1149,5 +1382,6 @@ object EventStream {
     "stream_tws_timers"      -> twsSessionTimersSql,
     "stream_tws_map"         -> twsMapTotalsSql,
     "stream_tws_bootstrap"   -> twsBootstrapSql,
+    "stream_tws_ttl"         -> twsTtlEvictionsSql,
   )
 }
