@@ -14,7 +14,10 @@ trait SparkTestBase extends AnyFunSuite {
 object SparkTestBase {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2] = 4 threads, 2 task attempts: StreamCrashSpec's
+      // injected first-attempt task failures need a retry budget
+      // (plain local[N] fails the job on the first task failure)
+      .master("local[4, 2]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
