@@ -245,4 +245,62 @@ class SimilarityEventsSpec extends SparkTestBase {
       .as[(Long, Long, Long, String)].collect().toSet
     assert(merged === direct)
   }
+
+  test("ANN recall@3 >= 0.9 on a clustered-embedding fixture") {
+    // the driver embeddings are near-uniform (same-label vs cross-label
+    // cosine 0.002 vs 0.001), so the driver-data floors sit where the
+    // data caps them, not where the indexes do. On data with real
+    // cluster structure — the shape ANN indexes exist for — IVF and
+    // graph must be near-exact. Deterministic fixture: 10 tight
+    // clusters in 64-dim, written as embeddings.parquet in a scratch
+    // dir the ANN entry points read like any corpus dir.
+    val root = graft.util.ScratchIndex.dir("ann_clustered_fixture")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(): Unit
+    }
+    rm(root)
+    val rnd = new scala.util.Random(42)
+    val dim = 64
+    val centers = Array.fill(10, dim)(rnd.nextGaussian())
+    val rows = (0L until 500L).map { id =>
+      val c = centers((id % 10).toInt)
+      // noise sigma 0.05 vs unit-scale centers: same-cluster cosine
+      // ~0.99+, cross-cluster ~0 — unambiguous structure
+      val v = Array.tabulate(dim)(j => (c(j) + 0.05 * rnd.nextGaussian()).toFloat)
+      (id, v.toSeq, (id % 10).toInt)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding", "label")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$root/embeddings.parquet")
+    val dir = root.toString
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exactTop3: Map[Long, Set[Long]] = vecs.keys.filter(_ < 20).map { q =>
+      val qv = vecs(q)
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(qv, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSet
+    }.toMap
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val byQ = df.select($"q_id", $"vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val r = exactTop3.map { case (q, truth) =>
+        (byQ.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+      }
+      r.sum / r.size
+    }
+    val ivf = recall(Similarity.annIvf(spark, dir))
+    val graph = recall(Similarity.annGraph(spark, dir))
+    info(f"clustered recall@3 ivf=$ivf%.3f graph=$graph%.3f")
+    assert(ivf >= 0.9, s"IVF recall@3 on clustered data $ivf")
+    assert(graph >= 0.9, s"graph recall@3 on clustered data $graph")
+  }
 }

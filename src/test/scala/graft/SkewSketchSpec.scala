@@ -8,11 +8,15 @@ class SkewSketchSpec extends SparkTestBase {
   import spark.implicits._
 
   test("theta set algebra tracks exact distinct overlaps within the RSE bound") {
-    val ev = graft.util.Tables.events(spark, sf)
+    assertThetaBounds(sf)
+  }
+
+  private def assertThetaBounds(dir: String): Unit = {
+    val ev = graft.util.Tables.events(spark, dir)
     def users(t: String): Set[Long] = ev
       .filter($"event_type" === t).select("user_id")
       .distinct().as[Long].collect().toSet
-    val rows = Skew.thetaOps(spark, sf)
+    val rows = Skew.thetaOps(spark, dir)
       .as[(String, String, Long, Long, Long, Long, Long)].collect()
     assert(rows.length === 3)
     // lgK=12 → RSE ≈ 1.6%; intersections compound error, allow 3×RSE
@@ -108,24 +112,38 @@ class SkewSketchSpec extends SparkTestBase {
   }
 
   test("HLL rollup: union of daily sketches equals the direct sketch") {
-    val r = Skew.hllRollup(spark, sf)
+    assertHllRollupBounds(sf)
+  }
+
+  private def assertHllRollupBounds(dir: String): Unit = {
+    val r = Skew.hllRollup(spark, dir)
       .select($"approx_users_merged", $"approx_users_direct", $"exact_users")
       .as[(Double, Double, Long)].collect()
     assert(r.nonEmpty)
     r.foreach { case (merged, direct, exact) =>
-      // register-max merge is lossless: sketch(A∪B) = sketch(A)∪sketch(B)
-      assert(merged === direct)
+      // register-max merge is lossless on the SKETCH STATE, but the
+      // estimator differs after a union (datasketches HLL: a direct
+      // sketch reads the HIP estimator, a union invalidates HIP and
+      // falls back to the composite estimate), so in dense mode —
+      // reached at sf0.1, not sf0.001 — the two ESTIMATES drift
+      // within the RSE even though the merge dropped nothing
+      assert(math.abs(merged - direct) <= math.max(2.0, direct * 0.02),
+        s"merged $merged vs direct $direct beyond estimator drift")
       assert(math.abs(merged - exact) <= math.max(2.0, exact * 0.05),
         s"estimate $merged too far from exact $exact")
     }
   }
 
   test("KLL rollup: merged daily sketches hit exact ranks within the bound") {
-    val r = Skew.kllRollup(spark, sf)
+    assertKllBounds(sf)
+  }
+
+  private def assertKllBounds(dir: String): Unit = {
+    val r = Skew.kllRollup(spark, dir)
       .select($"event_type", $"approx_p50", $"approx_p90", $"approx_p99")
       .as[(String, Double, Double, Double)].collect()
     assert(r.nonEmpty)
-    val byType = spark.read.parquet(s"$sf/events.parquet")
+    val byType = spark.read.parquet(s"$dir/events.parquet")
       .select($"event_type", $"value").as[(String, Double)].collect()
       .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
     // KLL k=200 ⇒ ~1.65% normalized rank error at 99% confidence; the
@@ -145,7 +163,7 @@ class SkewSketchSpec extends SparkTestBase {
     // whole-window sketch to within twice the single-sketch bound
     val kllAgg = udaf(graft.functions.KllQuantiles.SketchAgg)
     val q = udf(graft.functions.KllQuantiles.quantile _)
-    val direct = spark.read.parquet(s"$sf/events.parquet")
+    val direct = spark.read.parquet(s"$dir/events.parquet")
       .groupBy($"event_type").agg(kllAgg($"value").as("sk"))
       .select($"event_type", q($"sk", lit(0.5)).as("p50"))
       .as[(String, Double)].collect().toMap
@@ -158,8 +176,12 @@ class SkewSketchSpec extends SparkTestBase {
   }
 
   test("CMS probe honors the one-sided count-min guarantee") {
-    val total = spark.read.parquet(s"$sf/events.parquet").count()
-    val rows = Skew.cmsProbe(spark, sf)
+    assertCmsBounds(sf)
+  }
+
+  private def assertCmsBounds(dir: String): Unit = {
+    val total = spark.read.parquet(s"$dir/events.parquet").count()
+    val rows = Skew.cmsProbe(spark, dir)
       .select($"exact_count", $"cms_count").as[(Long, Long)].collect()
     assert(rows.nonEmpty)
     rows.foreach { case (exact, est) =>
@@ -170,7 +192,11 @@ class SkewSketchSpec extends SparkTestBase {
   }
 
   test("HLL distinct counts are within the configured error bound") {
-    val rows = Skew.sketchAgg(spark, sf)
+    assertHllAggBounds(sf)
+  }
+
+  private def assertHllAggBounds(dir: String): Unit = {
+    val rows = Skew.sketchAgg(spark, dir)
       .select($"approx_orders", $"exact_orders")
       .as[(Long, Long)].collect()
     assert(rows.nonEmpty)
@@ -178,6 +204,19 @@ class SkewSketchSpec extends SparkTestBase {
       val err = math.abs(approx - exact).toDouble / exact
       assert(err < 0.10, s"HLL err $err (approx=$approx exact=$exact)")
     }
+  }
+
+  test("sketch error bounds hold at bench scale (sf0.1)") {
+    // the bands above run at test scale (sf0.001); re-assert every
+    // sketch's accuracy contract against exact answers on the same
+    // data volume the bench measures (VERDICT r7 #7) — error bounds
+    // that only hold on tiny inputs are not bounds
+    val benchSf = "/root/testdata/sf0.1"
+    assertThetaBounds(benchSf)
+    assertHllRollupBounds(benchSf)
+    assertKllBounds(benchSf)
+    assertCmsBounds(benchSf)
+    assertHllAggBounds(benchSf)
   }
 
   test("approx_top_k: partial accumulate + combine equals single-shot and exact") {
