@@ -26,7 +26,11 @@ import org.apache.spark.sql.SparkSession
   * headline number was invalidated by storage throttling — multi-
   * second kernel-time stalls that hit random queries): the bench
   * (1) measures fsync'd sequential write throughput before and after
-  * the sweeps and reports the worse of the two as `io_mbps`;
+  * the sweeps and reports the worse of the two as `io_mbps`, plus the
+  * READ side once up front: O_DIRECT vs page-cache-warm sequential
+  * scan bandwidth of the largest testdata file (`scan_direct_mbps` /
+  * `scan_cached_mbps`), so scan-side noise on a throttled host is
+  * attributable as mechanically as state-side noise;
   * (2) re-runs any query whose time is implausibly far above its
   * other-sweep counterpart (k×, see `StallFactor`) and reports
   * min-of-runs, listing every adjusted query with its ORIGINAL time
@@ -135,6 +139,58 @@ object Bench {
       } finally { f.delete(): Unit }
     }
 
+    // Scan-side probe (the counterpart of the write probe): the sweeps
+    // READ the testdata from the host disk by design, so a throttled
+    // host can still show up as scan-side noise even with all engine
+    // writes insulated on tmpfs. Two numbers attribute it mechanically:
+    //  - `scan_direct_mbps`: O_DIRECT sequential read of the largest
+    //    testdata file — device-path read health, page cache bypassed
+    //    (and not polluted), the bandwidth a COLD scan sees;
+    //  - `scan_cached_mbps`: buffered re-read of the same bytes — the
+    //    page-cache bandwidth a WARM scan sees. A future throttled
+    //    round shows scan_direct collapsing while scan_cached holds.
+    def scanProbeMBps(): (Double, Double) = {
+      val file = new java.io.File(sfDir).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .maxBy(_.length)
+      // 1 MiB chunks, or 64 KiB when the whole corpus is tiny (sf0.001
+      // smoke runs) — O_DIRECT only needs 4 KiB alignment
+      val chunk = if (file.length() >= (1 << 20)) 1 << 20 else 1 << 16
+      val whole = (file.length() / chunk).toInt
+      if (whole == 0) return (0.0, 0.0)
+      val passes = // ~64 MiB per measurement
+        math.max(1, ((64L << 20) / (whole.toLong * chunk)).toInt)
+      def readSeq(direct: Boolean): Double = {
+        val opts: Array[java.nio.file.OpenOption] =
+          if (direct) Array(java.nio.file.StandardOpenOption.READ,
+            com.sun.nio.file.ExtendedOpenOption.DIRECT)
+          else Array(java.nio.file.StandardOpenOption.READ)
+        val buf = java.nio.ByteBuffer.allocateDirect(chunk + 4096)
+          .alignedSlice(4096)
+        val t0 = System.nanoTime()
+        var bytes = 0L
+        for (_ <- 1 to passes) {
+          val ch = java.nio.channels.FileChannel.open(file.toPath, opts: _*)
+          try {
+            var i = 0
+            while (i < whole) {
+              buf.clear(); buf.limit(chunk)
+              ch.position(i.toLong * chunk)
+              while (buf.hasRemaining && ch.read(buf) >= 0) {}
+              i += 1; bytes += chunk
+            }
+          } finally ch.close()
+        }
+        (bytes >> 20).toDouble / ((System.nanoTime() - t0) / 1e9)
+      }
+      val directMbps =
+        try readSeq(direct = true)
+        catch { case _: Throwable => 0.0 } // fs without O_DIRECT
+      readSeq(direct = false) // populate the cache
+      (directMbps, readSeq(direct = false))
+    }
+
+    val (scanDirect, scanCached) = scanProbeMBps()
     val ioPre = diskProbeMBps()
     val (coldRaw, coldFailed) = sweep()
     val (warmRaw, _) = sweep()
@@ -223,6 +279,7 @@ object Bench {
       s""""stalls_cold":${jmap(coldStalls, _.toString)},""" +
       s""""stalls_warm":${jmap(warmStalls, _.toString)},""" +
       s""""io_mbps_pre":$ioPre,"io_mbps_post":$ioPost,""" +
+      s""""scan_direct_mbps":$scanDirect,"scan_cached_mbps":$scanCached,""" +
       s""""scratch":"${graft.util.ScratchIndex.base.getPath}",""" +
       s""""failed":${jlist(coldFailed)},"sf":"$sfDir"}""")
     // Driver-contract line: compact, printed LAST.
@@ -232,6 +289,7 @@ object Bench {
       s""""queries":${compactQueries(cold, 1550)},""" +
       s""""warm_total":${r2(warmTotal)},$failedPart"n":${cold.size},""" +
       s""""io_mbps":${r2(ioMbps)},"io_degraded":$ioDegraded,""" +
+      s""""scan_mbps":${r2(scanDirect)},""" +
       s""""tmpfs":${graft.util.ScratchIndex.tmpfsBacked},""" +
       s""""stall_reruns":$stallCount,"sf":"$sfDir"}""")
     spark.stop()
