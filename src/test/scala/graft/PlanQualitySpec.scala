@@ -241,4 +241,30 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected one user_id exchange:\n$p")
     assert(p.contains("MapPartitions"), p)
   }
+
+  test("scale-sensitive plan shapes hold at bench scale and the 10x fixture") {
+    // the shapes above are pinned at sf0.001; the ones that can FLIP
+    // as data grows are the 100-TB hazards — a dimension join that
+    // silently becomes sort-merge, a top-k that becomes a global
+    // sort, a filter that stops reaching the scan. Re-assert those at
+    // every scale present (the .scale/sf1 fixture is generated, so it
+    // participates when built — `assume` keeps fresh clones green).
+    val dirs = Seq("/root/testdata/sf0.1") ++
+      Some("/root/repo/.scale/sf1").filter(d => new java.io.File(d).exists())
+    for (dir <- dirs) {
+      val join = plan(Relational.joinSingleKey(spark, dir))
+      assert(join.contains("BroadcastHashJoin"),
+        s"dimension join lost broadcast at $dir:\n$join")
+      val topk = plan(Relational.topK(spark, dir))
+      assert(topk.contains("TakeOrderedAndProject"),
+        s"top-k became a global sort at $dir:\n$topk")
+      val filt = plan(Relational.filterPredicates(spark, dir))
+      assert(filt.contains("PushedFilters: ["), s"filter unpushed at $dir")
+      assert(!filt.replace("PushedFilters: []", "").contains(
+        "PushedFilters: []"), s"filter pushdown empty at $dir:\n$filt")
+      val agg = plan(Relational.groupByAgg(spark, dir))
+      assert("HashAggregate".r.findAllIn(agg).length >= 2,
+        s"aggregation lost map-side combine at $dir:\n$agg")
+    }
+  }
 }
