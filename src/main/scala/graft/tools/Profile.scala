@@ -98,22 +98,30 @@ object Profile {
         }
         val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
           case (name, fn) =>
-            def once(): Either[String, Double] = {
+            // (seconds, result rows): rows prove the query really ran
+            // against this corpus — a source that silently matches
+            // nothing (the directory-vs-file parquet trap) shows up as
+            // a 0 here, not as a flattering fast timing
+            def once(): Either[String, (Double, Long)] = {
               val t0 = System.nanoTime()
-              try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+              try {
+                val rows = fn(spark, sfDir).count()
+                Right(((System.nanoTime() - t0) / 1e9, rows))
+              }
               catch { case e: Throwable => Left(Option(e.getMessage)
                 .getOrElse(e.getClass.getName).take(60)) }
             }
             val r = (once(), once()) match {
-              case (Right(a), Right(b)) => Right(math.min(a, b))
-              case (Right(a), _)        => Right(a)
-              case (_, Right(b))        => Right(b)
-              case (Left(e), _)         => Left(e)
+              case (Right((a, n)), Right((b, _))) => Right((math.min(a, b), n))
+              case (Right(a), _)                  => Right(a)
+              case (_, Right(b))                  => Right(b)
+              case (Left(e), _)                   => Left(e)
             }
             r match {
-              case Right(sec) =>
-                println(f"[profile] $name%-28s $sec%8.2f s"); name -> Right(sec)
-              case Left(err)  =>
+              case Right((sec, rows)) =>
+                println(f"[profile] $name%-28s $sec%8.2f s $rows%9d rows")
+                name -> Right((sec, rows))
+              case Left(err) =>
                 println(s"[profile] $name FAILED: $err"); name -> Left(err)
             }
         }
@@ -121,9 +129,12 @@ object Profile {
           String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
         val ok = results.collect { case (n, Right(s)) => n -> s }
         val bad = results.collect { case (n, Left(_)) => n }
-        println(s"""{"metric":"profile_warm","value":${r2(ok.map(_._2).sum)},""" +
+        println(s"""{"metric":"profile_warm","value":${r2(ok.map(_._2._1).sum)},""" +
           s""""unit":"sec","queries":${ok.sortBy(_._1)
-            .map { case (k, v) => "\"" + k + "\":" + r2(v) }
+            .map { case (k, (v, _)) => "\"" + k + "\":" + r2(v) }
+            .mkString("{", ",", "}")},""" +
+          s""""rows":${ok.sortBy(_._1)
+            .map { case (k, (_, n)) => "\"" + k + "\":" + n }
             .mkString("{", ",", "}")},""" +
           s""""failed":${bad.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""n":${ok.size},"sf":"$sfDir"}""")

@@ -38,9 +38,12 @@ def family(q):
 
 def main(argv):
     scales = []          # [(tag, {query: sec})]
+    rows_by_scale = []   # [(tag, {query: rows})] — absent in old dumps
     for arg in argv:
         tag, path = arg.split("=", 1)
-        scales.append((tag, json.load(open(path))["queries"]))
+        data = json.load(open(path))
+        scales.append((tag, data["queries"]))
+        rows_by_scale.append((tag, data.get("rows", {})))
     tags = [t for t, _ in scales]
     queries = sorted(set.intersection(*(set(q) for _, q in scales)))
 
@@ -64,7 +67,8 @@ def main(argv):
         else:
             cls = "sub-linear"
         per_query[q] = {"times": times, "decade_exponents": decades,
-                        "top_exponent": top_e, "class": cls}
+                        "top_exponent": top_e, "class": cls,
+                        "rows": [rs.get(q) for _, rs in rows_by_scale]}
 
     families = {}
     for q, r in per_query.items():
@@ -72,6 +76,11 @@ def main(argv):
 
     flagged = [(q, r) for q, r in per_query.items()
                if r["class"] == "SUPER-LINEAR"]
+    # a query returning ZERO rows at any scale almost certainly never
+    # touched that corpus (e.g. a streaming source matching no files) —
+    # its timing would poison the exponents while looking plausible
+    empty = sorted(q for q, r in per_query.items()
+                   if any(n == 0 for n in r["rows"] if n is not None))
 
     out = {
         "scales": tags,
@@ -80,6 +89,7 @@ def main(argv):
         "superlinear_threshold": SUPERLINEAR,
         "queries": per_query,
         "flagged_superlinear": sorted(q for q, _ in flagged),
+        "flagged_empty_result": empty,
     }
     with open("SCALING.json", "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
@@ -128,14 +138,30 @@ def main(argv):
                   "(totals 38→41→50 s across 1→10→100× data).")
     md.append("")
 
+    md.append("## Result-row sanity\n")
+    have_rows = any(r["rows"][-1] is not None for r in per_query.values())
+    if not have_rows:
+        md.append("(profiles predate row recording)")
+    elif empty:
+        for q in empty:
+            md.append(f"- **{q}** returned 0 rows at some scale: "
+                      f"{per_query[q]['rows']} — timing untrustworthy")
+    else:
+        md.append("Every query returned >0 rows at every scale — no "
+                  "silently-empty sweeps (the failure mode that made a "
+                  "directory-shaped events.parquet stream zero rows "
+                  "while timings looked plausible).")
+    md.append("")
+
     md.append("## Slowest queries at sf1 (the 100-TB watchlist)\n")
     md.append("| query | " + " | ".join(tags) +
-              " | top-e | class |")
-    md.append("|---|" + "---|" * (len(tags) + 2))
+              " | top-e | rows @sf1 | class |")
+    md.append("|---|" + "---|" * (len(tags) + 3))
     for q, r in sorted(per_query.items(),
                        key=lambda x: -x[1]["times"][-1])[:15]:
         ts = " | ".join(f"{t:.2f}" for t in r["times"])
-        md.append(f"| {q} | {ts} | {r['top_exponent']:.2f} | "
+        nrows = r["rows"][-1] if r["rows"][-1] is not None else "—"
+        md.append(f"| {q} | {ts} | {r['top_exponent']:.2f} | {nrows} | "
                   f"{r['class']} |")
     md.append("")
 
