@@ -51,10 +51,27 @@ object ScaleFixture {
         : DataFrame =
       (0 until copies).map(k => shift(base, k)).reduce(_.unionAll(_))
 
+    // one plain FILE per table, like the driver testdata: the
+    // streaming file source's pathGlobFilter matches leaf file names,
+    // so a directory-shaped events.parquet would silently stream zero
+    // rows. Scan parallelism is unaffected — parquet files split by
+    // row group.
     def write(df: DataFrame, name: String, files: Int): Unit = {
-      df.repartition(files)
-        .write.mode(SaveMode.Overwrite)
-        .parquet(s"$outDir/$name.parquet")
+      val _ = files
+      val tmp = new java.io.File(s"$outDir/_tmp_$name")
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val pf = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$outDir/$name.parquet")
+      if (dst.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dst)
+      }
+      java.nio.file.Files.move(pf.toPath, dst.toPath): Unit
+      tmp.listFiles().foreach(f => f.delete(): Unit)
+      tmp.delete(): Unit
       println(s"[fixture] $name written")
     }
 
