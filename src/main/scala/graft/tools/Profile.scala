@@ -9,9 +9,13 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val what = if (args.length > 1) args(1) else "minhash"
+    // SPARK_GRAFT_CPUS lets the same sweep measure STRONG scaling
+    // (fixed data, varying cores) — shuffle partitions track cores so
+    // the plan a smaller "cluster" would run is the plan measured
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
@@ -90,7 +94,55 @@ object Profile {
         // with that query's own codegen compiled, i.e. what the bench's
         // warm sweep would show absent host I/O stalls. Emits ONE JSON
         // line a judge can diff against BENCH_r{N}.json without running
-        // per-query profiles by hand.
+        // per-query profiles by hand. Alongside seconds/rows, a task-
+        // metrics listener attributes SHUFFLE WRITE and SPILL bytes to
+        // each query (second run = steady state, after any first-touch
+        // index builds), so scaling.py can fit shuffle-volume
+        // exponents, not just wall-clock ones. (Scan bytes are NOT
+        // recorded: Spark 4's local vectorized parquet path bypasses
+        // the FS-statistics callback — a 113 MB scan reports ~10 KB —
+        // so inputMetrics.bytesRead would only mislead.)
+        val mx = new java.util.concurrent.atomic.AtomicLongArray(3)
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onTaskEnd(
+                te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+              val m = te.taskMetrics
+              if (m != null) {
+                mx.addAndGet(0, m.shuffleWriteMetrics.bytesWritten): Unit
+                mx.addAndGet(1, m.memoryBytesSpilled): Unit
+                mx.addAndGet(2, m.diskBytesSpilled): Unit
+              }
+            }
+          })
+        // peak streaming state (numRowsTotal summed over operators) —
+        // the streaming scale risk is state growth, not CPU, so record
+        // the high-water mark each query's drain reaches
+        val statePeak = new java.util.concurrent.atomic.AtomicLong(0)
+        spark.streams.addListener(
+          new org.apache.spark.sql.streaming.StreamingQueryListener {
+            import org.apache.spark.sql.streaming.StreamingQueryListener._
+            override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+            override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+            override def onQueryProgress(e: QueryProgressEvent): Unit = {
+              val t = e.progress.stateOperators.map(_.numRowsTotal).sum
+              statePeak.getAndUpdate(m => math.max(m, t)): Unit
+            }
+          })
+        // listener events are async: snapshot once stable (the bus is
+        // drained when two reads 150 ms apart agree; 3 s hard cap)
+        def counters(): Array[Long] = {
+          def snap() = Array.tabulate(3)(mx.get)
+          val deadline = System.nanoTime() + 3000000000L
+          var prev = snap()
+          Thread.sleep(150)
+          var cur = snap()
+          while (!java.util.Arrays.equals(prev, cur)
+              && System.nanoTime() < deadline) {
+            prev = cur; Thread.sleep(150); cur = snap()
+          }
+          cur
+        }
         time("session warm-up") {
           graft.util.Tables.documents(spark, sfDir).count()
           graft.util.Tables.lineitem(spark, sfDir)
@@ -111,7 +163,13 @@ object Profile {
               catch { case e: Throwable => Left(Option(e.getMessage)
                 .getOrElse(e.getClass.getName).take(60)) }
             }
-            val r = (once(), once()) match {
+            val first = once()
+            val before = counters() // includes a ≥150 ms settle for run 1
+            statePeak.set(0)
+            val second = once()
+            val delta = counters().zip(before).map { case (a, b) => a - b }
+            val stRows = statePeak.get()
+            val r = (first, second) match {
               case (Right((a, n)), Right((b, _))) => Right((math.min(a, b), n))
               case (Right(a), _)                  => Right(a)
               case (_, Right(b))                  => Right(b)
@@ -119,8 +177,11 @@ object Profile {
             }
             r match {
               case Right((sec, rows)) =>
-                println(f"[profile] $name%-28s $sec%8.2f s $rows%9d rows")
-                name -> Right((sec, rows))
+                println(f"[profile] $name%-28s $sec%8.2f s $rows%9d rows " +
+                  f"${delta(0) / 1e6}%9.1f shufMB " +
+                  f"${(delta(1) + delta(2)) / 1e6}%9.1f spillMB" +
+                  (if (stRows > 0) f" $stRows%9d stateRows" else ""))
+                name -> Right((sec, rows, delta, stRows))
               case Left(err) =>
                 println(s"[profile] $name FAILED: $err"); name -> Left(err)
             }
@@ -129,18 +190,24 @@ object Profile {
           String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
         val ok = results.collect { case (n, Right(s)) => n -> s }
         val bad = results.collect { case (n, Left(_)) => n }
+        def field(name: String,
+            value: ((Double, Long, Array[Long], Long)) => String) =
+          s""""$name":${ok.sortBy(_._1)
+            .map { case (k, v) => "\"" + k + "\":" + value(v) }
+            .mkString("{", ",", "}")}"""
         println(s"""{"metric":"profile_warm","value":${r2(ok.map(_._2._1).sum)},""" +
-          s""""unit":"sec","queries":${ok.sortBy(_._1)
-            .map { case (k, (v, _)) => "\"" + k + "\":" + r2(v) }
-            .mkString("{", ",", "}")},""" +
-          s""""rows":${ok.sortBy(_._1)
-            .map { case (k, (_, n)) => "\"" + k + "\":" + n }
-            .mkString("{", ",", "}")},""" +
+          s""""unit":"sec",${field("queries", v => r2(v._1))},""" +
+          s"""${field("rows", v => v._2.toString)},""" +
+          s"""${field("shuffle_mb", v => r2(v._3(0) / 1e6))},""" +
+          s"""${field("spill_mb", v => r2((v._3(1) + v._3(2)) / 1e6))},""" +
+          s"""${field("state_rows", v => v._4.toString)},""" +
           s""""failed":${bad.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""n":${ok.size},"sf":"$sfDir"}""")
       case "explain" =>
-        for (name <- Seq("rel_topk", "rel_groupby_agg", "rel_join_multi_agg",
-          "rel_filter", "sim_knn_brute", "events_tumbling_window")) {
+        val names = if (args.length > 2) args.drop(2).toSeq
+          else Seq("rel_topk", "rel_groupby_agg", "rel_join_multi_agg",
+            "rel_filter", "sim_knn_brute", "events_tumbling_window")
+        for (name <- names) {
           println(s"========== $name ==========")
           graft.SparkEntry.queries(name)(spark, sfDir).explain("formatted")
         }
