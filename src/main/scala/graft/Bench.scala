@@ -282,11 +282,26 @@ object Bench {
       s""""scan_direct_mbps":$scanDirect,"scan_cached_mbps":$scanCached,""" +
       s""""scratch":"${graft.util.ScratchIndex.base.getPath}",""" +
       s""""failed":${jlist(coldFailed)},"sf":"$sfDir"}""")
-    // Driver-contract line: compact, printed LAST.
+    // Driver-contract line: compact, printed LAST. EVERY variable-
+    // length part shares the ONE ~1550-char budget: round 8 proved
+    // that appending the failed list outside it silently pushed the
+    // line past the driver's 2000-char stdout tail exactly when
+    // queries failed — truncating the head and losing the round's
+    // headline number. The failed list is itself capped (first 20 +
+    // "+N more") and the queries map gets whatever budget remains.
     val failedPart =
-      if (coldFailed.isEmpty) "" else s""""failed":${jlist(coldFailed)},"""
+      if (coldFailed.isEmpty) ""
+      else {
+        val shown = coldFailed.take(20)
+        val capped =
+          if (coldFailed.size > shown.size)
+            shown :+ s"+${coldFailed.size - shown.size} more"
+          else shown
+        s""""failed":${jlist(capped)},"""
+      }
+    val queriesBudget = math.max(400, 1550 - failedPart.length)
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
-      s""""queries":${compactQueries(cold, 1550)},""" +
+      s""""queries":${compactQueries(cold, queriesBudget)},""" +
       s""""warm_total":${r2(warmTotal)},$failedPart"n":${cold.size},""" +
       s""""io_mbps":${r2(ioMbps)},"io_degraded":$ioDegraded,""" +
       s""""scan_mbps":${r2(scanDirect)},""" +

@@ -5,20 +5,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.util.Tables._
 
-/** Event-stream analytics over the `events` table (`ts` = epoch
-  * nanoseconds as BIGINT — see Tables.events for the parquet NANOS
-  * quirk). Batch forms here; the Structured Streaming surface over the
-  * same shapes lives in graft.streaming.
+/** Event-stream analytics over the `events` table in the canonical
+  * event-time schema (`ts_us` BIGINT epoch-µs + `event_time`
+  * TIMESTAMP — Tables.events normalizes whatever `ts` encoding the
+  * driver generator wrote). Batch forms here; the Structured
+  * Streaming surface over the same shapes lives in graft.streaming.
   *
   * All timestamp arithmetic is integer (BIGINT) on a microsecond
-  * basis — see the note below on DuckDB's epoch_ns() precision.
+  * basis.
   */
 object Events {
 
-  // All event-time arithmetic runs on a MICROSECOND basis: DuckDB's
-  // epoch_ns() truncates TIMESTAMP_NS to µs precision (verified), so
-  // both engines floor ts to µs first (Spark `ts div 1000` ==
-  // DuckDB `epoch_us(ts)`) and derive buckets/gaps from that.
+  // All event-time arithmetic runs on a MICROSECOND basis: Spark's
+  // canonical `ts_us` == DuckDB's `epoch_us(ts)` for every driver
+  // `ts` encoding (epoch_us truncates TIMESTAMP_NS to µs, and is
+  // exact on µs-precision TIMESTAMP), so buckets/gaps derive from
+  // the same integers in both engines.
   private val HourUs = 3600L * 1000 * 1000
   private val SessionGapUs = 30L * 60 * 1000 * 1000 // 30 min
 
@@ -29,7 +31,7 @@ object Events {
     */
   def tumblingWindow(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("bucket", expr(s"(ts div 1000) div ${HourUs}L"))
+      .withColumn("bucket", expr(s"ts_us div ${HourUs}L"))
       .groupBy(col("bucket"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"),
@@ -52,7 +54,6 @@ object Events {
   def sessionize(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
     events(s, d)
-      .withColumn("ts_us", expr("ts div 1000"))
       .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull
@@ -157,20 +158,19 @@ object Events {
     val ev = events(s, d)
     val tagged = ev
       .filter(col("event_type").isin("view", "purchase"))
-      .select(col("event_id"), col("user_id"), col("ts"),
+      .select(col("event_id"), col("user_id"), col("ts_us"),
         col("event_type"),
-        when(col("event_type") === "view", col("ts")).as("view_ts"),
+        when(col("event_type") === "view", col("ts_us")).as("view_ts"),
         when(col("event_type") === "view", 0).otherwise(1).as("side"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("side"), col("event_id"))
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     tagged
       .withColumn("last_view_ts", last(col("view_ts"), ignoreNulls = true).over(w))
       .filter(col("event_type") === "purchase"
         && col("last_view_ts").isNotNull)
       .select(col("event_id"), col("user_id"),
-        expr("((ts div 1000) - (last_view_ts div 1000)) div 1000")
-          .as("gap_ms"))
+        expr("(ts_us - last_view_ts) div 1000").as("gap_ms"))
       .orderBy("event_id")
   }
 
@@ -189,8 +189,7 @@ object Events {
     */
   def sessionWindow(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("t", timestamp_micros(expr("ts div 1000")))
-      .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .groupBy(col("user_id"), session_window(col("event_time"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"),
@@ -227,7 +226,7 @@ object Events {
   def slidingWindow(s: SparkSession, d: String): DataFrame = {
     val slideUs = 900L * 1000 * 1000
     events(s, d)
-      .withColumn("tus", expr("ts div 1000"))
+      .withColumn("tus", col("ts_us"))
       .select(col("event_type"), col("value"), col("tus"),
         explode(sequence(lit(0), lit(3))).as("k"))
       .withColumn("win_start",
@@ -304,8 +303,7 @@ object Events {
     */
   def funnel(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-      .select(col("user_id"), col("event_type"),
-        expr("ts div 1000").as("tsu"))
+      .select(col("user_id"), col("event_type"), col("ts_us").as("tsu"))
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("tsu")).as("tv"))
     val c = ev.filter(col("event_type") === "click")
@@ -363,7 +361,7 @@ object Events {
   def cohortRetention(s: SparkSession, d: String): DataFrame = {
     val DayUs = 86400L * 1000000L
     val ev = events(s, d)
-      .select(col("user_id"), expr(s"(ts div 1000) div ${DayUs}L").as("day"))
+      .select(col("user_id"), expr(s"ts_us div ${DayUs}L").as("day"))
     val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
     val active = ev.select(col("user_id"), col("day")).distinct()
     active.join(firstDay, Seq("user_id"))
@@ -434,7 +432,7 @@ object Events {
     */
   def gapFill(s: SparkSession, d: String): DataFrame = {
     val hourly = events(s, d)
-      .withColumn("bucket", expr(s"(ts div 1000) div ${HourUs}L"))
+      .withColumn("bucket", expr(s"ts_us div ${HourUs}L"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"),
@@ -506,7 +504,6 @@ object Events {
     val w = Window.partitionBy(col("event_type")).orderBy(col("ts_us"))
       .rangeBetween(-HourUs, 0)
     events(s, d)
-      .withColumn("ts_us", expr("ts div 1000"))
       .select(col("event_id"), col("event_type"), col("ts_us"),
         count(lit(1)).over(w).as("n_1h"),
         round(sum(col("value")).over(w), 4).as("sum_1h"))
@@ -558,7 +555,7 @@ object Events {
     */
   private[graft] def hotHours(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), col("ts_us"))
     val hourly = ev.groupBy(expr(s"ts_us div ${HourUs}L").as("hour"))
       .agg(count(lit(1)).as("n"))
     val thresh = hourly.agg((avg(col("n")) * 1.2).as("t"))
@@ -569,7 +566,7 @@ object Events {
   def intervalJoin(s: SparkSession, d: String): DataFrame = {
     val DayUs = 86400L * 1000000L
     val ev = events(s, d)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("user_id"), col("ts_us"))
     val spans = ev
       .withColumn("day", expr(s"ts_us div ${DayUs}L"))
       .groupBy(col("user_id"), col("day"))
@@ -652,8 +649,7 @@ object Events {
   def secondarySort(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sorted = events(s, d)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
-        col("event_id"), col("value"))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("ts_us"), col("event_id"))
       .as[(Long, Long, Long, Double)]

@@ -88,14 +88,14 @@ object Relational2 {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin
 
-  /** Date/time scalar functions over the ns-timestamp events table:
-    * year/month/day/hour/dayofweek + date_trunc, all through the
-    * integer-ns → µs-timestamp conversion (UTC both engines).
+  /** Date/time scalar functions over the events table's canonical
+    * `event_time` (µs TIMESTAMP, UTC both engines):
+    * year/month/day/hour/dayofweek + date_trunc.
     * Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday → +1.
     */
   def dateFuncs(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("t", timestamp_micros(expr("ts div 1000")))
+      .withColumn("t", col("event_time"))
       .groupBy(
         year(col("t")).as("y"),
         month(col("t")).as("m"),

@@ -203,7 +203,7 @@ object Skew {
     */
   def hllRollup(s: SparkSession, d: String): DataFrame = {
     val daily = events(s, d)
-      .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      .withColumn("day", expr("ts_us div 86400000000"))
       .groupBy(col("event_type"), col("day"))
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
         count(lit(1)).as("n"))
@@ -242,7 +242,7 @@ object Skew {
     val kllMerge = udaf(graft.functions.KllQuantiles.MergeAgg)
     val q = udf(graft.functions.KllQuantiles.quantile _)
     val daily = events(s, d)
-      .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      .withColumn("day", expr("ts_us div 86400000000"))
       .groupBy(col("event_type"), col("day"))
       .agg(kllAgg(col("value")).as("sk"), count(lit(1)).as("n"))
     daily.groupBy(col("event_type"))

@@ -78,7 +78,7 @@ object Sources {
   def partitionedWrite(s: SparkSession, d: String): DataFrame = {
     val out = s"$scratch/events_by_type"
     events(s, d)
-      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+      .select(col("event_id"), col("ts_us"), col("user_id"), col("value"),
         col("event_type"))
       .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(out)
     s.read.parquet(out)

@@ -472,19 +472,20 @@ object EventStream {
     s.table(name)
   }
 
-  /** The events stream with `ts` surfaced as a real TIMESTAMP for
-    * event-time semantics (epoch-ns BIGINT → microsecond timestamp;
-    * integer division keeps both engines exact).
+  /** The events stream in the engine-canonical event-time schema
+    * (`ts_us` + µs `event_time` — the same normalization batch
+    * queries get from Tables.events). The file source needs the RAW
+    * file schema (whatever `ts` type the driver generator wrote), so
+    * probe it from a one-footer batch read, then normalize the
+    * streaming frame through the shared single fix point.
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = graft.util.Tables.events(s, dir).schema
+    val schema = graft.util.Tables.eventsRaw(s, dir).schema
     // streaming file source monitors a DIRECTORY; select just the
     // events file from the shared testdata dir via glob filter
-    s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("event_time",
-        timestamp_micros(expr("ts div 1000")))
+    graft.util.Tables.normalizeEventTime(
+      s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
   }
 
   /** Streaming tumbling 1-hour window: watermarked event-time groupBy
@@ -535,7 +536,7 @@ object EventStream {
     import s.implicits._
     val gapUs = 30L * 60 * 1000000L // µs basis, see ops.Events scaladoc
     val ds = src
-      .select(col("user_id"), expr("ts div 1000").as("tsUs")).as[Ev]
+      .select(col("user_id"), col("ts_us").as("tsUs")).as[Ev]
     val sessions = ds.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[Long], UserSessionsAt](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -1101,7 +1102,7 @@ object EventStream {
     import s.implicits._
     val ds = src
       .withWatermark("event_time", "1 hour")
-      .select(col("user_id"), expr("ts div 1000").as("tsUs"), col("value"))
+      .select(col("user_id"), col("ts_us").as("tsUs"), col("value"))
       .as[EvTsVal]
     val out = ds.groupByKey(_.user_id)
       .transformWithState(new TtlCellProcessor,
@@ -1196,7 +1197,7 @@ object EventStream {
     import s.implicits._
     val ds = src
       .withWatermark("event_time", "1 hour")
-      .select(col("user_id"), expr("ts div 1000").as("tsUs")).as[Ev]
+      .select(col("user_id"), col("ts_us").as("tsUs")).as[Ev]
     val out = ds.groupByKey(_.user_id)
       .transformWithState(new SessionTimerProcessor,
         org.apache.spark.sql.streaming.TimeMode.EventTime(),
@@ -1292,10 +1293,11 @@ object EventStream {
     val landing = new java.io.File(root, "landing")
     landing.mkdirs(): Unit
     val ev = graft.util.Tables.events(s, dir)
-      .select(col("event_id"), col("event_type"), col("value"), col("ts"))
-    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      .select(col("event_id"), col("event_type"), col("value"), col("ts_us"))
+    val bounds =
+      ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi")).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val hourNs = 3600L * 1000000000L
+    val hourUs = 3600L * 1000000L
     // land each stage as ONE file with a strictly increasing mod time:
     // FileStreamSource orders by (modTime, path), and maxFilesPerTrigger=1
     // turns the three files into three deterministic micro-batches
@@ -1313,17 +1315,17 @@ object EventStream {
     land(ev, "ontime", 1)
     land(ev.limit(1).select(lit(-1L).as("event_id"),
       lit("view").as("event_type"), lit(0.0).as("value"),
-      lit(hi + 3 * hourNs).as("ts")), "flush", 2)
-    land(ev.filter(col("ts") < lo + hourNs)
+      lit(hi + 3 * hourUs).as("ts_us")), "flush", 2)
+    land(ev.filter(col("ts_us") < lo + hourUs)
       .withColumn("event_id", -col("event_id")), "late", 3)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val agg = s.readStream
-        .schema("event_id LONG, event_type STRING, value DOUBLE, ts LONG")
+        .schema("event_id LONG, event_type STRING, value DOUBLE, ts_us LONG")
         .option("maxFilesPerTrigger", "1")
         .parquet(landing.toString)
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withColumn("event_time", timestamp_micros(col("ts_us")))
         .withWatermark("event_time", "1 hour")
         .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),

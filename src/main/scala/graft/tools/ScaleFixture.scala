@@ -111,7 +111,11 @@ object ScaleFixture {
         .withColumn("l_suppkey", col("l_suppkey") + k * suppOff)
     }, "lineitem", 16)
 
-    val ev = graft.util.Tables.events(spark, srcDir)
+    // RAW scan: the fixture must replicate `ts` in WHATEVER type the
+    // driver wrote it, so Tables.events normalizes the fixture decade
+    // exactly like the driver decades (the generator has drifted this
+    // type before — round 8 NANOS→MICROS)
+    val ev = graft.util.Tables.eventsRaw(spark, srcDir)
     val evOff = keyMax(ev, "event_id") + 1
     val userOff = keyMax(ev, "user_id") + 1
     write(replicate(ev) { (d, k) =>

@@ -1,6 +1,8 @@
 package graft.util
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Readers for the driver-generated testdata tables
   * (`/root/testdata/sf*`, see TESTDATA.md). All engine queries funnel
@@ -26,15 +28,67 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS);
-    * Spark 4.1.2 throws [PARQUET_TYPE_ILLEGAL] unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, after which `ts`
-    * reads as BIGINT epoch-nanoseconds (see SURVEY.md §4). The conf is
-    * set at runtime because the driver's Verify/Bench sessions don't
-    * set it at build time (verified working on 4.1.2).
+  /** Raw `events` scan, `ts` in WHATEVER type the driver generator
+    * wrote it — the generator has already drifted once (parquet INT64
+    * TIMESTAMP(NANOS) through round 7, TIMESTAMP(MICROS)/TIMESTAMP_NTZ
+    * from round 8's regen), so nothing outside this file may assume a
+    * `ts` physical type. `nanosAsLong` is set so the legacy NANOS form
+    * still scans on Spark 4.1.2 ([PARQUET_TYPE_ILLEGAL] otherwise);
+    * it is a no-op for µs data. Engine code wants [[events]]; this raw
+    * form exists for schema probes (streaming sources need the file
+    * schema) and for fixture replication that must preserve the
+    * driver's `ts` type byte-for-type (tools/ScaleFixture).
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // every graft entry point already pins UTC; re-pin here so a
+    // FOREIGN session (the driver smoke-checking SparkEntry.entry)
+    // gets the same NTZ↔epoch reinterpretation the oracles assume
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     t(spark, dir, "events")
+  }
+
+  /** The `events` table in the engine-CANONICAL event-time schema:
+    * raw `ts` is replaced by
+    *   - `ts_us`      BIGINT epoch-microseconds (all integer
+    *                  bucket/gap arithmetic runs on this — exact and
+    *                  engine-portable; DuckDB's `epoch_us(ts)` yields
+    *                  the same values for every `ts` encoding), and
+    *   - `event_time` TIMESTAMP at µs precision (window/session/
+    *                  watermark operators consume this).
+    * This is the ONLY place that inspects the scanned `ts` type; every
+    * downstream query consumes the canonical columns, so a future
+    * generator drift is absorbed here (or rejected with one clear
+    * diagnostic), not at 30 query sites.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    normalizeEventTime(eventsRaw(spark, dir))
+
+  /** Normalize an events-shaped frame (batch OR streaming) whose `ts`
+    * column is one of the known driver encodings into the canonical
+    * `ts_us` + `event_time` columns described on [[events]].
+    *
+    * `event_time` is µs-floored in every branch, so windows, session
+    * gaps and watermark comparisons agree exactly with the integer
+    * `ts_us` arithmetic and with DuckDB's µs-truncating `epoch_us`.
+    * TIMESTAMP_NTZ → epoch extraction goes through a cast to
+    * session-TZ timestamp: every graft entry point pins
+    * `spark.sql.session.timeZone=UTC` (Bench/Verify/Profile/specs),
+    * under which the cast is an exact reinterpretation.
+    */
+  def normalizeEventTime(df: DataFrame): DataFrame = {
+    val tsUs: Column = df.schema("ts").dataType match {
+      case LongType               => expr("ts div 1000") // legacy epoch-nanos
+      case _: TimestampNTZType    => unix_micros(col("ts").cast(TimestampType))
+      case _: TimestampType       => unix_micros(col("ts"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts drifted to unsupported type $other — teach " +
+            "graft.util.Tables.normalizeEventTime this encoding " +
+            "(single fix point; see SchemaContractSpec)")
+    }
+    df.withColumn("ts_us", tsUs)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .drop("ts")
   }
 }

@@ -71,8 +71,8 @@ class GraphTimeSeriesSpec extends SparkTestBase {
     // replay the overlap join naively in memory on the same derived
     // interval sets — the bucket rewrite must change the plan, not
     // the answer
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .selectExpr("user_id", "ts div 1000 AS ts_us")
+    val ev = graft.util.Tables.events(spark, sf)
+      .select($"user_id", $"ts_us")
       .as[(Long, Long)].collect()
     val dayUs = 86400L * 1000000L
     val hourUs = 3600L * 1000000L

@@ -157,7 +157,7 @@ class Relational3Spec extends SparkTestBase {
     import spark.implicits._
     val stream = graft.streaming.EventStream.slidingCounts(spark, sf)
     val batch = graft.util.Tables.events(spark, sf)
-      .select(expr("ts div 1000").as("us"))
+      .select(col("ts_us").as("us"))
       .select(explode(array(lit(0), lit(1))).as("off"), $"us")
       .select(((expr("us div 1800000000") - $"off") * lit(1800L))
         .as("win_start"))

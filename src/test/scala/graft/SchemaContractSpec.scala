@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Driver-testdata schema TRIPWIRE. The generator behind
+  * `/root/testdata` has drifted before (round 8 silently re-encoded
+  * `events.ts` from INT64 TIMESTAMP(NANOS) to TIMESTAMP(MICROS) and
+  * took 30 queries down at driver time); this spec turns the next
+  * drift into ONE failing assertion that names the table, the column,
+  * and both types, instead of a pile of downstream analysis errors.
+  *
+  * Two layers:
+  *  - the RAW expectation per table — what we believe the driver
+  *    currently writes (events.ts may be any encoding
+  *    Tables.normalizeEventTime absorbs, so it is asserted against
+  *    the ABSORBABLE set, not one type);
+  *  - the CANONICAL post-normalization contract for `events` — what
+  *    every engine query consumes. If raw drifts but this still
+  *    holds, the engine absorbed the drift and queries are safe.
+  */
+class SchemaContractSpec extends SparkTestBase {
+
+  private def fields(df: org.apache.spark.sql.DataFrame): Map[String, DataType] =
+    df.schema.fields.map(f => f.name -> f.dataType).toMap
+
+  private def assertCols(table: String, got: Map[String, DataType],
+      want: (String, DataType)*): Unit =
+    want.foreach { case (name, dt) =>
+      val actual = got.get(name)
+      assert(actual.contains(dt),
+        s"TESTDATA DRIFT: $table.$name is ${actual.getOrElse("MISSING")}, " +
+          s"engine expects $dt — if the driver regenerated " +
+          "/root/testdata with a new encoding, absorb it at the scan " +
+          "(graft.util.Tables), not at the query sites")
+    }
+
+  test("dimension/fact tables carry the engine-expected column types") {
+    val t = graft.util.Tables
+    assertCols("region", fields(t.region(spark, sf)),
+      "r_regionkey" -> IntegerType, "r_name" -> StringType)
+    assertCols("nation", fields(t.nation(spark, sf)),
+      "n_nationkey" -> IntegerType, "n_name" -> StringType,
+      "n_regionkey" -> IntegerType)
+    assertCols("customer", fields(t.customer(spark, sf)),
+      "c_custkey" -> LongType, "c_nationkey" -> IntegerType,
+      "c_acctbal" -> DoubleType, "c_mktsegment" -> StringType)
+    assertCols("supplier", fields(t.supplier(spark, sf)),
+      "s_suppkey" -> LongType, "s_nationkey" -> IntegerType,
+      "s_acctbal" -> DoubleType)
+    assertCols("part", fields(t.part(spark, sf)),
+      "p_partkey" -> LongType, "p_size" -> IntegerType,
+      "p_retailprice" -> DoubleType)
+    assertCols("orders", fields(t.orders(spark, sf)),
+      "o_orderkey" -> LongType, "o_custkey" -> LongType,
+      "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampNTZType,
+      "o_orderstatus" -> StringType, "o_orderpriority" -> StringType)
+    assertCols("lineitem", fields(t.lineitem(spark, sf)),
+      "l_orderkey" -> LongType, "l_partkey" -> LongType,
+      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
+      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
+      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
+      "l_shipdate" -> TimestampNTZType, "l_returnflag" -> StringType,
+      "l_linestatus" -> StringType)
+    assertCols("documents", fields(t.documents(spark, sf)),
+      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
+      "source" -> StringType, "n_chars" -> LongType)
+    val emb = fields(t.embeddings(spark, sf))
+    assertCols("embeddings", emb, "vec_id" -> LongType,
+      "label" -> IntegerType)
+    assert(emb.get("embedding").exists {
+      case ArrayType(FloatType, _) => true
+      case _                       => false
+    }, s"TESTDATA DRIFT: embeddings.embedding is ${emb.get("embedding")}, " +
+      "engine expects array<float>")
+  }
+
+  test("events.ts is an encoding the scan normalization absorbs") {
+    val raw = fields(graft.util.Tables.eventsRaw(spark, sf))
+    val ts = raw.get("ts")
+    val absorbable: Set[DataType] =
+      Set(LongType, TimestampType, TimestampNTZType)
+    assert(ts.exists(absorbable.contains),
+      s"TESTDATA DRIFT: events.ts is ${ts.getOrElse("MISSING")}; " +
+        s"Tables.normalizeEventTime only absorbs $absorbable — teach it " +
+        "the new encoding (single fix point) before touching any query")
+    assertCols("events(raw)", raw,
+      "event_id" -> LongType, "user_id" -> LongType,
+      "event_type" -> StringType, "value" -> DoubleType,
+      "props" -> StringType)
+  }
+
+  test("normalized events exposes the canonical event-time contract") {
+    val ev = graft.util.Tables.events(spark, sf)
+    val got = fields(ev)
+    assert(!got.contains("ts"),
+      "canonical events must DROP raw ts — a query touching it would " +
+        "re-couple 30 call sites to the driver's encoding-of-the-day")
+    assertCols("events", got,
+      "ts_us" -> LongType, "event_time" -> TimestampType)
+    // and the values are sane epoch-µs (year 2001..2100), not raw
+    // nanos (~1e18) or seconds (~1e9) — catches a wrong-unit
+    // normalization branch, not just a wrong-type one
+    import org.apache.spark.sql.functions._
+    val r = ev.agg(min("ts_us"), max("ts_us")).head()
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    assert(lo > 978307200000000L && hi < 4102444800000000L,
+      s"events.ts_us out of plausible epoch-µs range: [$lo, $hi] — " +
+        "normalization produced the wrong unit")
+  }
+}

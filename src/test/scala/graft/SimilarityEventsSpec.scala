@@ -208,7 +208,6 @@ class SimilarityEventsSpec extends SparkTestBase {
   test("secondary sort: the mapPartitions pass equals the window algebra") {
     import org.apache.spark.sql.expressions.Window
     val ev = graft.util.Tables.events(spark, sf)
-      .withColumn("ts_us", expr("ts div 1000"))
     val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
     val decl = ev
       .select($"user_id", $"ts_us", $"value",

@@ -17,10 +17,10 @@ class StreamRecoverySpec extends SparkTestBase {
     // split the corpus across 6 files; one file per trigger forces a
     // multi-batch drain where users straddle micro-batches
     graft.util.Tables.events(spark, sf)
-      .select(col("user_id"), col("ts"))
+      .select(col("user_id"), col("ts_us"))
       .repartition(6)
       .write.parquet(landing)
-    val src = spark.readStream.schema("user_id LONG, ts LONG")
+    val src = spark.readStream.schema("user_id LONG, ts_us LONG")
       .option("maxFilesPerTrigger", "1").parquet(landing)
     val emissions = EventStream.runToCompletion(spark,
       EventStream.sessionizeCore(spark, src), OutputMode.Append()).cache()
@@ -45,7 +45,7 @@ class StreamRecoverySpec extends SparkTestBase {
     // ORIGINAL events only — doubled first-hour buckets would mean
     // the late replays got in
     val batch = graft.util.Tables.events(spark, sf)
-      .select(expr("(ts div 1000) div 3600000000").as("bucket"),
+      .select(expr("ts_us div 3600000000").as("bucket"),
         col("event_type"), col("value"))
       .groupBy("bucket", "event_type")
       .agg(count(lit(1)).as("n_events"),
@@ -76,15 +76,15 @@ class StreamRecoverySpec extends SparkTestBase {
     val out = EventStream.twsSessionTimers(spark, sf)
     // closed-session oracle, engine-local: sessions whose end+gap the
     // final watermark (floor-ms of max ts, minus 1h) passed
-    val batch = spark.sql(localOracleSql(s"$sf/events.parquet"))
+    canonView(sf)
+    val batch = spark.sql(localOracleSql())
     assert(out.count() > 0, "no sessions closed — timer path never fired")
     assert(out.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(out).count() === 0)
     // non-vacuity the other way: some sessions must remain OPEN (the
     // last hour+gap of every user's timeline), or the query degrades
     // to plain sessionize and the timer semantics are untested
-    val allSessions = spark.sql(localOracleSql(s"$sf/events.parquet",
-      closedOnly = false))
+    val allSessions = spark.sql(localOracleSql(closedOnly = false))
     assert(batch.agg(sum("n_closed_sessions")).head.getLong(0) <
       allSessions.agg(sum("n_closed_sessions")).head.getLong(0),
       "every session closed — watermark boundary untested")
@@ -105,13 +105,15 @@ class StreamRecoverySpec extends SparkTestBase {
     // band and lands with increasing mod time, so the per-file replay
     // is in event-time order and nothing is ever late under the 1-h
     // watermark — the timers, not late-row filtering, decide emission
-    val ev = graft.util.Tables.events(spark, sf).select(col("user_id"), col("ts"))
-    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val ev = graft.util.Tables.events(spark, sf)
+      .select(col("user_id"), col("ts_us"))
+    val bounds =
+      ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi")).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = hi - lo + 1
     for (k <- 0 until 6) {
-      val part = ev.filter(col("ts") >= lo + k * span / 6 &&
-        col("ts") < lo + (k + 1) * span / 6 + (if (k == 5) 1 else 0))
+      val part = ev.filter(col("ts_us") >= lo + k * span / 6 &&
+        col("ts_us") < lo + (k + 1) * span / 6 + (if (k == 5) 1 else 0))
       val tmp = new java.io.File(root, s"stage_$k")
       part.coalesce(1).write
         .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(tmp.toString)
@@ -126,9 +128,9 @@ class StreamRecoverySpec extends SparkTestBase {
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
       ".RocksDBStateStoreProvider")
     try {
-      val src = spark.readStream.schema("user_id LONG, ts LONG")
+      val src = spark.readStream.schema("user_id LONG, ts_us LONG")
         .option("maxFilesPerTrigger", "1").parquet(landing.toString)
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withColumn("event_time", timestamp_micros(col("ts_us")))
       val replay = EventStream.twsSessionTimersCore(spark, src)
       val oneShot = EventStream.twsSessionTimers(spark, sf)
       assert(replay.exceptAll(oneShot).count() === 0)
@@ -139,15 +141,20 @@ class StreamRecoverySpec extends SparkTestBase {
     }
   }
 
+  /** Registers the canonical normalized events as the view the
+    * Spark-SQL oracle twins select from (they must see the same
+    * `ts_us` basis as the engine, whatever the driver's `ts` type). */
+  private def canonView(dir: String): Unit =
+    graft.util.Tables.events(spark, dir)
+      .createOrReplaceTempView("events_canon")
+
   /** Spark-SQL twin of the DuckDB oracle (µs basis, floor-ms
     * watermark); closedOnly=false drops the watermark filter.
     */
-  private def localOracleSql(path: String, closedOnly: Boolean = true)
-      : String = {
+  private def localOracleSql(closedOnly: Boolean = true): String = {
     val filter = if (closedOnly) "WHERE e + 1800000000 < wm_us" else ""
     s"""WITH ev AS (
-       |  SELECT user_id, ts div 1000 AS ts_us
-       |  FROM parquet.`$path`
+       |  SELECT user_id, ts_us FROM events_canon
        |), wm AS (
        |  SELECT ((max(ts_us) div 1000) - 3600000) * 1000 AS wm_us FROM ev
        |), marked AS (

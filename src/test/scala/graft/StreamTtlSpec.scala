@@ -22,12 +22,13 @@ class StreamTtlSpec extends SparkTestBase {
 
   test("tws ttl evictions equal the gap-run oracle; both expiry paths fire") {
     val out = EventStream.twsTtlEvictions(spark, sf)
-    val batch = spark.sql(localOracleSql(s"$sf/events.parquet"))
+    canonView(sf)
+    val batch = spark.sql(localOracleSql())
     assert(out.count() > 0, "no evictions — TTL never expired a cell")
     assert(out.exceptAll(batch).count() === 0)
     assert(batch.exceptAll(out).count() === 0)
     // non-vacuity three ways, via the oracle's run structure:
-    val runs = spark.sql(runStatsSql(s"$sf/events.parquet")).head()
+    val runs = spark.sql(runStatsSql()).head()
     val (lazyRuns, timerOnly, openCells) =
       (runs.getLong(0), runs.getLong(1), runs.getLong(2))
     assert(lazyRuns > 0, "no run followed by a later run — " +
@@ -48,13 +49,14 @@ class StreamTtlSpec extends SparkTestBase {
     // time order, nothing is late under the 1-h watermark, and cells
     // written in one micro-batch are renewed/expired in later ones
     val ev = graft.util.Tables.events(spark, sf)
-      .select(col("user_id"), col("ts"), col("value"))
-    val bounds = ev.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      .select(col("user_id"), col("ts_us"), col("value"))
+    val bounds =
+      ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi")).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
     val span = hi - lo + 1
     for (k <- 0 until 6) {
-      val part = ev.filter(col("ts") >= lo + k * span / 6 &&
-        col("ts") < lo + (k + 1) * span / 6 + (if (k == 5) 1 else 0))
+      val part = ev.filter(col("ts_us") >= lo + k * span / 6 &&
+        col("ts_us") < lo + (k + 1) * span / 6 + (if (k == 5) 1 else 0))
       land(part, root, landing, k)
     }
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -62,9 +64,9 @@ class StreamTtlSpec extends SparkTestBase {
     spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
       ".RocksDBStateStoreProvider")
     try {
-      val src = spark.readStream.schema("user_id LONG, ts LONG, value DOUBLE")
+      val src = spark.readStream.schema("user_id LONG, ts_us LONG, value DOUBLE")
         .option("maxFilesPerTrigger", "1").parquet(landing.toString)
-        .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+        .withColumn("event_time", timestamp_micros(col("ts_us")))
       val replay = EventStream.twsTtlEvictionsCore(spark, src)
       val oneShot = EventStream.twsTtlEvictions(spark, sf)
       assert(replay.exceptAll(oneShot).count() === 0)
@@ -165,13 +167,19 @@ class StreamTtlSpec extends SparkTestBase {
     rm(tmp)
   }
 
+  /** Registers the canonical normalized events as the view the
+    * Spark-SQL oracle twins select from (they must see the same
+    * `ts_us` basis as the engine, whatever the driver's `ts` type). */
+  private def canonView(dir: String): Unit =
+    graft.util.Tables.events(spark, dir)
+      .createOrReplaceTempView("events_canon")
+
   /** Spark-SQL twin of the DuckDB oracle (µs basis, floor-ms
     * watermark, strict expiry).
     */
-  private def localOracleSql(path: String): String =
+  private def localOracleSql(): String =
     s"""WITH ev AS (
-       |  SELECT user_id, ts div 1000 AS ts_us, value
-       |  FROM parquet.`$path`
+       |  SELECT user_id, ts_us, value FROM events_canon
        |), wm AS (
        |  SELECT ((max(ts_us) div 1000) - 3600000) * 1000 AS wm_us FROM ev
        |), marked AS (
@@ -208,9 +216,9 @@ class StreamTtlSpec extends SparkTestBase {
     * final runs still live at stream end) — the three structural
     * counts behind the non-vacuity assertions.
     */
-  private def runStatsSql(path: String): String =
+  private def runStatsSql(): String =
     s"""WITH ev AS (
-       |  SELECT user_id, ts div 1000 AS ts_us FROM parquet.`$path`
+       |  SELECT user_id, ts_us FROM events_canon
        |), wm AS (
        |  SELECT ((max(ts_us) div 1000) - 3600000) * 1000 AS wm_us FROM ev
        |), marked AS (
