@@ -89,6 +89,19 @@ class SchemaContractSpec extends SparkTestBase {
       "props" -> StringType)
   }
 
+  test("a drifted ts encoding trips normalization with one clear diagnostic") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    Seq((1L, "2024-01-01T00:00:00")).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalStateException] {
+      graft.util.Tables.events(spark, dir)
+    }
+    assert(e.getMessage.contains("drifted") &&
+      e.getMessage.contains("normalizeEventTime"),
+      s"diagnostic should name the drift and the fix point: ${e.getMessage}")
+  }
+
   test("normalized events exposes the canonical event-time contract") {
     val ev = graft.util.Tables.events(spark, sf)
     val got = fields(ev)

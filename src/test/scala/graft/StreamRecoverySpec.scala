@@ -141,6 +141,60 @@ class StreamRecoverySpec extends SparkTestBase {
     }
   }
 
+  test("session close at the == gap watermark boundary stays open (strict)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The tie the r7 ADVICE flagged: an event exactly `gap` after the
+    // previous one is the SAME session (split rule is strict >), so a
+    // session may only close once the watermark STRICTLY passes
+    // end+gap — at equality a joinable on-time row (ts == end+gap)
+    // could still arrive. User 1: two events exactly 30 min apart
+    // (end = a1); user 2 supplies the max event that positions the
+    // final watermark (max − 1 h) EXACTLY at end+gap, then 1 ms past.
+    val base = 1704067200L * 1000000L // 2024-01-01 UTC, µs
+    val gapUs = 30L * 60 * 1000000L
+    val hourUs = 3600L * 1000000L
+    def closedAt(tB: Long, tag: String) = {
+      val root = graft.util.ScratchIndex.dir(s"tie_$tag")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+      root.mkdirs(): Unit
+      Seq((1L, base), (1L, base + gapUs), (2L, tB))
+        .toDF("user_id", "ts_us")
+        .coalesce(1).write.parquet(new java.io.File(root, "in").toString)
+      val src = spark.readStream.schema("user_id LONG, ts_us LONG")
+        .parquet(new java.io.File(root, "in").toString)
+        .withColumn("event_time", timestamp_micros(col("ts_us")))
+      EventStream.twsSessionTimersCore(spark, src)
+    }
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try {
+      // user-1 session end = base+gap, so its close point end+gap =
+      // base+2·gap; tB positions the final watermark (max ts − 1 h)
+      // exactly ON that point, then 1 ms past it
+      val atBoundary = closedAt(base + 2 * gapUs + hourUs, "eq")
+      assert(atBoundary.count() === 0,
+        "session closed at wm == end+gap — close must be STRICT")
+      // 1 ms past the boundary → the session closes, with exact stats
+      val past = closedAt(base + 2 * gapUs + hourUs + 1000L, "gt").collect()
+      assert(past.length === 1)
+      val r = past(0)
+      assert(r.getAs[Long]("user_id") === 1L &&
+        r.getAs[Long]("n_closed_sessions") === 1L &&
+        r.getAs[Long]("n_closed_events") === 2L &&
+        r.getAs[Long]("max_session_ms") === gapUs / 1000)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   /** Registers the canonical normalized events as the view the
     * Spark-SQL oracle twins select from (they must see the same
     * `ts_us` basis as the engine, whatever the driver's `ts` type). */
