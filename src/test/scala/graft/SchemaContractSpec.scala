@@ -89,6 +89,29 @@ class SchemaContractSpec extends SparkTestBase {
       "props" -> StringType)
   }
 
+  test("legacy nanos and current micros encodings normalize identically") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the same instants written both ways the generator has shipped
+    // them: INT64 epoch-nanos (rounds ≤7) and TIMESTAMP_NTZ µs
+    // (round 8+) — the canonical ts_us/event_time must be identical,
+    // or a regen flips query results instead of just encodings
+    val us = Seq(1704067200000000L, 1704067200000001L, 1704153599999999L)
+    val base = java.nio.file.Files.createTempDirectory("enc").toString
+    us.map(u => (u % 100, u * 1000)).toDF("event_id", "ts")
+      .write.parquet(s"$base/nanos/events.parquet")
+    us.map(u => Tuple2(u % 100, u)).toDF("event_id", "us")
+      .select(col("event_id"),
+        timestamp_micros(col("us")).cast("timestamp_ntz").as("ts"))
+      .write.parquet(s"$base/micros/events.parquet")
+    val fromNanos = graft.util.Tables.events(spark, s"$base/nanos")
+      .select("event_id", "ts_us", "event_time").collect().toSet
+    val fromMicros = graft.util.Tables.events(spark, s"$base/micros")
+      .select("event_id", "ts_us", "event_time").collect().toSet
+    assert(fromNanos === fromMicros)
+    assert(fromNanos.map(_.getLong(1)) === us.toSet)
+  }
+
   test("a drifted ts encoding trips normalization with one clear diagnostic") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("drift").toString
