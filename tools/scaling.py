@@ -146,7 +146,7 @@ def main(argv):
     }
 
     md = []
-    md.append("# SCALING — measured scale curves (round 8)\n")
+    md.append("# SCALING — measured scale curves (round 9)\n")
     md.append(
         "`tools/Profile <sf> all` (min-of-2 runs per query, local[32]) at "
         f"{', '.join(tags)} — three measured decades.  The top decade "
