@@ -242,6 +242,27 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("MapPartitions"), p)
   }
 
+  test("events ts normalization does not block column pruning to the scan") {
+    // Tables.events interposes a Project deriving ts_us/event_time
+    // from the scanned ts; if Catalyst failed to prune THROUGH it,
+    // every events query would read all 6 columns — including the
+    // wide props string — regardless of what it uses. Assert the
+    // ReadSchema of the events scan per query shape.
+    def readSchema(df: org.apache.spark.sql.DataFrame): String =
+      "ReadSchema: [^\\n]*".r.findAllIn(plan(df)).mkString("; ")
+    // tumbling touches ts/event_type/value/user_id — props must not be read
+    val rs = readSchema(graft.ops.Events.tumblingWindow(spark, sf))
+    assert(!rs.contains("props"), s"props read by tumblingWindow: $rs")
+    // cohort touches only user_id + ts
+    val rs2 = readSchema(graft.ops.Events.cohortRetention(spark, sf))
+    assert(!rs2.contains("props") && !rs2.contains("value") &&
+      !rs2.contains("event_type"), s"over-read by cohortRetention: $rs2")
+    // anomalies touches only event_type + value — even ts must prune away
+    val rs3 = readSchema(graft.ops.Events.anomalies(spark, sf))
+    assert(!rs3.contains("ts") && !rs3.contains("user_id") &&
+      !rs3.contains("props"), s"over-read by anomalies: $rs3")
+  }
+
   test("scale-sensitive plan shapes hold at bench scale and the 10x fixture") {
     // the shapes above are pinned at sf0.001; the ones that can FLIP
     // as data grows are the 100-TB hazards — a dimension join that
