@@ -25,7 +25,7 @@ object Events {
   private val SessionGapUs = 30L * 60 * 1000 * 1000 // 30 min
 
   /** Tumbling 1-hour window aggregation by event type: the batch
-    * equivalent of `groupBy(window($"ts", "1 hour"), $"event_type")`.
+    * equivalent of `groupBy(window($"event_time", "1 hour"), $"event_type")`.
     * Integer-division bucketing → plain grouped agg, partial combine,
     * one shuffle on (bucket, event_type).
     */
