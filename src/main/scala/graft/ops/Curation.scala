@@ -250,9 +250,13 @@ object Curation {
     keep.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_total"),
         sum(when(col("passes"), 1L).otherwise(0L)).as("n_kept"),
-        round(sum(when(col("passes"), 1L).otherwise(0L)).cast("double")
-          / count(lit(1)), 4).as("kept_ratio"),
-        round(avg(when(col("passes"), col("n_tokens"))), 4)
+        // int/int ratios hit REAL .5 ties under fixed rounding
+        // (k·10⁴/n ≡ ½); exact integer numerators + one division,
+        // no round → bit-identical doubles cross-engine
+        (sum(when(col("passes"), 1L).otherwise(0L)).cast("double")
+          / count(lit(1))).as("kept_ratio"),
+        (sum(when(col("passes"), col("n_tokens")).cast("long"))
+          / (lit(1.0) * sum(when(col("passes"), 1L))))
           .as("avg_kept_tokens"))
       .orderBy("lang")
   }
@@ -279,9 +283,10 @@ object Curation {
       |)
       |SELECT lang, count(*) AS n_total,
       |       CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |       round(CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
-      |             / count(*), 4) AS kept_ratio,
-      |       round(avg(CASE WHEN passes THEN n_tokens END), 4)
+      |       CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE)
+      |             / count(*) AS kept_ratio,
+      |       sum(CAST(CASE WHEN passes THEN n_tokens END AS BIGINT))
+      |         / (1.0 * sum(CASE WHEN passes THEN 1 END))
       |         AS avg_kept_tokens
       |FROM p GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -436,7 +436,17 @@ object Events {
       .groupBy(col("event_type"), col("bucket"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        // avg of 2-decimal values lands on REAL .5 ties at any fixed
+        // rounding precision (avg = cents/(100·n), arbitrary n), and
+        // Spark HALF_UP vs DuckDB decimal-value rounding then split
+        // on bit-identical doubles (observed at sf0.1: exact avg
+        // 58.47375). Exact integer-cents numerator + ONE identical
+        // float division, NO rounding → bit-identical doubles in
+        // both engines, and as a BIGINT sum it is also the 100-TB
+        // form: order-independent under partial aggregation, unlike
+        // a float sum
+        (sum(round(col("value") * 100).cast("long"))
+          / (lit(100.0) * count(lit(1)))).as("avg_value"))
     densifyHourly(hourly)
   }
 
@@ -471,7 +481,8 @@ object Events {
     """WITH agg AS (
       |  SELECT event_type, epoch_us(ts) // 3600000000 AS bucket,
       |         count(*) AS n_events, round(sum(value), 4) AS sum_value,
-      |         round(avg(value), 4) AS avg_value
+      |         sum(CAST(round(value * 100) AS BIGINT)) / (100.0 * count(*))
+      |           AS avg_value
       |  FROM events GROUP BY 1, 2
       |), bounds AS (
       |  SELECT min(epoch_us(ts) // 3600000000) AS lo,

@@ -118,7 +118,8 @@ object Multimodal {
       .agg(
         count(lit(1)).as("n"),
         sum(col("byte_len")).as("total_bytes"),
-        round(avg(col("width")), 4).as("avg_width"),
+        (sum(col("width").cast("long")) / (lit(1.0) * count(lit(1))))
+          .as("avg_width"),
         max(col("n_frames")).as("max_frames"))
       .orderBy("media_type")
   }
@@ -135,7 +136,8 @@ object Multimodal {
       |)
       |SELECT media_type, count(*) AS n,
       |       CAST(sum(byte_len) AS BIGINT) AS total_bytes,
-      |       round(avg(width), 4) AS avg_width, max(n_frames) AS max_frames
+      |       sum(CAST(width AS BIGINT)) / (1.0 * count(*)) AS avg_width,
+      |       max(n_frames) AS max_frames
       |FROM f GROUP BY media_type ORDER BY media_type""".stripMargin
 
   /** One sampled frame (stub: a byte standing in for a decoded frame). */

@@ -269,7 +269,11 @@ object Relational {
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("sum_disc_price"),
-        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        // l_quantity is integer-valued: avg = k/n hits REAL .5 ties
+        // under any fixed rounding; exact BIGINT numerator + one
+        // division (no round) is bit-identical cross-engine
+        (sum(col("l_quantity").cast("long")) / (lit(1.0) * count(lit(1))))
+          .as("avg_qty"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
@@ -279,7 +283,7 @@ object Relational {
       |       round(sum(l_quantity), 2) AS sum_qty,
       |       round(sum(l_extendedprice), 2) AS sum_base_price,
       |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
-      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       sum(CAST(l_quantity AS BIGINT)) / (1.0 * count(*)) AS avg_qty,
       |       round(avg(l_discount), 4) AS avg_disc,
       |       count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus

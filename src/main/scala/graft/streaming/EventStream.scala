@@ -793,7 +793,9 @@ object EventStream {
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        // exact-cents avg — see ops.Events.gapFill (shared oracle)
+        (sum(round(col("value") * 100).cast("long"))
+          / (lit(100.0) * count(lit(1)))).as("avg_value"))
     val sinkOut = runToCompletion(s, agg, OutputMode.Complete())
       .select(expr("unix_timestamp(window.start) div 3600").as("bucket"),
         col("event_type"), col("n_events"), col("sum_value"),
