@@ -113,8 +113,11 @@ object Dedup {
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(graft.functions.SetSimilarityFunctions
-          .jaccard_sorted(col("a_sh"), col("b_sh")), 6).as("jaccard"))
+        // exact int/int division — bit-identical cross-engine;
+        // ROUNDING an order key is the hazard (a divergent tie round
+        // would reorder the LIMITed result set), so none
+        graft.functions.SetSimilarityFunctions
+          .jaccard_sorted(col("a_sh"), col("b_sh")).as("jaccard"))
       .orderBy(desc("jaccard"), asc("a_id"), asc("b_id"))
       .limit(100)
   }
@@ -128,8 +131,8 @@ object Dedup {
        |        FROM documents WHERE doc_id < 300)
        |)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |       round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |             / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       |       CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |             / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
        |FROM t a JOIN t b ON a.doc_id < b.doc_id
        |ORDER BY jaccard DESC, a_id, b_id LIMIT 100""".stripMargin
 
@@ -154,10 +157,8 @@ object Dedup {
       .sorted_intersect_count(col("a_sh"), col("b_sh"))
     a.join(b, col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
-        round(inter.cast("double") / size(col("a_sh")), 6)
-          .as("cont_a_in_b"),
-        round(inter.cast("double") / size(col("b_sh")), 6)
-          .as("cont_b_in_a"))
+        (inter.cast("double") / size(col("a_sh"))).as("cont_a_in_b"),
+        (inter.cast("double") / size(col("b_sh"))).as("cont_b_in_a"))
       .withColumn("containment",
         greatest(col("cont_a_in_b"), col("cont_b_in_a")))
       .orderBy(desc("containment"), asc("a_id"), asc("b_id"))
@@ -176,10 +177,10 @@ object Dedup {
        |       greatest(cont_a_in_b, cont_b_in_a) AS containment
        |FROM (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |               / len(a.sh), 6) AS cont_a_in_b,
-       |         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |               / len(b.sh), 6) AS cont_b_in_a
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |               / len(a.sh) AS cont_a_in_b,
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |               / len(b.sh) AS cont_b_in_a
        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
        |)
        |ORDER BY containment DESC, a_id, b_id LIMIT 100""".stripMargin
@@ -278,8 +279,8 @@ object Dedup {
             (x, y) => when(x === y, 1L).otherwise(0L)),
             lit(0L), (acc, v) => acc + v).cast("double") / NumHashes, 4)
           .as("est_jaccard"),
-        round(graft.functions.SetSimilarityFunctions
-          .jaccard_sorted(col("a_sh"), col("b_sh")), 6).as("jaccard"))
+        graft.functions.SetSimilarityFunctions
+          .jaccard_sorted(col("a_sh"), col("b_sh")).as("jaccard"))
 
   /** Verified near-dup pairs at exact-Jaccard ≥ 0.7, mined via LSH
     * banding + verify (all inside the memoized candidateEdges build —
@@ -309,8 +310,10 @@ object Dedup {
 
   /** Shared oracle for the LSH pair queries: exact all-pairs Jaccard
     * at the 0.7 threshold over the full corpus — what banding+verify
-    * computes without the corpus² join. The threshold compares the
-    * ROUNDED value on both sides so the boundary is engine-exact.
+    * computes without the corpus² join. Jaccard is one division of
+    * identical integers, so both engines compare the SAME double
+    * against the threshold — the boundary is engine-exact unrounded
+    * (rounding is what could diverge, at true .5 ties).
     */
   val lshVerifiedSql: String =
     s"""WITH t AS (
@@ -322,8 +325,8 @@ object Dedup {
        |)
        |SELECT a_id, b_id, jaccard FROM (
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-       |               / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+       |         CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
        |  FROM t a JOIN t b ON a.doc_id < b.doc_id
        |)
        |WHERE jaccard >= 0.7

@@ -45,12 +45,16 @@ object TextAnalysis {
       .select(
         col("doc_id"),
         col("n_tokens"),
-        round(length(col("text")).cast("double") / col("n_tokens"), 4)
+        // int/int ratios: ONE division of identical integers is
+        // bit-identical cross-engine; ROUNDING them is what diverges
+        // (true k/n values land on real .5 ties where Spark HALF_UP
+        // and DuckDB float-scaling round apart) — so no round
+        (length(col("text")).cast("double") / col("n_tokens"))
           .as("avg_tok_len"),
-        round(col("n_stop").cast("double") / col("n_tokens"), 4)
+        (col("n_stop").cast("double") / col("n_tokens"))
           .as("stop_ratio"),
-        round(length(regexp_replace(col("text"), "[^a-z]", ""))
-          .cast("double") / length(col("text")), 4).as("alpha_ratio"),
+        (length(regexp_replace(col("text"), "[^a-z]", ""))
+          .cast("double") / length(col("text"))).as("alpha_ratio"),
         (col("n_tokens") >= 20 && col("n_tokens") <= 500).as("len_ok"))
       .orderBy("doc_id")
 
@@ -65,10 +69,10 @@ object TextAnalysis {
        |  FROM t
        |)
        |SELECT doc_id, n_tokens,
-       |       round(CAST(length(text) AS DOUBLE) / n_tokens, 4) AS avg_tok_len,
-       |       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
-       |       round(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
-       |             / length(text), 4) AS alpha_ratio,
+       |       CAST(length(text) AS DOUBLE) / n_tokens AS avg_tok_len,
+       |       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       |       CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |             / length(text) AS alpha_ratio,
        |       n_tokens BETWEEN 20 AND 500 AS len_ok
        |FROM c ORDER BY doc_id""".stripMargin
 
@@ -290,7 +294,7 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_ws")).as("ws_tokens"),
         sum(col("n_bpe")).as("bpe_tokens"),
-        round(sum(col("n_bpe")).cast("double") / sum(col("n_ws")), 4)
+        (sum(col("n_bpe")).cast("double") / sum(col("n_ws")))
           .as("bpe_per_word"))
       .orderBy("lang")
 
@@ -306,7 +310,7 @@ object TextAnalysis {
       |SELECT lang, count(*) AS n_docs,
       |       CAST(sum(n_ws) AS BIGINT) AS ws_tokens,
       |       CAST(sum(n_bpe) AS BIGINT) AS bpe_tokens,
-      |       round(CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws), 4)
+      |       CAST(sum(n_bpe) AS DOUBLE) / sum(n_ws)
       |         AS bpe_per_word
       |FROM t GROUP BY lang ORDER BY lang""".stripMargin
 
@@ -368,7 +372,7 @@ object TextAnalysis {
       .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
       .withColumn("p_w2_given_w1",
-        round(col("n").cast("double") / sum(col("n")).over(w1Totals), 6))
+        col("n").cast("double") / sum(col("n")).over(w1Totals))
       .orderBy(desc("n"), asc("w1"), asc("w2"))
       .limit(50)
   }
@@ -385,7 +389,7 @@ object TextAnalysis {
       |  SELECT w1, w2, count(*) AS n FROM bg GROUP BY w1, w2
       |)
       |SELECT w1, w2, n,
-      |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY w1), 6)
+      |       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY w1)
       |         AS p_w2_given_w1
       |FROM c ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 50""".stripMargin
 
