@@ -13,16 +13,30 @@ import graft.util.Tables._
   *
   * Determinism contract (driver hash-compares against DuckDB):
   *  - every query ends in an ORDER BY over a unique key set;
-  *  - floating aggregates are rounded (and, where the ordering depends
-  *    on a float, the ordering uses the *rounded* value so that ulp
-  *    drift between engines cannot reorder rows);
-  *  - rounding precision is chosen STRICTLY FINER than the decimal
-  *    precision of the data: prices/discounts have 2 decimals, so
-  *    products/sums have ≤4 — round(x, 4) lands on exactly-representable
-  *    decimal points, never on a .5 tie, where Spark (HALF_UP on the
-  *    shortest decimal repr) and DuckDB (binary-value rounding)
-  *    disagree. round(product, 2) is NOT cross-engine-safe;
-  *  - no nondeterministic functions.
+  *  - no nondeterministic functions;
+  *  - float outputs follow a three-way taxonomy (learned the hard way
+  *    — the round-9 sf0.1 sweep caught case 2 live):
+  *    1. SUMS of fixed-decimal data → round STRICTLY FINER than the
+  *       data's decimal precision (2-decimal prices → round(sum, 4)):
+  *       the TRUE sum lies exactly ON the rounding grid and float
+  *       error is orders below half a cell, so both engines snap to
+  *       the true value. round(sum, 2) — tie-capable — is NOT safe.
+  *    2. RATIOS/AVERAGES of discrete data (integer counts, 2-decimal
+  *       values) → NO rounding at all. True k/n values land on REAL
+  *       decimal .5 ties at every fixed precision, where Spark
+  *       (HALF_UP on the shortest decimal repr) and DuckDB
+  *       (scale-multiply-then-round) split on BIT-IDENTICAL doubles
+  *       (observed: exact avg 58.47375 → 58.4737 vs 58.4738).
+  *       Instead: exact integer numerator (BIGINT cents/counts —
+  *       also the 100-TB form, order-independent under partial
+  *       aggregation) and ONE identically-shaped float division on
+  *       both sides — bit-identical doubles match under any
+  *       downstream canonicalization, and may safely serve as order
+  *       keys or threshold inputs.
+  *    3. Genuinely continuous floats (log/sqrt/stddev products) →
+  *       round to absorb ulp-order and libm drift; their true values
+  *       sit on a tie only with probability zero. Where such a float
+  *       orders rows, order by the ROUNDED value with id tie-breaks.
   *
   * Scale notes are inline per query: at 100 TB the fact tables
   * (lineitem/orders/events) are the big sides; dimensions
