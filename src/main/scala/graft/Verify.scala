@@ -21,6 +21,18 @@ object Verify {
       .config("spark.sql.warehouse.dir", graft.util.ScratchIndex.warehouseDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one line of scan provenance in the driver log: the generator
+    // has re-encoded events.ts before (NANOS→MICROS between rounds 7
+    // and 8) — surface what THIS run scanned and normalized, so the
+    // next drift is visible here and not only as a spec failure
+    try {
+      val enc = graft.util.Tables.eventsRaw(spark, sfDir)
+        .schema("ts").dataType.simpleString
+      System.err.println(s"[verify] events.ts encoding: $enc " +
+        "(normalized to canonical ts_us/event_time)")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] events.ts probe failed: ${e.getMessage}")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) =>
