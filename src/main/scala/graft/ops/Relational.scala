@@ -37,6 +37,12 @@ import graft.util.Tables._
   *       round to absorb ulp-order and libm drift; their true values
   *       sit on a tie only with probability zero. Where such a float
   *       orders rows, order by the ROUNDED value with id tie-breaks.
+  *       MAGNITUDE CAVEAT (bit both 1 and 3, found at the 10x
+  *       fixture): the half-cell must dominate the engines'
+  *       accumulation-order delta ≈ sqrt(n)·ε·Σ|x| at the LARGEST
+  *       compare scale. A 1e10-magnitude sum rounded to 4 decimals
+  *       asks for ~14 significant digits — float sums drift by ~1e-4
+  *       there; such sums round to 2 decimals (50x headroom).
   *
   * Scale notes are inline per query: at 100 TB the fact tables
   * (lineitem/orders/events) are the big sides; dimensions
@@ -200,14 +206,18 @@ object Relational {
       .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        // 1e10-magnitude float-product sum: 2 decimals, not 4 — see
+        // the taxonomy note above (half-cell must dominate the
+        // engines' accumulation-order delta at the largest compare
+        // scale; observed 1e-4 at the 10x fixture)
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("n_name")
 
   val joinMultiAggSql: String =
     """SELECT n_name,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
       |       count(*) AS n_lines
       |FROM lineitem
       |JOIN orders   ON l_orderkey = o_orderkey

@@ -405,7 +405,11 @@ object Sources {
       .filter(col("o_orderdate") >= lo && col("o_orderdate") <= hi)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 4).as("total_price"),
+        // full-precision floats summed to ~1e10: round-4 would need
+        // ~14 sig digits, beyond what float accumulation holds at
+        // the 10x-fixture row count (observed 4e-4 engine delta);
+        // 2 decimals keeps a 50x error-to-half-cell margin there
+        round(sum(col("o_totalprice")), 2).as("total_price"),
         min(col("o_orderdate")).as("first_date"),
         max(col("o_orderdate")).as("last_date"))
       .orderBy("o_orderstatus")
@@ -426,7 +430,7 @@ object Sources {
 
   val statsSkippingSql: String =
     """SELECT o_orderstatus, count(*) AS n_orders,
-      |       round(sum(o_totalprice), 4) AS total_price,
+      |       round(sum(o_totalprice), 2) AS total_price,
       |       min(o_orderdate) AS first_date,
       |       max(o_orderdate) AS last_date
       |FROM orders
