@@ -636,7 +636,55 @@ object Sources {
       |FROM supplier JOIN nation ON s_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Encoding-migration union read — the mid-migration lake shape the
+    * round-8 testdata drift made real: part of the corpus still
+    * carries the LEGACY `ts` encoding (INT64 epoch-nanos, rounds ≤7),
+    * the rest the current one (TIMESTAMP µs). A reader must serve
+    * BOTH without a rewrite. Spark cannot merge the two physical
+    * types in one scan (schema conflict by design), so the migration
+    * read is per-encoding scans each normalized through the ONE fix
+    * point (Tables.normalizeEventTime) and unioned BY NAME on the
+    * canonical columns — at 100 TB this is exactly how a lake serves
+    * queries mid-backfill, old partitions as-is, no blocking rewrite.
+    *
+    * Here the legacy side is the driver events round-tripped through
+    * a real nanos-encoded parquet write (so the Long branch is
+    * exercised against full driver data, not a toy fixture); the
+    * union therefore doubles every event, and the oracle replays
+    * that as events UNION ALL events — an exact hash oracle.
+    */
+  def encodingMigration(s: SparkSession, d: String): DataFrame = {
+    val out = s"$scratch/events_legacy_nanos"
+    events(s, d)
+      .select(col("event_id"), (col("ts_us") * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode(SaveMode.Overwrite).parquet(out)
+    val legacy = graft.util.Tables.normalizeEventTime(s.read.parquet(out))
+    val current = events(s, d)
+    legacy.unionByName(current)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("ts_us")).as("first_us"),
+        max(col("ts_us")).as("last_us"),
+        sum(col("ts_us") % 1000000L).as("us_checksum"))
+      .orderBy("event_type")
+  }
+
+  val encodingMigrationSql: String =
+    """WITH u AS (
+      |  SELECT event_type, user_id, epoch_us(ts) AS ts_us FROM events
+      |  UNION ALL
+      |  SELECT event_type, user_id, epoch_us(ts) AS ts_us FROM events
+      |)
+      |SELECT event_type, count(*) AS n_events,
+      |       count(DISTINCT user_id) AS n_users,
+      |       min(ts_us) AS first_us, max(ts_us) AS last_us,
+      |       CAST(sum(ts_us % 1000000) AS BIGINT) AS us_checksum
+      |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "src_encoding_migration" -> (encodingMigration _),
     "src_atomic_publish"   -> (atomicPublish _),
     "src_csv_roundtrip"    -> (csvRoundtrip _),
     "src_json_roundtrip"   -> (jsonRoundtrip _),
@@ -656,6 +704,7 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "src_encoding_migration" -> encodingMigrationSql,
     "src_atomic_publish"   -> atomicPublishSql,
     "src_csv_roundtrip"    -> csvRoundtripSql,
     "src_json_roundtrip"   -> jsonRoundtripSql,
