@@ -287,17 +287,20 @@ object Bench {
     // that appending the failed list outside it silently pushed the
     // line past the driver's 2000-char stdout tail exactly when
     // queries failed — truncating the head and losing the round's
-    // headline number. The failed list is itself capped (first 20 +
-    // "+N more") and the queries map gets whatever budget remains.
+    // headline number. The failed list is itself capped at the first
+    // 20 REAL query names; the overflow count goes in a separate
+    // numeric "failed_more" field so array consumers (rerun/exclusion
+    // logic) never see a synthetic element. The queries map gets
+    // whatever budget remains.
     val failedPart =
       if (coldFailed.isEmpty) ""
       else {
         val shown = coldFailed.take(20)
-        val capped =
+        val more =
           if (coldFailed.size > shown.size)
-            shown :+ s"+${coldFailed.size - shown.size} more"
-          else shown
-        s""""failed":${jlist(capped)},"""
+            s""""failed_more":${coldFailed.size - shown.size},"""
+          else ""
+        s""""failed":${jlist(shown)},$more"""
       }
     val queriesBudget = math.max(400, 1550 - failedPart.length)
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +

@@ -496,7 +496,11 @@ object Curation {
           .when(col("score") >= 0.6, "borderline").otherwise("drop"))
       .groupBy(col("lang"), col("verdict"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("score")), 4).as("avg_score"))
+        // score sits on a fixed 1e-6 grid (rounded above), so
+        // round(avg, 4) is the case-2 tie shape — exact integer
+        // micro-units numerator, one division (see Relational.scala)
+        (sum(round(col("score") * 1000000).cast("long"))
+          / (lit(1000000.0) * count(lit(1)))).as("avg_score"))
       .orderBy("lang", "verdict")
   }
 
@@ -525,7 +529,8 @@ object Curation {
        |       CASE WHEN score >= 1.2 THEN 'keep'
        |            WHEN score >= 0.6 THEN 'borderline'
        |            ELSE 'drop' END AS verdict,
-       |       count(*) AS n, round(avg(score), 4) AS avg_score
+       |       count(*) AS n,
+       |       sum(CAST(round(score * 1000000) AS BIGINT)) / (1000000.0 * count(*)) AS avg_score
        |FROM sc GROUP BY 1, 2 ORDER BY lang, verdict""".stripMargin
 
   /** Deterministic stratified sampling: exactly ceil(10%) of each

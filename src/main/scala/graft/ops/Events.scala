@@ -298,8 +298,8 @@ object Events {
     * co-partitioned joins on user_id — at scale every step shuffles
     * on the same key, so AQE reuses the partitioning; no windows, no
     * global state. Single-row summary: users reaching each stage +
-    * mean view→purchase latency (integer-µs arithmetic, so the
-    * cross-engine average is exact before the final round).
+    * mean view→purchase latency (integer-µs arithmetic end to end:
+    * exact BIGINT sum, one shared division, no rounding).
     */
   def funnel(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
@@ -320,11 +320,14 @@ object Events {
     val nc = c.count()
     // avg over exact integer µs, ONE division at the end — both
     // engines compute bit-identical doubles (element-wise /1000.0
-    // before summing would accumulate engine-order-dependent error)
+    // before summing would accumulate engine-order-dependent error).
+    // No round: the true k/(1000n) ratio CAN land on a real decimal
+    // tie (taxonomy case 2) — sum(long) stays exact, and the single
+    // identically-shaped division matches bit-for-bit cross-engine.
     val summary = p
       .select((col("tp") - col("tv")).as("latency_us"))
       .agg(count(lit(1)).as("n_purchase"),
-        round(avg(col("latency_us")) / 1000.0, 4)
+        (sum(col("latency_us")) / (lit(1000.0) * count(lit(1))))
           .as("avg_view_to_purchase_ms"))
     summary.select(lit(nv).as("n_view"), lit(nc).as("n_click"),
       col("n_purchase"), col("avg_view_to_purchase_ms"))
@@ -348,7 +351,7 @@ object Events {
       |SELECT (SELECT count(*) FROM v) AS n_view,
       |       (SELECT count(*) FROM c) AS n_click,
       |       count(*) AS n_purchase,
-      |       round(avg(tp - tv) / 1000.0, 4) AS avg_view_to_purchase_ms
+      |       sum(tp - tv) / (1000.0 * count(*)) AS avg_view_to_purchase_ms
       |FROM p""".stripMargin
 
   /** Cohort retention: users cohorted by first-active day, retention

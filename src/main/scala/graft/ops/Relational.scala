@@ -291,14 +291,22 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        // magnitude caveat (taxonomy case 1+3): this sum spans the
+        // FULL lineitem table over ~4 groups (~1e10 at sf0.1), where
+        // the cross-engine accumulation delta (~1e-4 observed) eats a
+        // 4-decimal half-cell — round to 2 for 50x headroom, same as
+        // joinMultiAgg's per-nation revenue
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("sum_disc_price"),
         // l_quantity is integer-valued: avg = k/n hits REAL .5 ties
         // under any fixed rounding; exact BIGINT numerator + one
         // division (no round) is bit-identical cross-engine
         (sum(col("l_quantity").cast("long")) / (lit(1.0) * count(lit(1))))
           .as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        // l_discount is 2-decimal data: same case-2 tie shape as
+        // avg_qty — exact integer cents numerator, one division
+        (sum(round(col("l_discount") * 100).cast("long"))
+          / (lit(100.0) * count(lit(1)))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -306,9 +314,9 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |       round(sum(l_quantity), 2) AS sum_qty,
       |       round(sum(l_extendedprice), 2) AS sum_base_price,
-      |       round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
       |       sum(CAST(l_quantity AS BIGINT)) / (1.0 * count(*)) AS avg_qty,
-      |       round(avg(l_discount), 4) AS avg_disc,
+      |       sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(*)) AS avg_disc,
       |       count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin

@@ -571,7 +571,10 @@ object Relational3 {
     val wide = lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        // case-2 tie shape (2-decimal data): exact cents numerator,
+        // one division — see Relational.scala taxonomy
+        (sum(round(col("l_discount") * 100).cast("long"))
+          / (lit(100.0) * count(lit(1)))).as("avg_disc"),
         count(lit(1)).cast("double").as("n_rows"))
     wide.unpivot(
       Array(col("l_returnflag")),
@@ -584,7 +587,7 @@ object Relational3 {
     """WITH wide AS (
       |  SELECT l_returnflag,
       |         round(sum(l_quantity), 2) AS sum_qty,
-      |         round(avg(l_discount), 4) AS avg_disc,
+      |         sum(CAST(round(l_discount * 100) AS BIGINT)) / (100.0 * count(*)) AS avg_disc,
       |         CAST(count(*) AS DOUBLE) AS n_rows
       |  FROM lineitem GROUP BY l_returnflag
       |)

@@ -39,19 +39,29 @@ object Udfs {
     * distributed-combine contract), exactly what a custom mean/ratio
     * metric needs. Buffer is (weightedSum, weightSum); merge is
     * associative so partial aggregation works map-side.
+    *
+    * The accumulators are EXACT integers (quantity is integer-valued,
+    * discount is 2-decimal → cents): a weighted mean is a ratio over
+    * discrete data (taxonomy case 2, ops/Relational.scala) whose true
+    * value can land on real decimal ties, so double accumulation +
+    * rounding is the cross-engine hazard shape. Integer sums are also
+    * order-independent under partial aggregation — the 100-TB form.
+    * The 100x weight scaling cancels in the ratio, so finish is the
+    * ONE identically-shaped float division both engines perform.
     */
-  case class WAccum(var num: Double, var den: Double)
+  case class WAccum(var num: Long, var den: Long)
 
   object WeightedMeanQty
       extends Aggregator[(Double, Double), WAccum, Double] {
-    override def zero: WAccum = WAccum(0.0, 0.0)
+    override def zero: WAccum = WAccum(0L, 0L)
     override def reduce(b: WAccum, in: (Double, Double)): WAccum = {
-      b.num += in._1 * in._2; b.den += in._2; b
+      val wCents = math.round(in._2 * 100)
+      b.num += math.round(in._1) * wCents; b.den += wCents; b
     }
     override def merge(a: WAccum, b: WAccum): WAccum = {
       a.num += b.num; a.den += b.den; a
     }
-    override def finish(r: WAccum): Double = r.num / r.den
+    override def finish(r: WAccum): Double = r.num.toDouble / r.den.toDouble
     override def bufferEncoder = Encoders.product[WAccum]
     override def outputEncoder = Encoders.scalaDouble
   }
@@ -60,14 +70,15 @@ object Udfs {
     val wmean = udaf(WeightedMeanQty)
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
-      .agg(round(wmean(col("l_quantity"), col("l_discount")), 4)
+      .agg(wmean(col("l_quantity"), col("l_discount"))
         .as("disc_weighted_qty"))
       .orderBy("l_returnflag")
   }
 
   val udafWeightedMeanSql: String =
     """SELECT l_returnflag,
-      |       round(sum(l_quantity * l_discount) / sum(l_discount), 4)
+      |       sum(CAST(round(l_quantity) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT))
+      |         / sum(CAST(round(l_discount * 100) AS BIGINT))
       |         AS disc_weighted_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

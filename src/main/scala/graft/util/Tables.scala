@@ -78,7 +78,24 @@ object Tables {
     */
   def normalizeEventTime(df: DataFrame): DataFrame = {
     val tsUs: Column = df.schema("ts").dataType match {
-      case LongType               => expr("ts div 1000") // legacy epoch-nanos
+      case LongType =>
+        // Legacy epoch-NANOS. Guard the unit assumption AT RUNTIME:
+        // if the generator ever drifts to plain INT64 epoch-micros or
+        // -millis, `div 1000` would silently shift every timestamp
+        // 1000x. Plausible epoch-ns for the corpus era (1990..2100) is
+        // [6.3e17, 4.2e18]; µs (~1.5e15), ms (~1.5e12) and s (~1.5e9)
+        // magnitudes all fall OUTSIDE it, so a per-row range check —
+        // two codegen'd long compares, negligible vs parquet decode,
+        // streaming-safe (no action) — turns the drift into the same
+        // loud 'drifted' diagnostic the type tripwire raises.
+        when(col("ts").between(6.3e17.toLong, 4.2e18.toLong),
+          expr("ts div 1000"))
+          .otherwise(raise_error(concat(
+            lit("events.ts drifted: INT64 value "), col("ts").cast("string"),
+            lit(" is outside the plausible epoch-nanos range — the " +
+              "generator likely switched INT64 units; teach " +
+              "graft.util.Tables.normalizeEventTime this encoding " +
+              "(single fix point; see SchemaContractSpec)"))))
       case _: TimestampNTZType    => unix_micros(col("ts").cast(TimestampType))
       case _: TimestampType       => unix_micros(col("ts"))
       case other =>

@@ -143,4 +143,33 @@ class SchemaContractSpec extends SparkTestBase {
       s"events.ts_us out of plausible epoch-µs range: [$lo, $hi] — " +
         "normalization produced the wrong unit")
   }
+
+  test("an INT64 unit drift trips the RUNTIME range probe, not just specs") {
+    // The type tripwire above can't catch a generator that keeps INT64
+    // but switches nanos→micros/millis — same schema, values 1000x
+    // off. normalizeEventTime guards that per-row (codegen'd range
+    // check → raise_error), so the drift dies loudly inside the
+    // driver's own Verify/Bench runs, not only when this suite runs.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("unitdrift").toString
+    // plausible epoch-MICROS written into the INT64 `ts` column —
+    // exactly the silent-1000x shape ADVICE r9 flagged
+    Seq((1L, 1704067200000000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[Exception] {
+      graft.util.Tables.events(spark, dir).select("ts_us").collect()
+    }
+    def messages(t: Throwable): List[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toList ++ messages(t.getCause)
+    val all = messages(e).mkString(" | ")
+    assert(all.contains("drifted") && all.contains("normalizeEventTime"),
+      s"runtime probe should raise the 'drifted' diagnostic: $all")
+    // and in-range nanos still pass through the guarded branch
+    val ok = java.nio.file.Files.createTempDirectory("unitok").toString
+    Seq((1L, 1704067200000000000L)).toDF("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$ok/events.parquet")
+    val r = graft.util.Tables.events(spark, ok).select("ts_us").head()
+    assert(r.getLong(0) === 1704067200000000L)
+  }
 }
