@@ -253,6 +253,13 @@ object Dedup {
       s, s"lshcand_v1_${d.hashCode.toHexString}") {
       val sigs = signatureTable(s, d)
       val bands = bandsOf(sigs)
+      // NOTE (round 10): hand-caching `bands` and semi-join-pruning
+      // `sigs` before the verify joins was tried and REVERTED — it
+      // measured 1.6x SLOWER. Catalyst already plans ReusedExchange
+      // for the identical band subtrees and AQE broadcasts the small
+      // candidate side; explicit persists only added materialization
+      // barriers and a driver-blocking broadcast to a plan that was
+      // already scan-sharing.
       val cand = bands.as("x").join(bands.as("y"),
           col("x.band_idx") === col("y.band_idx")
             && col("x.band_sig") === col("y.band_sig")
@@ -469,17 +476,27 @@ object Dedup {
 
   /** Near-dup CLUSTERING over the FULL corpus: LSH-banded candidate
     * pairs, exact-Jaccard verified at ≥ 0.5, then connected
-    * components via iterative min-label propagation — the step that
-    * turns pair mining into dedup groups (keep cluster_id = min
-    * doc_id as canonical).
+    * components via min-neighbor CONTRACTION (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", small-star
+    * shape) — the step that turns pair mining into dedup groups
+    * (keep cluster_id = min doc_id as canonical).
     *
     * Scale design: the edge set comes from the SAME banding as
-    * `minhashLsh` — candidates, never corpus² — and the propagation
-    * loop runs only over vertices that appear in an edge (near-dup
-    * docs, a sliver of the corpus); singletons bypass the loop with
-    * an anti-join and label themselves. Each round is one join +
-    * aggregate over the edge-vertex set; labels converge in
-    * O(component diameter) rounds, and near-dup components are tiny.
+    * `minhashLsh` — candidates, never corpus² — and contraction runs
+    * only over vertices that appear in an edge (near-dup docs, a
+    * sliver of the corpus); singletons bypass it with an anti-join
+    * and label themselves. Each level maps every node to
+    * min(neighborhood ∪ self) — ONE aggregation — then rewrites
+    * edges between labels, at least HALVING every live component, so
+    * levels = O(log max-component-size), vs O(diameter) for plain
+    * label propagation. Near-dup components are cliques or near-
+    * cliques (every pair similar), which collapse at level 0: the
+    * typical run is one aggregation fused onto the freshly-built
+    * edge set plus ONE empty-check action — no per-round count()
+    * jobs at all. The level maps compose lazily (each level joins
+    * doc labels through the next contraction), and the component
+    * minimum is a fixed point of every level, so the composed label
+    * is exactly the closure minimum the oracle computes.
     *
     * The oracle replays the exact closure (all-pairs J ≥ 0.5 +
     * recursive CTE) — the hash match holds because banding at
@@ -489,11 +506,11 @@ object Dedup {
     */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     // the converged clustering is itself a per-corpus derived index:
-    // the whole propagation runs inside the build thunk, so repeat
+    // the whole contraction runs inside the build thunk, so repeat
     // calls read the memoized assignment table instead of re-looping
-    var release: () => Unit = () => ()
+    var toRelease: List[DataFrame] = Nil
     val clusters = graft.util.ScratchIndex.materialize(
-        s, s"dedupclusters_v1_${d.hashCode.toHexString}") {
+        s, s"dedupclusters_v2_${d.hashCode.toHexString}") {
     val pairs = candidateEdges(s, d)
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"))
@@ -502,58 +519,70 @@ object Dedup {
       .unionByName(pairs.select(col("b_id").as("a_id"),
         col("a_id").as("b_id")))
       .persist()
+    toRelease ::= edges
 
-    // propagation runs ONLY over edge-touching vertices — at corpus
-    // scale the loop must never re-scan the full relation per round
-    var labels = edges.select(col("a_id").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
-      .persist()
-    var persisted = labels // cached handle backing `labels`
-    var changed = 1L
+    // node -> min(neighborhood ∪ self); e is symmetric so grouping on
+    // a_id covers every edge-touching node
+    def contract(e: DataFrame): DataFrame =
+      e.groupBy(col("a_id"))
+        .agg(min(col("b_id")).as("nmin"))
+        .select(col("a_id").as("node"),
+          least(col("a_id"), col("nmin")).as("label"))
+
+    // edges of the label graph: m(a)—m(b) for surviving (cross-label)
+    // edges; symmetric because e is
+    def relabel(e: DataFrame, m: DataFrame): DataFrame =
+      e.join(m.select(col("node").as("a_id"), col("label").as("la")),
+          "a_id")
+        .join(m.select(col("node").as("b_id"), col("label").as("lb")),
+          "b_id")
+        .filter(col("la") =!= col("lb"))
+        .select(col("la").as("a_id"), col("lb").as("b_id"))
+        .distinct()
+
+    // level 0 fused onto the edge build: the aggregation runs in the
+    // same stage cascade that materializes `edges`
+    var mapping = contract(edges)
+    var e = relabel(edges, mapping).persist()
+    toRelease ::= e
     var rounds = 0
     val maxRounds = 50
-    while (changed > 0 && rounds < maxRounds) {
-      val neighborMin = edges
-        .join(labels, col("b_id") === col("doc_id"))
-        .groupBy(col("a_id"))
-        .agg(min(col("label")).as("nmin"))
-      // carry the previous label through so convergence is a filter on
-      // the cached result, not another join against the old labels
-      val next = labels
-        .join(neighborMin, col("doc_id") === col("a_id"), "left_outer")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nmin"), col("label")))
-            .as("label"),
-          col("label").as("prev"))
-        .persist()
-      changed = next.filter(col("label") =!= col("prev")).count()
-      persisted.unpersist()
-      persisted = next
-      labels = next.select(col("doc_id"), col("label"))
+    var live = !e.isEmpty
+    while (live && rounds < maxRounds) {
+      val m = contract(e)
+      val e2 = relabel(e, m).persist()
+      toRelease ::= e2
+      // fold this level into the doc-level map: settled labels (absent
+      // from the contracted graph) pass through the left join
+      mapping = mapping.as("v")
+        .join(m.as("m"), col("v.label") === col("m.node"), "left_outer")
+        .select(col("v.node").as("node"),
+          coalesce(col("m.label"), col("v.label")).as("label"))
+      e = e2
+      live = !e.isEmpty
       rounds += 1
     }
-    // the oracle computes the FULL recursive closure — returning
-    // partially-propagated labels would be a silent mismatch, so a
-    // component whose diameter exceeds the round cap fails loudly
-    require(changed == 0,
-      s"dedupClusters: label propagation not converged after $maxRounds rounds")
+    // the oracle computes the FULL recursive closure — returning a
+    // partially-contracted labeling would be a silent mismatch, so a
+    // component that outlives the level cap fails loudly
+    require(!live,
+      s"dedupClusters: contraction not converged after $maxRounds levels")
+    val labels = mapping.select(col("node").as("doc_id"), col("label"))
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
     val clustered = labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"),
         col("n").as("cluster_size"))
-    // singletons never enter the loop: label = own id, size 1
+    // singletons never enter the contraction: label = own id, size 1
     val singles = documents(s, d).select(col("doc_id"))
       .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"),
         lit(1L).as("cluster_size"))
-    val labelsFinal = persisted
-    release = () => { edges.unpersist(); labelsFinal.unpersist(); () }
     clustered.unionByName(singles)
     }
     // the materialize write executed the plan (distributed — no rows
     // funnel through the driver); the cached intermediates behind it
     // can now go
-    release()
+    toRelease.foreach(_.unpersist())
     clusters.orderBy("doc_id")
   }
 

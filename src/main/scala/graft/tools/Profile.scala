@@ -47,6 +47,22 @@ object Profile {
         time("full lsh") {
           graft.ops.Dedup.minhashLsh(spark, sfDir).count()
         }
+      case "dedupsplit" =>
+        // stage attribution for the dedup index cascade: each step
+        // memoizes to scratch, so each timing isolates ONE layer
+        import org.apache.spark.sql.functions._
+        time("session warm-up") {
+          graft.util.Tables.documents(spark, sfDir).count()
+        }
+        time("signatureTable build") {
+          graft.ops.Dedup.signatureTable(spark, sfDir).count()
+        }
+        time("candidateEdges build") {
+          graft.ops.Dedup.candidateEdges(spark, sfDir).count()
+        }
+        time("dedupClusters on warm index") {
+          graft.ops.Dedup.dedupClusters(spark, sfDir).count()
+        }
       case "bloom" =>
         import org.apache.spark.sql.functions._
         spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")

@@ -35,43 +35,39 @@ class SchemaContractSpec extends SparkTestBase {
     }
 
   test("dimension/fact tables carry the engine-expected column types") {
-    val t = graft.util.Tables
-    assertCols("region", fields(t.region(spark, sf)),
-      "r_regionkey" -> IntegerType, "r_name" -> StringType)
-    assertCols("nation", fields(t.nation(spark, sf)),
-      "n_nationkey" -> IntegerType, "n_name" -> StringType,
-      "n_regionkey" -> IntegerType)
-    assertCols("customer", fields(t.customer(spark, sf)),
-      "c_custkey" -> LongType, "c_nationkey" -> IntegerType,
-      "c_acctbal" -> DoubleType, "c_mktsegment" -> StringType)
-    assertCols("supplier", fields(t.supplier(spark, sf)),
-      "s_suppkey" -> LongType, "s_nationkey" -> IntegerType,
-      "s_acctbal" -> DoubleType)
-    assertCols("part", fields(t.part(spark, sf)),
-      "p_partkey" -> LongType, "p_size" -> IntegerType,
-      "p_retailprice" -> DoubleType)
-    assertCols("orders", fields(t.orders(spark, sf)),
-      "o_orderkey" -> LongType, "o_custkey" -> LongType,
-      "o_totalprice" -> DoubleType, "o_orderdate" -> TimestampNTZType,
-      "o_orderstatus" -> StringType, "o_orderpriority" -> StringType)
-    assertCols("lineitem", fields(t.lineitem(spark, sf)),
-      "l_orderkey" -> LongType, "l_partkey" -> LongType,
-      "l_suppkey" -> LongType, "l_linenumber" -> IntegerType,
-      "l_quantity" -> DoubleType, "l_extendedprice" -> DoubleType,
-      "l_discount" -> DoubleType, "l_tax" -> DoubleType,
-      "l_shipdate" -> TimestampNTZType, "l_returnflag" -> StringType,
-      "l_linestatus" -> StringType)
-    assertCols("documents", fields(t.documents(spark, sf)),
-      "doc_id" -> LongType, "text" -> StringType, "lang" -> StringType,
-      "source" -> StringType, "n_chars" -> LongType)
-    val emb = fields(t.embeddings(spark, sf))
+    // the expectations live in graft.util.SchemaContract — ONE source
+    // of truth shared with the tools/DriftCheck command, so the spec
+    // and the one-command regen diagnosis can never disagree
+    val findings = graft.util.SchemaContract.checkRaw(spark, sf)
+    assert(findings.isEmpty,
+      "TESTDATA DRIFT (absorb at graft.util.Tables, not query sites):\n  "
+        + findings.mkString("\n  "))
+    // columns the contract map doesn't pin but specs rely on
+    val emb = fields(graft.util.Tables.embeddings(spark, sf))
     assertCols("embeddings", emb, "vec_id" -> LongType,
       "label" -> IntegerType)
-    assert(emb.get("embedding").exists {
-      case ArrayType(FloatType, _) => true
-      case _                       => false
-    }, s"TESTDATA DRIFT: embeddings.embedding is ${emb.get("embedding")}, " +
-      "engine expects array<float>")
+  }
+
+  test("DriftCheck verdict: ABSORB on real testdata, REJECT on a drift") {
+    val (fReal, okReal) = graft.util.SchemaContract.check(spark, sf)
+    assert(okReal && fReal.isEmpty,
+      s"DriftCheck should ABSORB the current testdata: $fReal")
+    // a deliberately-drifted dir (events.ts as string) must REJECT
+    // with findings naming events.ts on both layers
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("djudge").toString
+    for (t <- graft.util.SchemaContract.rawExpectations.keys if t != "events")
+      graft.util.Tables.t(spark, sf, t).limit(5)
+        .write.parquet(s"$dir/$t.parquet")
+    graft.util.Tables.embeddings(spark, sf).limit(5)
+      .write.parquet(s"$dir/embeddings.parquet")
+    Seq((1L, 2L, "view", 1.0, "{}", "2024-01-01"))
+      .toDF("event_id", "user_id", "event_type", "value", "props", "ts")
+      .write.parquet(s"$dir/events.parquet")
+    val (fBad, okBad) = graft.util.SchemaContract.check(spark, dir)
+    assert(!okBad, "a string ts must be rejected")
+    assert(fBad.exists(f => f.table == "events" && f.column == "ts"),
+      s"findings should name events.ts: $fBad")
   }
 
   test("events.ts is an encoding the scan normalization absorbs") {
