@@ -114,6 +114,43 @@ object Bench {
     spark.range(1000).selectExpr("sum(id) AS s").collect()
     spark.read.parquet(s"$sfDir/nation.parquet").count()
 
+    // Streaming engine bring-up is its own fixed-cost pile on top of
+    // the batch one — micro-batch scheduler threads, offset/commit log
+    // classes, state-store provider init (both the HDFS-backed default
+    // AND RocksDB, which loads a native library on first touch), and
+    // streaming-specific codegen. Without this, whichever stream_*
+    // query ran first absorbed ~1-2 s of shared init. Warm on tiny
+    // NON-sweep streams: a stateful rate-source window agg per
+    // provider, drained synchronously like the sweep queries run.
+    def warmStream(provider: Option[String]): Unit = {
+      import org.apache.spark.sql.functions._
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      provider.foreach(spark.conf.set(key, _))
+      try {
+        val q = spark.readStream.format("rate")
+          .option("rowsPerSecond", "1000").load()
+          .withWatermark("timestamp", "0 seconds")
+          .groupBy(window(col("timestamp"), "1 second"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("append")
+          .option("checkpointLocation",
+            graft.util.ScratchIndex.dir(
+              s"ck_warmup_${provider.isDefined}").toString)
+          .format("memory").queryName(s"warmup_${provider.isDefined}")
+          .start()
+        try { Thread.sleep(300); q.processAllAvailable() } finally q.stop()
+      } finally {
+        provider.foreach(_ => prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None    => spark.conf.unset(key)
+        })
+      }
+    }
+    warmStream(None)
+    warmStream(Some("org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider"))
+
     // fsync'd sequential-write probe (same measurement as the manual
     // `dd conv=fdatasync` diagnosis of the round-4/5 throttle
     // windows): healthy local storage reads ~300 MB/s, documented

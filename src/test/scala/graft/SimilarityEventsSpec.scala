@@ -109,10 +109,17 @@ class SimilarityEventsSpec extends SparkTestBase {
     val graph = recall(neighbors(Similarity.annGraph(spark, sf)))
     info(f"recall@3 lsh=$lsh%.3f ivf=$ivf%.3f pq=$pq%.3f " +
       f"ivfpq=$ivfpq%.3f graph=$graph%.3f")
-    assert(lsh >= 0.6, s"LSH recall@3 $lsh")
-    assert(ivf >= 0.8, s"IVF recall@3 $ivf")
-    assert(pq >= 0.7, s"PQ recall@3 $pq")
-    assert(ivfpq >= 0.6, s"IVF-PQ recall@3 $ivfpq")
+    // Floors pinned at measured-minus-small-margin on the round-8
+    // regenerated (clustered) embeddings — round 10 measured
+    // lsh=0.683 ivf=0.833 pq=0.733 ivfpq=0.767 graph=0.833, all
+    // deterministic (hash-seeded indexes, no RNG), so a drop below
+    // floor means the index code or the testdata changed, not noise.
+    // (The old 0.6-0.8 floors dated from the near-uniform pre-regen
+    // embeddings that capped LSH around 0.7.)
+    assert(lsh >= 0.65, s"LSH recall@3 $lsh")
+    assert(ivf >= 0.80, s"IVF recall@3 $ivf")
+    assert(pq >= 0.70, s"PQ recall@3 $pq")
+    assert(ivfpq >= 0.73, s"IVF-PQ recall@3 $ivfpq")
     // graph expansion exists to recover IVF's cross-cell misses —
     // it must never do worse than its own seeds
     assert(graph >= ivf, s"graph recall@3 $graph < IVF seeds $ivf")
@@ -171,11 +178,16 @@ class SimilarityEventsSpec extends SparkTestBase {
 
   test("sessionization: hand-checked tiny stream") {
     val min = 60L * 1000000000L // ns
+    // offsets ride on a plausible epoch base: normalizeEventTime now
+    // range-checks INT64 ts at runtime, so raw toy nanos near epoch 0
+    // would (correctly) trip the unit-drift probe
+    val base = 1704067200L * 1000000000L // 2024-01-01 in epoch-ns
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rows = Seq(
-      (1L, 0L * min), (1L, 10L * min), (1L, 50L * min), // session 1 (gap 40>30 splits)
-      (1L, 95L * min), // gap 45 → session 3
-      (2L, 0L * min)) // one event
+      (1L, base + 0L * min), (1L, base + 10L * min),
+      (1L, base + 50L * min), // session 1 (gap 40>30 splits)
+      (1L, base + 95L * min), // gap 45 → session 3
+      (2L, base + 0L * min)) // one event
     val dir = java.nio.file.Files.createTempDirectory("events").toString
     rows.toDF("user_id", "ts").select($"user_id", $"ts",
         lit(1L).as("event_id"), lit("view").as("event_type"),
@@ -299,7 +311,9 @@ class SimilarityEventsSpec extends SparkTestBase {
     val ivf = recall(Similarity.annIvf(spark, dir))
     val graph = recall(Similarity.annGraph(spark, dir))
     info(f"clustered recall@3 ivf=$ivf%.3f graph=$graph%.3f")
-    assert(ivf >= 0.9, s"IVF recall@3 on clustered data $ivf")
-    assert(graph >= 0.9, s"graph recall@3 on clustered data $graph")
+    // both measured 1.000 on the synthetic well-separated clusters
+    // (round 10) — 0.95 leaves margin only for a future fixture tweak
+    assert(ivf >= 0.95, s"IVF recall@3 on clustered data $ivf")
+    assert(graph >= 0.95, s"graph recall@3 on clustered data $graph")
   }
 }
