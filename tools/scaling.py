@@ -323,6 +323,21 @@ def main(argv):
         md.append("| sweep total (s) | " +
                   " | ".join(f"{t:.1f}" for t in tots) +
                   f" | {tots[0] / tots[-1]:.1f}× |")
+        # The round-9 attempt's lesson: the full sweep dilutes the
+        # cores signal with queries that are overhead-bound at this
+        # fixture size (planning + micro-batch commits, flat in cores
+        # by construction). Report the DATA-BOUND subset separately —
+        # the queries whose weak-scaling class says their time is data
+        # cost, i.e. exactly the ones a bigger cluster would buy time
+        # on.
+        bound = [q for q in common
+                 if per_query.get(q, {}).get("class")
+                 in ("~linear", "sub-linear", "SUPER-LINEAR")]
+        if bound:
+            btots = [sum(qs[q] for q in bound) for _, qs in strong]
+            md.append(f"| data-bound subset ({len(bound)} queries) | " +
+                      " | ".join(f"{t:.1f}" for t in btots) +
+                      f" | {btots[0] / btots[-1]:.1f}× |")
         fams = {}
         for q in common:
             fams.setdefault(family(q), []).append(q)
@@ -334,9 +349,26 @@ def main(argv):
             cells = " | ".join(f"{t:.1f}" for t in per_core)
             md.append(f"| {fam} | {cells} | {sp:.1f}× |")
         md.append("")
+        if bound:
+            md.append("Largest individual data-bound speedups "
+                      f"({strong[0][0]}→{strong[-1][0]} cores):\n")
+            md.append("| query | " +
+                      " | ".join(f"{c} cores" for c in ctags) +
+                      " | speedup |")
+            md.append("|---|" + "---|" * (len(ctags) + 1))
+            per_q_sp = sorted(
+                ((q, [qs[q] for _, qs in strong]) for q in bound),
+                key=lambda x: -(x[1][0] / max(x[1][-1], 1e-3)))[:10]
+            for q, ts in per_q_sp:
+                cells = " | ".join(f"{t:.1f}" for t in ts)
+                md.append(f"| {q} | {cells} | "
+                          f"{ts[0] / max(ts[-1], 1e-3):.1f}× |")
+            md.append("")
         out["strong_scaling"] = {
             "cores": [c for c, _ in strong],
             "totals": [round(t, 2) for t in tots],
+            "bound_subset": {q: [round(qs[q], 2) for _, qs in strong]
+                             for q in bound},
             "families": {f: [round(t, 2) for t in pc]
                          for f, pc, _ in fam_rows}}
 
