@@ -120,18 +120,34 @@ object Bench {
     // AND RocksDB, which loads a native library on first touch), and
     // streaming-specific codegen. Without this, whichever stream_*
     // query ran first absorbed ~1-2 s of shared init. Warm on tiny
-    // NON-sweep streams: a stateful rate-source window agg per
-    // provider, drained synchronously like the sweep queries run.
+    // NON-sweep streams: a stateful window agg per provider over a
+    // BOUNDED file source, drained synchronously like the sweep
+    // queries run. (The first version of this warm-up used an
+    // unbounded rate source: on a host where one stateful micro-batch
+    // runs slower than the rate interval, processAllAvailable never
+    // observes a caught-up instant and the bench hangs chasing the
+    // source — observed 25 min on a degraded-IO boot. Every sweep
+    // query drains a static file source, so the warm-up must too.)
+    val warmSrc = graft.util.ScratchIndex.dir("warm_stream_src")
+    spark.range(0, 200)
+      .selectExpr("timestamp_micros(1700000000000000 + id*1000000) AS ts")
+      .coalesce(1).write.mode("overwrite").parquet(warmSrc.toString)
     def warmStream(provider: Option[String]): Unit = {
       import org.apache.spark.sql.functions._
       val key = "spark.sql.streaming.stateStore.providerClass"
       val prev = spark.conf.getOption(key)
+      // mirror the sweep's own state sizing (runToCompletion clamps
+      // stream shuffle partitions to 4): per-batch cost is state-store
+      // commits x partitions, and the warm-up only needs to touch the
+      // machinery once per provider
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
       provider.foreach(spark.conf.set(key, _))
       try {
-        val q = spark.readStream.format("rate")
-          .option("rowsPerSecond", "1000").load()
-          .withWatermark("timestamp", "0 seconds")
-          .groupBy(window(col("timestamp"), "1 second"))
+        val q = spark.readStream.schema("ts TIMESTAMP")
+          .parquet(warmSrc.toString)
+          .withWatermark("ts", "0 seconds")
+          .groupBy(window(col("ts"), "10 seconds"))
           .agg(count(lit(1)).as("n"))
           .writeStream.outputMode("append")
           .option("checkpointLocation",
@@ -139,8 +155,9 @@ object Bench {
               s"ck_warmup_${provider.isDefined}").toString)
           .format("memory").queryName(s"warmup_${provider.isDefined}")
           .start()
-        try { Thread.sleep(300); q.processAllAvailable() } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
       } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
         provider.foreach(_ => prev match {
           case Some(v) => spark.conf.set(key, v)
           case None    => spark.conf.unset(key)

@@ -164,7 +164,20 @@ object Profile {
           graft.util.Tables.lineitem(spark, sfDir)
             .groupBy("l_returnflag").count().count()
         }
-        val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
+        // optional trailing args restrict the sweep to the named
+        // queries — the strong-scaling (cores-axis) sweeps use this to
+        // run only the data-bound subset, so a 4-core pass doesn't pay
+        // for 79 overhead-bound queries whose cost is per-query fixed
+        // machinery by construction
+        val only = args.drop(2).toSet
+        val selected =
+          if (only.isEmpty) graft.SparkEntry.queries
+          else {
+            val unknown = only -- graft.SparkEntry.queries.keySet
+            require(unknown.isEmpty, s"unknown queries: $unknown")
+            graft.SparkEntry.queries.filter(kv => only(kv._1))
+          }
+        val results = selected.toSeq.sortBy(_._1).map {
           case (name, fn) =>
             // (seconds, result rows): rows prove the query really ran
             // against this corpus — a source that silently matches

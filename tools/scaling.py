@@ -33,11 +33,16 @@ SHUF_BASE_MB = 0.5       # below this at the decade BASE, no exponent is
 # ratio measures the flip, not growth
 VERIFIED_TRANSITIONS = {"graph_degree_hist", "graph_triangles"}
 # the salted scale fixture splices a marker token between every 3 words
-# of copies 1..N-1, so the TOKEN corpus grows 12.89× per nominal 10×
-# decade (measured: sum tokens 270,704 @sf0.1 → 3,489,194 @sf1).
-# Shuffle bytes of document-derived queries are linear in TOKENS, so
-# their nominal-decade exponents are bounded by this, not by 1.0
-DOC_TOKEN_DECADE = 1.110  # log10(12.89)
+# of copies 1..N-1, so the TOKEN corpus grows ~1.321× per salted copy
+# (measured: sum tokens 270,704 @sf0.1 → 3,489,194 @sf1 = 12.89× for
+# 10 copies). Shuffle bytes of document-derived queries are linear in
+# TOKENS, so their nominal-decade exponents are bounded by the token
+# decade, not by 1.0. The bound depends on WHICH decade is the top one:
+#   sf0.1→sf1  (verbatim→10 copies):  12.89×            → 1.110
+#   sf1→sf10  (10 copies→100 copies): (1+99c)/(1+9c),
+#                                      c=1.321 ⇒ 10.22× → 1.010
+# keyed by the TOP tag of the run; unknown tags fall back to sf1's.
+DOC_TOKEN_DECADE_BY_TOP = {"sf1": 1.110, "sf10": 1.010}
 DOC_FAMILIES = {"text", "dedup", "cur"}
 
 # queries whose input does not grow with the scale dir
@@ -105,12 +110,17 @@ def main(argv):
         shuf_cls = None
         if q not in CONSTANT_INPUT and None not in shuf[-2:] \
                 and shuf[-1] is not None and shuf[-1] >= SHUF_FLOOR_MB:
-            if shuf[-2] < SHUF_BASE_MB or q in VERIFIED_TRANSITIONS:
+            # the graph broadcast→SMJ flips were explain-verified on the
+            # sf0.1→sf1 decade; when the top decade is higher both ends
+            # are post-flip SMJ and a growth exponent IS fittable
+            if shuf[-2] < SHUF_BASE_MB \
+                    or (q in VERIFIED_TRANSITIONS and tags[-1] == "sf1"):
                 shuf_cls = "transition"
             else:
                 shuf_e = round(math.log10(max(shuf[-1], 0.1) /
                                           max(shuf[-2], 0.1)), 3)
-                norm = DOC_TOKEN_DECADE if family(q) in DOC_FAMILIES else 1.0
+                norm = (DOC_TOKEN_DECADE_BY_TOP.get(tags[-1], 1.110)
+                        if family(q) in DOC_FAMILIES else 1.0)
                 shuf_cls = ("SUPER-LINEAR" if shuf_e / norm > SUPERLINEAR
                             else "~linear" if shuf_e / norm > 0.85
                             else "sub-linear")
@@ -239,10 +249,12 @@ def main(argv):
                   "linear-in-data shuffle this plan correctly pays at "
                   "cluster scale.\n"
                   "- **document-derived queries** (text/dedup/cur): "
-                  "the salted fixture grows the TOKEN corpus "
-                  "12.89×/decade (markers spliced between every 3 "
+                  "the salted fixture grows the TOKEN corpus faster "
+                  "than nominal (markers spliced between every 3 "
                   "words), so their byte exponents are judged against "
-                  f"{DOC_TOKEN_DECADE} (= log10 12.89), not 1.0.\n")
+                  "the top decade's token growth "
+                  f"({DOC_TOKEN_DECADE_BY_TOP.get(tags[-1], 1.110)}), "
+                  "not 1.0.\n")
         tot_shuf = {t: round(sum(v for v in ss.values()
                                  if v is not None), 1)
                     for t, ss in shuf_by_scale}
@@ -307,8 +319,8 @@ def main(argv):
     if strong:
         md.append("## Strong scaling at the top scale "
                   "(fixed data, varying cores)\n")
-        md.append("The cluster claim inverted: hold the sf1 fixture "
-                  "fixed and shrink the \"cluster\" (local[N], shuffle "
+        md.append(f"The cluster claim inverted: hold the {tags[-1]} "
+                  "fixture fixed and shrink the \"cluster\" (local[N], shuffle "
                   "partitions = N). A data-bound query should slow "
                   "down as cores are removed — its speedup from "
                   f"{strong[0][0]} to {strong[-1][0]} cores is the "
@@ -384,17 +396,19 @@ def main(argv):
                   f"{r['class']} |")
     md.append("")
 
-    md.append("""## Reading guide / caveats
+    md.append(f"""## Reading guide / caveats
 
-- **Fixture, not driver data, at sf1**: `.scale/sf1` replicates sf0.1
-  10× with disjoint key spaces (key cardinality grows with data, dims
-  fixed, cross-copy text salted so dedup candidates stay within-copy).
-  Correctness is still gated exclusively on driver testdata.
+- **Fixture, not driver data, above sf0.1**: `.scale/sfN` replicates
+  sf0.1 N×10× with disjoint key spaces (key cardinality grows with
+  data, dims fixed, cross-copy text salted so dedup candidates stay
+  within-copy). Correctness is still gated exclusively on driver
+  testdata.
 - **Constant-input queries** (ALS on the reference ratings, DSv2
   synthetic source, rate source) are excluded from exponents — their
   input does not scale with the dir.
-- **Overhead-bound** (< 0.5 s at sf1) queries are planning/codegen
-  cost, not data cost; their exponents are noise by construction.
+- **Overhead-bound** (< {FLOOR_SEC} s at the top scale) queries are
+  planning/codegen cost, not data cost; their exponents are noise by
+  construction.
 - **Streaming queries** pay per-micro-batch state-store commits; their
   growth tracks batch count × state size, and the watermark bounds
   state. stream_* exponents < 1 here because the bounded drain lands
