@@ -34,8 +34,7 @@ object DedupStream {
   /** Streaming documents relation for an sf dir. */
   private def documentsStream(s: SparkSession, dir: String): DataFrame = {
     val schema = graft.util.Tables.documents(s, dir).schema
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+    graft.util.Tables.streamTable(s, dir, "documents", schema)
   }
 
   /** Near-dup candidate pairs with estimated Jaccard ≥ 0.5, found

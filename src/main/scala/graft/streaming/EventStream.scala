@@ -481,11 +481,10 @@ object EventStream {
     */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     val schema = graft.util.Tables.eventsRaw(s, dir).schema
-    // streaming file source monitors a DIRECTORY; select just the
-    // events file from the shared testdata dir via glob filter
+    // single-file layout streams via parent-dir glob; directory
+    // layout streams the directory (see Tables.streamTable)
     graft.util.Tables.normalizeEventTime(
-      s.readStream.schema(schema).option("pathGlobFilter", "events.parquet")
-        .parquet(dir))
+      graft.util.Tables.streamTable(s, dir, "events", schema))
   }
 
   /** Streaming tumbling 1-hour window: watermarked event-time groupBy

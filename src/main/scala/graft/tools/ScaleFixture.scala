@@ -51,16 +51,21 @@ object ScaleFixture {
         : DataFrame =
       (0 until copies).map(k => shift(base, k)).reduce(_.unionAll(_))
 
-    // one plain FILE per table, like the driver testdata: the
-    // streaming file source's pathGlobFilter matches leaf file names,
-    // so a directory-shaped events.parquet would silently stream zero
-    // rows. Scan parallelism is unaffected — parquet files split by
-    // row group.
+    // MULTI-FILE tables, like a real lake: a single coalesced file
+    // caps batch scan parallelism at one task per 128 MB of FILE
+    // bytes — for the 10:1-compressed documents table that meant the
+    // whole 100x text corpus scanned in ONE task, flattening the
+    // cores-axis measurement and inflating top-decade exponents
+    // (observed: cur_chunk e=1.58 on the single-file layout). File
+    // count grows with the fixture (x copies/10, capped at 64) so
+    // per-file size stays roughly lake-like across decades; streaming
+    // reads handle the directory layout via Tables.streamTable.
+    // Tables with files=1 (dims) stay single-file — also the shape
+    // the driver testdata uses, so both layouts stay exercised.
     def write(df: DataFrame, name: String, files: Int): Unit = {
-      val _ = files
-      val tmp = new java.io.File(s"$outDir/_tmp_$name")
-      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val pf = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val parts =
+        if (files <= 1) 1
+        else math.max(1, math.min(64, files * copies / 10))
       val dst = new java.io.File(s"$outDir/$name.parquet")
       if (dst.exists()) {
         def rm(f: java.io.File): Unit = {
@@ -69,10 +74,18 @@ object ScaleFixture {
         }
         rm(dst)
       }
-      java.nio.file.Files.move(pf.toPath, dst.toPath): Unit
-      tmp.listFiles().foreach(f => f.delete(): Unit)
-      tmp.delete(): Unit
-      println(s"[fixture] $name written")
+      if (parts == 1) {
+        val tmp = new java.io.File(s"$outDir/_tmp_$name")
+        df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        val pf = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(pf.toPath, dst.toPath): Unit
+        tmp.listFiles().foreach(f => f.delete(): Unit)
+        tmp.delete(): Unit
+      } else {
+        df.repartition(parts).write.mode(SaveMode.Overwrite)
+          .parquet(dst.toString)
+      }
+      println(s"[fixture] $name written ($parts file(s))")
     }
 
     // dimensions: verbatim, one copy

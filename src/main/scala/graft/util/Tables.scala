@@ -18,6 +18,28 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Streaming file source for `$dir/$name.parquet`, accepting BOTH
+    * layouts a lake presents: a plain single file (the driver
+    * testdata) and a directory of part files (the multi-file scale
+    * fixture; any real lake table). The streaming source monitors a
+    * directory, and `pathGlobFilter` matches LEAF file names only —
+    * so the single-file layout must be selected via glob on the
+    * PARENT dir, while a directory-shaped table streams the directory
+    * itself (globbing the parent for `name.parquet` would match the
+    * directory but stream zero rows from it — the silent-empty trap
+    * ScaleFixture used to avoid by writing one coalesced file, which
+    * in turn capped batch scan parallelism at one task per 128 MB).
+    */
+  def streamTable(s: SparkSession, dir: String, name: String,
+      schema: StructType): DataFrame = {
+    val leaf = new java.io.File(s"$dir/$name.parquet")
+    if (leaf.isDirectory)
+      s.readStream.schema(schema).parquet(leaf.toString)
+    else
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
+
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
