@@ -315,6 +315,14 @@ object Curation {
         col("start").cast("long").as("start_tok"),
         least(col("start") + ChunkSize, col("n_toks")).cast("long")
           .as("end_tok"))
+      // The global sort exists ONLY for the cross-engine gate (exact
+      // total order vs the oracle's ORDER BY). It is the query's
+      // dominant scale cost: a corpus-sized range shuffle whose
+      // sampling pass re-executes the tokenize stage (the 100x
+      // fixture measures it at ~2x the chunking itself). A production
+      // chunker drops this line — a doc's chunks are already
+      // contiguous and chunk_idx-ordered within their scan task, and
+      // the trainer shuffles chunks anyway.
       .orderBy("doc_id", "chunk_idx")
 
   val chunkSql: String =

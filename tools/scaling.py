@@ -23,10 +23,14 @@ import sys
 FLOOR_SEC = 0.5          # below this at top scale: overhead-bound
 SUPERLINEAR = 1.05       # top-decade exponent above this gets flagged
 SHUF_FLOOR_MB = 10.0     # shuffle volume below this at top scale: noise
-SHUF_BASE_MB = 0.5       # below this at the decade BASE, no exponent is
+SHUF_BASE_MB = 4.0       # below this at the decade BASE, no exponent is
                          # fittable: a jump from ~0 is a broadcast→shuffle
                          # STRATEGY TRANSITION (the 10 MB broadcast
-                         # threshold working as designed), not growth
+                         # threshold working as designed), not growth.
+                         # 4 MB ≈ the broadcast threshold's shadow: a
+                         # side that small was broadcast (or map-side
+                         # reduced to noise) at the base scale, so the
+                         # top-scale bytes measure the flip, not growth
 # queries whose joins were EXPLAIN-VERIFIED (this round, both scales)
 # to flip broadcast→SortMergeJoin across the top decade, with a small
 # non-zero base from their non-join exchanges — their top-decade byte
