@@ -204,8 +204,19 @@ object Bench {
     //    page-cache bandwidth a WARM scan sees. A future throttled
     //    round shows scan_direct collapsing while scan_cached holds.
     def scanProbeMBps(): (Double, Double) = {
+      // A *.parquet entry can be a DIRECTORY of part files (multi-file
+      // lake layout, as the scale fixture writes); probing only plain
+      // files would measure the largest residual single file — a small
+      // dim table — and weaken the disk-health diagnostic. Descend one
+      // level so the probe always reads from the genuinely largest
+      // table's bytes.
       val file = new java.io.File(sfDir).listFiles()
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .filter(_.getName.endsWith(".parquet"))
+        .flatMap { f =>
+          if (f.isFile) Array(f)
+          else f.listFiles().filter(p =>
+            p.isFile && p.getName.endsWith(".parquet"))
+        }
         .maxBy(_.length)
       // 1 MiB chunks, or 64 KiB when the whole corpus is tiny (sf0.001
       // smoke runs) — O_DIRECT only needs 4 KiB alignment

@@ -32,8 +32,23 @@ object Tables {
     */
   def streamTable(s: SparkSession, dir: String, name: String,
       schema: StructType): DataFrame = {
-    val leaf = new java.io.File(s"$dir/$name.parquet")
-    if (leaf.isDirectory)
+    // Layout detection goes through Hadoop's FileSystem, not
+    // java.io.File: a URI-style or remote path (file:/, hdfs:, s3a:)
+    // is invisible to java.io.File, which would report !isDirectory
+    // and fall into the glob branch — matching the DIRECTORY by name
+    // and silently streaming zero rows, the exact trap this helper
+    // exists to close. A missing table fails loudly here instead.
+    val leaf = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = leaf.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val status =
+      try fs.getFileStatus(leaf)
+      catch {
+        case e: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"streamTable: $leaf does not exist — a typo'd table name " +
+              "would otherwise stream zero rows silently", e)
+      }
+    if (status.isDirectory)
       s.readStream.schema(schema).parquet(leaf.toString)
     else
       s.readStream.schema(schema)

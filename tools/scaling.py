@@ -49,6 +49,22 @@ VERIFIED_TRANSITIONS = {"graph_degree_hist", "graph_triangles"}
 DOC_TOKEN_DECADE_BY_TOP = {"sf1": 1.110, "sf10": 1.010}
 DOC_FAMILIES = {"text", "dedup", "cur"}
 
+
+def doc_token_decade(top_tag):
+    """Token-decade bound for the given TOP scale tag.
+
+    An unknown tag is an ERROR, not a fallback: silently defaulting to
+    sf1's 1.110 (the most lenient bound) would judge a future
+    sf10→sf100 run (true token decade ≈ 1.001) ~11% too leniently and
+    under-flag super-linear growth in the doc families.
+    """
+    if top_tag not in DOC_TOKEN_DECADE_BY_TOP:
+        raise SystemExit(
+            f"scaling.py: no token-decade bound for top tag {top_tag!r}; "
+            "derive it from the fixture's copies ratio ((1+Nc)/(1+nc), "
+            "c=1.321) and add it to DOC_TOKEN_DECADE_BY_TOP")
+    return DOC_TOKEN_DECADE_BY_TOP[top_tag]
+
 # queries whose input does not grow with the scale dir
 CONSTANT_INPUT = {
     "als_grid_rmse", "als_test_rmse", "als_pred_count",
@@ -116,14 +132,19 @@ def main(argv):
                 and shuf[-1] is not None and shuf[-1] >= SHUF_FLOOR_MB:
             # the graph broadcast→SMJ flips were explain-verified on the
             # sf0.1→sf1 decade; when the top decade is higher both ends
-            # are post-flip SMJ and a growth exponent IS fittable
+            # are post-flip SMJ and a growth exponent IS fittable.
+            # The exponent is ALWAYS computed and reported — the
+            # "transition" label changes how it is judged (no flag),
+            # not whether the number is visible, so genuine
+            # super-linear growth from a small base stays auditable
+            # rather than being silently reclassified.
+            shuf_e = round(math.log10(max(shuf[-1], 0.1) /
+                                      max(shuf[-2], 0.1)), 3)
             if shuf[-2] < SHUF_BASE_MB \
                     or (q in VERIFIED_TRANSITIONS and tags[-1] == "sf1"):
                 shuf_cls = "transition"
             else:
-                shuf_e = round(math.log10(max(shuf[-1], 0.1) /
-                                          max(shuf[-2], 0.1)), 3)
-                norm = (DOC_TOKEN_DECADE_BY_TOP.get(tags[-1], 1.110)
+                norm = (doc_token_decade(tags[-1])
                         if family(q) in DOC_FAMILIES else 1.0)
                 shuf_cls = ("SUPER-LINEAR" if shuf_e / norm > SUPERLINEAR
                             else "~linear" if shuf_e / norm > 0.85
@@ -257,7 +278,7 @@ def main(argv):
                   "than nominal (markers spliced between every 3 "
                   "words), so their byte exponents are judged against "
                   "the top decade's token growth "
-                  f"({DOC_TOKEN_DECADE_BY_TOP.get(tags[-1], 1.110)}), "
+                  f"({doc_token_decade(tags[-1])}), "
                   "not 1.0.\n")
         tot_shuf = {t: round(sum(v for v in ss.values()
                                  if v is not None), 1)
@@ -336,7 +357,10 @@ def main(argv):
                   " | speedup |")
         md.append("|---|" + "---|" * (len(ctags) + 1))
         tots = [sum(qs[q] for q in common) for _, qs in strong]
-        md.append("| sweep total (s) | " +
+        # label with the common-subset size: a trimmed low-core run
+        # (e.g. 19 data-bound queries at 4 cores) must not read as a
+        # full-sweep total for the wide-core column
+        md.append(f"| common-subset total, {len(common)} queries (s) | " +
                   " | ".join(f"{t:.1f}" for t in tots) +
                   f" | {tots[0] / tots[-1]:.1f}× |")
         # The round-9 attempt's lesson: the full sweep dilutes the
