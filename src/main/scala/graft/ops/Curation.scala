@@ -301,7 +301,12 @@ object Curation {
   private val ChunkSize = 128
   private val ChunkStride = 96
 
-  def chunk(s: SparkSession, d: String): DataFrame =
+  /** Unsorted chunk spans — the production shape: narrow scan →
+    * generate, zero exchanges (a doc's chunks are already contiguous
+    * and chunk_idx-ordered within their scan task, and the trainer
+    * shuffles chunks anyway).
+    */
+  private def chunkSpans(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).as("n_toks"),
@@ -315,15 +320,69 @@ object Curation {
         col("start").cast("long").as("start_tok"),
         least(col("start") + ChunkSize, col("n_toks")).cast("long")
           .as("end_tok"))
+
+  def chunk(s: SparkSession, d: String): DataFrame =
+    chunkSpans(s, d)
       // The global sort exists ONLY for the cross-engine gate (exact
-      // total order vs the oracle's ORDER BY). It is the query's
-      // dominant scale cost: a corpus-sized range shuffle whose
-      // sampling pass re-executes the tokenize stage (the 100x
-      // fixture measures it at ~2x the chunking itself). A production
-      // chunker drops this line — a doc's chunks are already
-      // contiguous and chunk_idx-ordered within their scan task, and
-      // the trainer shuffles chunks anyway.
+      // total order vs the oracle's ORDER BY): a corpus-sized range
+      // shuffle whose sampling pass re-executes the tokenize stage.
+      // Note the profiling sweep does NOT pay it — EliminateSorts
+      // drops the orderBy under Profile's count() action (verified
+      // via `Profile … explainc cur_chunk`, SCALING.md round-11
+      // controls). A production chunker drops this line — see
+      // [[chunkAgg]], the gate-sort-free variant whose scaling
+      // exponent SCALING.md reports next to this one.
       .orderBy("doc_id", "chunk_idx")
+
+  /** Production-shape chunker: identical span generation to
+    * [[chunk]], terminal step a single order-insensitive global
+    * aggregate instead of the gate's corpus-wide sort — the plan a
+    * training pipeline actually runs (scan → generate → partial agg),
+    * no range shuffle, no tokenize re-execution by the sampler. The
+    * checksum is an exact-BIGINT row-interaction term (doc_id ×
+    * span-field mix, per-term mod 1e9+7 so a 100× corpus stays far
+    * from BIGINT overflow), so the oracle still verifies every span's
+    * exact arithmetic, not just counts — order-free.
+    */
+  def chunkAgg(s: SparkSession, d: String): DataFrame =
+    chunkSpans(s, d)
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        // every doc emits exactly one chunk_idx==0 row, so this is
+        // count(DISTINCT doc_id) without the doc_id-keyed exchange a
+        // two-phase distinct would add — the plan stays one partial
+        // agg + a constant-bytes (1 row per map task) exchange
+        count(when(col("chunk_idx") === 0L, 1)).as("n_docs"),
+        sum(col("end_tok") - col("start_tok")).as("sum_span"),
+        sum((col("doc_id") % 1000003L + 1L)
+          * (col("start_tok") * 31L + col("end_tok") * 7L
+             + col("chunk_idx") * 3L + 1L) % 1000000007L).as("span_chk"))
+
+  val chunkAggSql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+      |           AS n_toks
+      |  FROM documents
+      |), spans AS (
+      |  SELECT doc_id, n_toks, i AS chunk_idx, i * 96 AS start_tok
+      |  FROM t, LATERAL (SELECT unnest(generate_series(0,
+      |    greatest(CAST(ceil(CAST(n_toks AS DOUBLE) / 96) AS INT) - 1, 0)))
+      |    AS i) u
+      |), sp AS (
+      |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      |         CAST(start_tok AS BIGINT) AS start_tok,
+      |         CAST(least(start_tok + 128, n_toks) AS BIGINT) AS end_tok
+      |  FROM spans
+      |  WHERE start_tok < n_toks OR chunk_idx = 0
+      |)
+      |SELECT count(*) AS n_chunks,
+      |       count(CASE WHEN chunk_idx = 0 THEN 1 END) AS n_docs,
+      |       CAST(sum(end_tok - start_tok) AS BIGINT) AS sum_span,
+      |       CAST(sum((doc_id % 1000003 + 1)
+      |           * (start_tok * 31 + end_tok * 7 + chunk_idx * 3 + 1)
+      |           % 1000000007) AS BIGINT) AS span_chk
+      |FROM sp""".stripMargin
 
   val chunkSql: String =
     """WITH t AS (
@@ -670,6 +729,7 @@ object Curation {
     "cur_contamination" -> (contamination _),
     "cur_summary"       -> (curationSummary _),
     "cur_chunk"         -> (chunk _),
+    "cur_chunk_agg"     -> (chunkAgg _),
     "cur_pack"          -> (packSequences _),
     "cur_pii_scrub"     -> (piiScrub _),
     "cur_para_dedup"    -> (paragraphDedup _),
@@ -685,6 +745,7 @@ object Curation {
     "cur_contamination" -> contaminationSql,
     "cur_summary"       -> curationSummarySql,
     "cur_chunk"         -> chunkSql,
+    "cur_chunk_agg"     -> chunkAggSql,
     "cur_pack"          -> packSequencesSql,
     "cur_pii_scrub"     -> piiScrubSql,
     "cur_para_dedup"    -> paragraphDedupSql,

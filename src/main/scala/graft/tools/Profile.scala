@@ -13,9 +13,17 @@ object Profile {
     // (fixed data, varying cores) — shuffle partitions track cores so
     // the plan a smaller "cluster" would run is the plan measured
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_MIN_PARTITIONS pins the file-scan map count across a
+    // data decade (constant-map-count CONTROL for the shuffle-byte
+    // exponents: partial-agg output ∝ map count × per-map distinct
+    // keys, so a map-count that grows with the file count inflates the
+    // byte exponent without any per-row work growing)
+    val minParts = sys.env.get("SPARK_GRAFT_MIN_PARTITIONS")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.minPartitionNum",
+        minParts.getOrElse(cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
@@ -23,6 +31,15 @@ object Profile {
       .config("spark.sql.warehouse.dir", graft.util.ScratchIndex.warehouseDir())
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CONF="k=v;k2=v2": ad-hoc session confs for
+    // experiments (e.g. streaming state-store knobs) without editing
+    // the tool per hypothesis
+    sys.env.get("SPARK_GRAFT_CONF").foreach { kvs =>
+      kvs.split(';').filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    }
 
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -232,6 +249,56 @@ object Profile {
           s"""${field("state_rows", v => v._4.toString)},""" +
           s""""failed":${bad.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""n":${ok.size},"sf":"$sfDir"}""")
+      case "streamprof" =>
+        // per-batch duration breakdown for a streaming query: where a
+        // stream query's ~1.5 s fixed cost lives (planning vs WAL vs
+        // state commit vs addBatch), aggregated over every micro-batch
+        // of the run(s). Dev diagnosis for the stream-family fixed
+        // costs; uses the global listener bus so runToCompletion needs
+        // no plumbing.
+        val rounds = if (args.length > 3) args(3).toInt else 2
+        val acc = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+        val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+        val listener = new org.apache.spark.sql.streaming
+            .StreamingQueryListener {
+          import org.apache.spark.sql.streaming.StreamingQueryListener._
+          override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+          override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+          override def onQueryProgress(e: QueryProgressEvent): Unit = {
+            batches.incrementAndGet(): Unit
+            e.progress.durationMs.forEach { (k, v) =>
+              acc.merge(k, v.toLong, Long.box(_) + Long.box(_)): Unit
+            }
+          }
+        }
+        spark.streams.addListener(listener)
+        val name = args(2)
+        import scala.jdk.CollectionConverters._
+        for (round <- 1 to rounds) {
+          acc.clear()
+          batches.set(0)
+          time(s"$name round $round") {
+            graft.SparkEntry.queries(name)(spark, sfDir).count()
+          }
+          println(s"[streamprof] $name round $round: ${batches.get()} " +
+            "micro-batches, summed durationMs:")
+          acc.asScala.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+            println(f"[streamprof]   $k%-28s $v%6d ms")
+          }
+        }
+        spark.streams.removeListener(listener)
+      case "explainc" =>
+        // the plan the SWEEP actually executes: Profile times
+        // fn(...).count(), and EliminateSorts may remove a terminal
+        // gate sort under the count aggregate — so a query's sweep
+        // cost can legitimately exclude its order-by. This mode shows
+        // the as-counted plan so that attribution is checked, not
+        // assumed.
+        for (name <- args.drop(2).toSeq) {
+          println(s"========== $name (as counted) ==========")
+          graft.SparkEntry.queries(name)(spark, sfDir)
+            .groupBy().count().explain("formatted")
+        }
       case "explain" =>
         val names = if (args.length > 2) args.drop(2).toSeq
           else Seq("rel_topk", "rel_groupby_agg", "rel_join_multi_agg",

@@ -27,12 +27,24 @@ import org.apache.spark.sql.functions._
   *    distributions are unchanged.
   *
   * Usage: runMain graft.tools.ScaleFixture <srcDir> <outDir> <copies>
+  *          [mode]
+  *
+  * mode `docs-unsalted` writes ONLY the documents table, replicated
+  * with shifted doc_ids but text VERBATIM (no per-copy salt). This is
+  * the CONTROL fixture for the salted-fixture-artifact adjudication:
+  * the salt makes every copy's shingles/tokens distinct, so
+  * shingle-cardinality grows with the corpus and defeats map-side
+  * partial aggregation; the verbatim replica holds cardinality fixed
+  * while bytes grow 10×. A doc-only query whose salted-decade time
+  * exponent is super-linear but whose control exponent is ~1 is
+  * fixture-bound, not plan-bound.
   */
 object ScaleFixture {
   def main(args: Array[String]): Unit = {
     val srcDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val outDir = if (args.length > 1) args(1) else "/root/repo/.scale/sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "full"
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -86,6 +98,23 @@ object ScaleFixture {
           .parquet(dst.toString)
       }
       println(s"[fixture] $name written ($parts file(s))")
+    }
+
+    if (mode == "docs-unsalted") {
+      val docs = graft.util.Tables.documents(spark, srcDir)
+      val docOff = keyMax(docs, "doc_id") + 1
+      // file count must match what the REAL fixture writes at the
+      // same nominal scale (srcDir is typically already a replicated
+      // fixture, so the effective copy count is copies × its own):
+      // unequal scan-task counts would bias the control decade's
+      // parallelism, which is the very thing under measurement
+      write(replicate(docs) { (d, k) =>
+        d.withColumn("doc_id", col("doc_id") + k * docOff)
+      }, "documents", 64)
+      println(s"[fixture] done: $outDir = $copies x $srcDir (docs only, " +
+        "text verbatim)")
+      spark.stop()
+      return
     }
 
     // dimensions: verbatim, one copy

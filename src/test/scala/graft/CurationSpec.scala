@@ -107,6 +107,28 @@ class CurationSpec extends SparkTestBase {
     chunks.unpersist()
   }
 
+  test("chunkAgg equals the gated chunker re-aggregated, order-free") {
+    // the production-shape variant must summarize EXACTLY the spans
+    // the gated query emits — recompute its aggregate from chunk()'s
+    // rows (after an adversarial repartition, so any order
+    // sensitivity in the checksum would show) and require equality
+    val spans = Curation.chunk(spark, sf).repartition(17)
+    val fromGated = spans.agg(
+      count(lit(1)).as("n_chunks"),
+      count(when($"chunk_idx" === 0L, 1)).as("n_docs"),
+      sum($"end_tok" - $"start_tok").as("sum_span"),
+      sum(($"doc_id" % 1000003L + 1L)
+        * ($"start_tok" * 31L + $"end_tok" * 7L + $"chunk_idx" * 3L + 1L)
+        % 1000000007L).as("span_chk"))
+      .as[(Long, Long, Long, Long)].head()
+    val agg = Curation.chunkAgg(spark, sf)
+      .as[(Long, Long, Long, Long)].head()
+    assert(agg === fromGated)
+    // n_docs really is the distinct-doc count (the chunk_idx==0 trick)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(agg._2 === nDocs)
+  }
+
   test("packing conserves tokens and respects the budget shape") {
     val packed = Curation.packSequences(spark, sf).cache()
     val total = packed.agg(sum($"bin_tokens")).as[Long].head()

@@ -31,11 +31,16 @@ SHUF_BASE_MB = 4.0       # below this at the decade BASE, no exponent is
                          # side that small was broadcast (or map-side
                          # reduced to noise) at the base scale, so the
                          # top-scale bytes measure the flip, not growth
-# queries whose joins were EXPLAIN-VERIFIED (this round, both scales)
-# to flip broadcast→SortMergeJoin across the top decade, with a small
-# non-zero base from their non-join exchanges — their top-decade byte
-# ratio measures the flip, not growth
-VERIFIED_TRANSITIONS = {"graph_degree_hist", "graph_triangles"}
+# queries whose joins were EXPLAIN-VERIFIED (at both decade ends) to
+# flip broadcast→SortMergeJoin across the named top decade, with a
+# small non-zero base from their non-join exchanges — their byte ratio
+# on THAT decade measures the flip, not growth. Maps query → top tag
+# of the decade where the flip was verified (graph pair: r9, sf0.1→sf1;
+# events pair: r11 constant-map-count control, 6 BroadcastHashJoin at
+# sf1 → 6 SortMergeJoin at sf10, the per-user aggregate side crossing
+# the 10 MB broadcast threshold at ~750k users).
+VERIFIED_TRANSITIONS = {"graph_degree_hist": "sf1", "graph_triangles": "sf1",
+                        "events_funnel": "sf10", "events_cohort": "sf10"}
 # the salted scale fixture splices a marker token between every 3 words
 # of copies 1..N-1, so the TOKEN corpus grows ~1.321× per salted copy
 # (measured: sum tokens 270,704 @sf0.1 → 3,489,194 @sf1 = 12.89× for
@@ -141,7 +146,7 @@ def main(argv):
             shuf_e = round(math.log10(max(shuf[-1], 0.1) /
                                       max(shuf[-2], 0.1)), 3)
             if shuf[-2] < SHUF_BASE_MB \
-                    or (q in VERIFIED_TRANSITIONS and tags[-1] == "sf1"):
+                    or VERIFIED_TRANSITIONS.get(q) == tags[-1]:
                 shuf_cls = "transition"
             else:
                 norm = (doc_token_decade(tags[-1])
