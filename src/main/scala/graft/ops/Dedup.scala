@@ -504,22 +504,37 @@ object Dedup {
     * near-dup pairs sit far above the threshold (J ≥ 0.9; the
     * band-collision cross-check is spec-asserted on top).
     */
-  def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    // the converged clustering is itself a per-corpus derived index:
-    // the whole contraction runs inside the build thunk, so repeat
-    // calls read the memoized assignment table instead of re-looping
+  /** Result of [[contractComponents]]: node→component-min labels,
+    * the measured level/hop counts (what the deep-component spec
+    * asserts), and the persisted intermediates the CALLER must
+    * unpersist after materializing the labels (the mapping composes
+    * lazily through every level).
+    */
+  private[graft] case class Contraction(labels: DataFrame, levels: Int,
+      maxHops: Int, acquired: List[DataFrame])
+
+  /** Connected components of a SYMMETRIC edge list: min-neighbor
+    * contraction with per-level pointer-doubling label flattening.
+    *
+    * `contract` maps every node to min(neighborhood ∪ self) — a
+    * forest whose roots are local minima. Plain level-at-a-time
+    * relabeling contracts a CHAIN component by only one node per
+    * level (the forest for a monotone path is a single depth-n tree),
+    * so worst-case levels were O(component size), not the O(log) the
+    * near-dup cliques enjoy. `flatten` closes that hole: pointer
+    * doubling (label ← label's label, repeated) collapses a depth-d
+    * forest to its roots in ⌈log₂ d⌉ self-joins, so every level
+    * contracts each tree FULLY and measured levels stay logarithmic
+    * even for adversarial chain/star components (DeepComponentSpec
+    * pins a 4096-chain). For the near-clique components real near-dup
+    * corpora produce, the forest depth is 1 and flatten costs a
+    * single no-move check.
+    */
+  private[graft] def contractComponents(edges0: DataFrame): Contraction = {
     var toRelease: List[DataFrame] = Nil
-    val clusters = graft.util.ScratchIndex.materialize(
-        s, s"dedupclusters_v2_${d.hashCode.toHexString}") {
-    val pairs = candidateEdges(s, d)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("a_id"), col("b_id"))
-    // symmetric edge list
-    val edges = pairs
-      .unionByName(pairs.select(col("b_id").as("a_id"),
-        col("a_id").as("b_id")))
-      .persist()
+    val edges = edges0.persist()
     toRelease ::= edges
+    var maxHops = 0
 
     // node -> min(neighborhood ∪ self); e is symmetric so grouping on
     // a_id covers every edge-touching node
@@ -528,6 +543,35 @@ object Dedup {
         .agg(min(col("b_id")).as("nmin"))
         .select(col("a_id").as("node"),
           least(col("a_id"), col("nmin")).as("label"))
+
+    // pointer doubling: every label is itself a node of the same map
+    // (it is some edge-touching node's id), so label←map(label)
+    // squares the jump distance per iteration; done when nothing moved
+    def flatten(m0: DataFrame): DataFrame = {
+      var m = m0.persist()
+      toRelease ::= m
+      var hops = 0
+      val maxDoublings = 40 // 2^40 forest depth — beyond any real graph
+      var moved = true
+      while (moved && hops < maxDoublings) {
+        val m2 = m.as("x")
+          .join(m.as("y"), col("x.label") === col("y.node"), "left_outer")
+          .select(col("x.node").as("node"),
+            coalesce(col("y.label"), col("x.label")).as("label"),
+            (col("y.label").isNotNull
+              && col("y.label") =!= col("x.label")).as("hop"))
+          .persist()
+        toRelease ::= m2
+        moved = !m2.filter(col("hop")).isEmpty
+        m = m2.select(col("node"), col("label"))
+        hops += 1
+      }
+      require(!moved,
+        s"contractComponents: flatten not converged after $maxDoublings " +
+          "doublings")
+      maxHops = math.max(maxHops, hops)
+      m
+    }
 
     // edges of the label graph: m(a)—m(b) for surviving (cross-label)
     // edges; symmetric because e is
@@ -542,14 +586,14 @@ object Dedup {
 
     // level 0 fused onto the edge build: the aggregation runs in the
     // same stage cascade that materializes `edges`
-    var mapping = contract(edges)
+    var mapping = flatten(contract(edges))
     var e = relabel(edges, mapping).persist()
     toRelease ::= e
     var rounds = 0
     val maxRounds = 50
     var live = !e.isEmpty
     while (live && rounds < maxRounds) {
-      val m = contract(e)
+      val m = flatten(contract(e))
       val e2 = relabel(e, m).persist()
       toRelease ::= e2
       // fold this level into the doc-level map: settled labels (absent
@@ -567,7 +611,27 @@ object Dedup {
     // component that outlives the level cap fails loudly
     require(!live,
       s"dedupClusters: contraction not converged after $maxRounds levels")
-    val labels = mapping.select(col("node").as("doc_id"), col("label"))
+    Contraction(mapping, rounds, maxHops, toRelease)
+  }
+
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    // the converged clustering is itself a per-corpus derived index:
+    // the whole contraction runs inside the build thunk, so repeat
+    // calls read the memoized assignment table instead of re-looping
+    var toRelease: List[DataFrame] = Nil
+    val clusters = graft.util.ScratchIndex.materialize(
+        s, s"dedupclusters_v2_${d.hashCode.toHexString}") {
+    val pairs = candidateEdges(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"))
+    // symmetric edge list
+    val edges = pairs
+      .unionByName(pairs.select(col("b_id").as("a_id"),
+        col("a_id").as("b_id")))
+    val contraction = contractComponents(edges)
+    toRelease = contraction.acquired
+    val labels = contraction.labels
+      .select(col("node").as("doc_id"), col("label"))
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
     val clustered = labels.join(sizes, "label")
       .select(col("doc_id"), col("label").as("cluster_id"),
