@@ -563,7 +563,15 @@ object Dedup {
           .persist()
         toRelease ::= m2
         moved = !m2.filter(col("hop")).isEmpty
-        m = m2.select(col("node"), col("label"))
+        // the self-join above doubles the logical TREE per iteration
+        // (persist caches data, not plans): after k doublings the plan
+        // holds 2^k leaf copies and the plan-description string alone
+        // OOMs the driver on a deep forest (a 4096-chain needs k=12).
+        // Rewrap the now-materialized cache as a leaf LogicalRDD so
+        // every iteration starts from an O(1)-size plan.
+        m = org.apache.spark.sql.GraftColumnBridge
+          .truncateLineage(m2)
+          .select(col("node"), col("label"))
         hops += 1
       }
       require(!moved,

@@ -29,6 +29,29 @@ object GraftColumnBridge {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
+  /** Rewrap a (persisted) DataFrame as a leaf `LogicalRDD` over its
+    * own execution RDD, truncating logical-plan lineage without
+    * copying data — the same mechanism `Dataset.localCheckpoint` uses,
+    * minus the extra storage level (the input's `persist()` cache IS
+    * the storage; executing the wrapper scans that cache).
+    *
+    * Iterative algorithms need this: a loop body that self-joins its
+    * previous iterate (pointer doubling, label propagation) doubles
+    * the logical TREE per iteration even when the data is cached —
+    * after k iterations the plan holds 2^k leaf copies, and the plan
+    * string Spark renders for the SQL-execution-start event alone
+    * OOMs the driver (observed at k≈12 in DeepComponentSpec before
+    * this existed). `fromDataset` preserves the physical partitioning
+    * and ordering of the wrapped plan, so downstream joins on the
+    * same key avoid a re-shuffle.
+    */
+  def truncateLineage(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    classic.Dataset.ofRows(ds.sparkSession,
+      org.apache.spark.sql.execution.LogicalRDD.fromDataset(
+        ds.queryExecution.toRdd, ds, isStreaming = false))
+  }
+
   /** Register a SQL temp function on a LIVE session (the runtime
     * analog of SparkSessionExtensions.injectFunction for sessions the
     * driver already built — sessionState is private[sql], hence this
