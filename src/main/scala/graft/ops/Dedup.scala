@@ -355,17 +355,32 @@ object Dedup {
     * the same oracle discipline as rel_scd2_incremental (incremental
     * path, full-rebuild truth).
     */
-  private[graft] def incrementalEdges(s: SparkSession, d: String): DataFrame = {
+  /** The standing delta: `doc_id % 10 == 7` stands in for today's
+    * ingest batch; everything else is "yesterday's corpus" whose
+    * index artifacts are persisted. Shared by the incremental-LSH and
+    * incremental-clustering paths so both maintain the SAME base.
+    */
+  private[graft] val deltaDocPred = pmod(col("doc_id"), lit(10)) === 7
+
+  /** Yesterday's signature index: (doc_id, sig, sh) for base docs
+    * only — memoized; the base text is scanned once per corpus ever.
+    */
+  private[graft] def baseIndexSigs(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
-    val deltaPred = pmod(col("doc_id"), lit(10)) === 7
-    val baseSigs = graft.util.ScratchIndex.materialize(
+    graft.util.ScratchIndex.materialize(
       s, s"minhash_base_v1_${d.hashCode.toHexString}") {
-      minhashSignatures(docs.filter(!deltaPred))
+      minhashSignatures(docs.filter(!deltaDocPred))
         .select(col("doc_id"), col("sig"), shingles(col("text")).as("sh"))
     }
-    val baseEdges = graft.util.ScratchIndex.materialize(
+  }
+
+  /** Yesterday's verified edge relation (base-base pairs with their
+    * exact jaccard, unfiltered) — memoized alongside the signatures.
+    */
+  private[graft] def baseIndexEdges(s: SparkSession, d: String): DataFrame =
+    graft.util.ScratchIndex.materialize(
       s, s"lshbase_v1_${d.hashCode.toHexString}") {
-      val bands = bandsOf(baseSigs)
+      val bands = bandsOf(baseIndexSigs(s, d))
       verifyEdges(
         bands.as("x").join(bands.as("y"),
             col("x.band_idx") === col("y.band_idx")
@@ -373,9 +388,20 @@ object Dedup {
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .distinct(),
-        baseSigs)
+        baseIndexSigs(s, d))
     }
-    val deltaSigs = minhashSignatures(docs.filter(deltaPred))
+
+  /** Verified edges with AT LEAST ONE delta endpoint — the only part
+    * of the edge relation today's ingest can change. Signatures are
+    * computed for the delta docs only (the sole text scan of the
+    * update); base band rows derive from the narrow persisted sig
+    * column; the band join pairs delta bands against base ∪ delta, so
+    * candidate mining is O(delta), never O(corpus).
+    */
+  private[graft] def deltaVerifiedEdges(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val baseSigs = baseIndexSigs(s, d)
+    val deltaSigs = minhashSignatures(docs.filter(deltaDocPred))
       .select(col("doc_id"), col("sig"), shingles(col("text")).as("sh"))
     val allSigs = baseSigs.unionByName(deltaSigs)
     // band rows derive from the narrow sig column — recomputing them
@@ -388,9 +414,12 @@ object Dedup {
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
       .distinct()
-    // base-base edges never touch the delta; the union is disjoint
-    verifyEdges(touching, allSigs).unionByName(baseEdges)
+    verifyEdges(touching, allSigs)
   }
+
+  private[graft] def incrementalEdges(s: SparkSession, d: String): DataFrame =
+    // base-base edges never touch the delta; the union is disjoint
+    deltaVerifiedEdges(s, d).unionByName(baseIndexEdges(s, d))
 
   /** Verified near-dup pairs at exact-Jaccard ≥ 0.7 served from the
     * incrementally-maintained index. Same full hash oracle as
@@ -689,6 +718,108 @@ object Dedup {
        |  USING (cluster_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental connected-components maintenance — the clustering
+    * counterpart of [[incrementalEdges]], closing the daily-ingest
+    * loop: a 100 TB dedup pipeline must fold today's batch into
+    * yesterday's CONVERGED cluster assignment without re-running the
+    * closure over all history.
+    *
+    * Yesterday's labeling `L` (component-min per edge-touching base
+    * doc, persisted) is a sound contraction of the base graph, so the
+    * full graph's components equal the components of the PROJECTED
+    * delta graph — each delta edge (a,b) rewritten to
+    * (L(a)∪a, L(b)∪b) — composed over L:
+    *
+    *  1. mine delta-touching edges only ([[deltaVerifiedEdges]]:
+    *     O(delta) text scan + band join);
+    *  2. project them through L (two hash joins against the persisted
+    *     labels — the labels side is keyed, the delta side tiny);
+    *  3. contract the projected graph ([[contractComponents]] — its
+    *     node set is only touched components' representatives plus
+    *     delta docs, so the level loop runs on O(delta) rows);
+    *  4. compose: final(doc) = M(L(doc)∪doc)∪L(doc)∪doc. The ONLY
+    *     full-corpus work is this label application and the size
+    *     re-count — one broadcastable map `M` and one groupBy; no
+    *     O(corpus) shuffle beyond the size agg the output requires.
+    *
+    * Correctness: the min of a merged component is the min over its
+    * member components' mins and raw delta ids — all nodes of the
+    * projected graph — so composed labels ARE the full closure's.
+    * Oracle: the SAME full-rebuild closure SQL as `dedup_clusters`
+    * (incremental path, full-rebuild truth — the
+    * rel_scd2_incremental discipline), plus DeepComponentSpec's
+    * union-find cross-check on adversarial merge shapes.
+    */
+  /** The merge core of [[dedupClustersIncremental]], factored so the
+    * deep-component spec can drive adversarial merge shapes (two base
+    * chains bridged by one delta edge, delta-only components, a delta
+    * doc attaching to a base singleton) that a benign corpus may
+    * never produce. `baseLabels` is yesterday's (node, label)
+    * assignment; `eDelta` the new (a_id, b_id) edges; `docs` the full
+    * (doc_id) universe. Returns the composed full labeling plus the
+    * persisted intermediates the caller must unpersist.
+    */
+  private[graft] def mergeIncrementalLabels(baseLabels: DataFrame,
+      eDelta: DataFrame, docs: DataFrame): (DataFrame, List[DataFrame]) = {
+    // project through L: endpoints fall back to themselves when
+    // unlabeled (delta docs, or base docs that were singletons)
+    val proj = eDelta
+      .join(baseLabels.select(col("node").as("a_id"),
+        col("label").as("la")), Seq("a_id"), "left_outer")
+      .join(baseLabels.select(col("node").as("b_id"),
+        col("label").as("lb")), Seq("b_id"), "left_outer")
+      .select(coalesce(col("la"), col("a_id")).as("a_id"),
+        coalesce(col("lb"), col("b_id")).as("b_id"))
+      .filter(col("a_id") =!= col("b_id"))
+    val merge = contractComponents(
+      proj.unionByName(proj.select(col("b_id").as("a_id"),
+        col("a_id").as("b_id"))).distinct())
+    // compose over every doc: l1 = L(doc)∪doc, final = M(l1)∪l1
+    val lab1 = docs.select(col("doc_id"))
+      .join(baseLabels.select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("l1"))
+    val labels = lab1
+      .join(merge.labels.select(col("node").as("l1"),
+        col("label").as("l2")), Seq("l1"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("l2"), col("l1")).as("cluster_id"))
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    (labels.join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size")),
+      merge.acquired)
+  }
+
+  def dedupClustersIncremental(s: SparkSession, d: String): DataFrame = {
+    var toRelease: List[DataFrame] = Nil
+    val clusters = graft.util.ScratchIndex.materialize(
+        s, s"dedupclustinc_v1_${d.hashCode.toHexString}") {
+      // yesterday's converged labeling: closure of BASE-BASE edges
+      // (persisted once per corpus, like the signature index)
+      val baseLabels = graft.util.ScratchIndex.materialize(
+          s, s"dedupclustbase_v1_${d.hashCode.toHexString}") {
+        val pairs = baseIndexEdges(s, d)
+          .filter(col("jaccard") >= 0.5)
+          .select(col("a_id"), col("b_id"))
+        val c = contractComponents(pairs
+          .unionByName(pairs.select(col("b_id").as("a_id"),
+            col("a_id").as("b_id"))))
+        toRelease :::= c.acquired
+        c.labels
+      }
+      val eDelta = deltaVerifiedEdges(s, d)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      val (labeled, acquired) = mergeIncrementalLabels(
+        baseLabels, eDelta, documents(s, d).select(col("doc_id")))
+      toRelease :::= acquired
+      labeled
+    }
+    toRelease.foreach(_.unpersist())
+    clusters.orderBy("doc_id")
+  }
+
   /** Entity resolution via blocking + edit-distance verify: candidate
     * pairs only WITHIN a blocking key (nation), then exact
     * levenshtein ≤ 2 on the name — the classic two-stage resolver
@@ -734,6 +865,7 @@ object Dedup {
     "dedup_containment" -> (containmentPairs _),
     "dedup_minhash_lsh" -> (minhashLsh _),
     "dedup_lsh_incremental" -> (minhashLshIncremental _),
+    "dedup_clusters_incremental" -> (dedupClustersIncremental _),
     "dedup_simhash"     -> (simhash _),
   )
 
@@ -749,6 +881,9 @@ object Dedup {
     // (see minhashLsh scaladoc for the recall argument)
     "dedup_minhash_lsh" -> lshVerifiedSql,
     "dedup_lsh_incremental" -> lshVerifiedSql,
+    // incremental path, full-rebuild truth: the SAME closure SQL as
+    // dedup_clusters proves merge == rebuild on the whole labeling
+    "dedup_clusters_incremental" -> dedupClustersSql,
     "dedup_simhash"     -> simhashSql,
   )
 }

@@ -157,6 +157,21 @@ class DedupTextSpec extends SparkTestBase {
     assert(inc === full)
   }
 
+  test("incremental clustering equals the full rebuild, doc for doc") {
+    // the O(delta) maintenance path (project delta edges through
+    // yesterday's labels, contract only the touched component graph,
+    // compose) must reproduce the full closure EXACTLY — same
+    // component-min label and same cluster size for every doc,
+    // including merges of previously separate base components and
+    // delta-only components
+    val inc = Dedup.dedupClustersIncremental(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val full = Dedup.dedupClusters(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(inc.nonEmpty)
+    assert(inc === full)
+  }
+
   test("simhash: near-identical docs differ in fewer bits than distinct docs") {
     val base = (1 to 80).map(i => s"w$i").mkString(" ")
     val nearDup = base + " extra"

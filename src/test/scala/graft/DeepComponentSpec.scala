@@ -99,6 +99,51 @@ class DeepComponentSpec extends SparkTestBase {
     assert(c.levels <= 1, s"levels=${c.levels}")
   }
 
+  test("incremental merge composes adversarial deltas to the full closure") {
+    // yesterday: two chain components [0..9] (label 0) and [10..19]
+    // (label 10), plus base singletons 20 and 21 (absent from L).
+    // today's delta: a bridge edge merging the two chains, a
+    // delta-only pair, a delta doc attaching to base singleton 20,
+    // and a delta doc joining an existing component mid-chain.
+    val basePairs = (0L to 8L).map(i => (i, i + 1)) ++
+      (10L to 18L).map(i => (i, i + 1))
+    val baseLabels = componentMins(20, basePairs).toSeq
+      .toDF("node", "label")
+    val deltaPairs = Seq((9L, 10L), (100L, 101L), (20L, 102L), (103L, 15L))
+    val docs = ((0L to 21L) ++ Seq(100L, 101L, 102L, 103L))
+      .toDF("doc_id")
+    val (labeled, acquired) = Dedup.mergeIncrementalLabels(
+      baseLabels, deltaPairs.toDF("a_id", "b_id"), docs)
+    val got = labeled.as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    acquired.foreach(_.unpersist())
+    // ground truth: union-find over base ∪ delta on the doc universe
+    val ids = docs.as[Long].collect()
+    val idx = ids.zipWithIndex.toMap
+    val all = (basePairs ++ deltaPairs)
+      .map(p => (idx(p._1).toLong, idx(p._2).toLong))
+    val mins = componentMins(ids.length, all)
+      .map { case (k, v) => ids(k.toInt) -> ids(v.toInt) }
+    // remap: componentMins works on dense indices; labels must be the
+    // MIN ORIGINAL id per component, which dense-index min preserves
+    // because ids are listed ascending except the delta tail
+    val byComp = ids.groupBy(mins)
+    byComp.foreach { case (_, members) =>
+      val want = members.min
+      members.foreach { m =>
+        assert(got(m)._1 === want, s"doc $m")
+        assert(got(m)._2 === members.length.toLong, s"size of $m")
+      }
+    }
+    // the two chains really merged into one 21-doc component with 20's
+    // attachment separate: spot-check the planted shapes
+    assert(got(19L)._1 === 0L)
+    assert(got(19L)._2 === 21L) // 0..19 plus mid-chain joiner 103
+    assert(got(102L) === ((20L, 2L)))
+    assert(got(101L) === ((100L, 2L)))
+    assert(got(21L) === ((21L, 1L)))
+  }
+
   test("seeded random graph matches union-find exactly") {
     val n = 800
     val rnd = new scala.util.Random(42)
