@@ -391,12 +391,25 @@ object Dedup {
         baseIndexSigs(s, d))
     }
 
+  /** Yesterday's band rows (doc_id, band_idx, band_sig — no sig
+    * payload), persisted beside the signatures: the daily update
+    * probes them, and re-deriving them from the sig column every day
+    * would be a gratuitous O(corpus) explode. In a real lake this
+    * relation is bucketed by band_sig so the daily probe co-locates.
+    */
+  private[graft] def baseIndexBands(s: SparkSession, d: String): DataFrame =
+    graft.util.ScratchIndex.materialize(
+      s, s"lshbasebands_v1_${d.hashCode.toHexString}") {
+      bandsOf(baseIndexSigs(s, d))
+        .select(col("doc_id"), col("band_idx"), col("band_sig"))
+    }
+
   /** Verified edges with AT LEAST ONE delta endpoint — the only part
     * of the edge relation today's ingest can change. Signatures are
     * computed for the delta docs only (the sole text scan of the
-    * update); base band rows derive from the narrow persisted sig
-    * column; the band join pairs delta bands against base ∪ delta, so
-    * candidate mining is O(delta), never O(corpus).
+    * update); base band rows come from the persisted band index; the
+    * band join probes delta bands against base ∪ delta, so candidate
+    * mining work is O(delta probes), never O(corpus²).
     */
   private[graft] def deltaVerifiedEdges(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
@@ -404,10 +417,11 @@ object Dedup {
     val deltaSigs = minhashSignatures(docs.filter(deltaDocPred))
       .select(col("doc_id"), col("sig"), shingles(col("text")).as("sh"))
     val allSigs = baseSigs.unionByName(deltaSigs)
-    // band rows derive from the narrow sig column — recomputing them
-    // for the base costs no text scan; only the delta is re-shingled
-    val touching = bandsOf(allSigs).as("x")
-      .join(bandsOf(deltaSigs).as("y"),
+    val deltaBands = bandsOf(deltaSigs)
+      .select(col("doc_id"), col("band_idx"), col("band_sig"))
+    val allBands = baseIndexBands(s, d).unionByName(deltaBands)
+    val touching = allBands.as("x")
+      .join(deltaBands.as("y"),
         col("x.band_idx") === col("y.band_idx")
           && col("x.band_sig") === col("y.band_sig")
           && col("x.doc_id") =!= col("y.doc_id"))
@@ -791,28 +805,38 @@ object Dedup {
       merge.acquired)
   }
 
+  /** Yesterday's converged labeling: closure of BASE-BASE edges only,
+    * persisted once per corpus like the signature index (it is
+    * yesterday's output — a real pipeline reads it, never rebuilds).
+    */
+  private[graft] def baseClusterLabels(s: SparkSession, d: String): DataFrame = {
+    var toRelease: List[DataFrame] = Nil
+    val out = graft.util.ScratchIndex.materialize(
+        s, s"dedupclustbase_v1_${d.hashCode.toHexString}") {
+      val pairs = baseIndexEdges(s, d)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id"))
+      val c = contractComponents(pairs
+        .unionByName(pairs.select(col("b_id").as("a_id"),
+          col("a_id").as("b_id"))))
+      toRelease = c.acquired
+      c.labels
+    }
+    // the materialize write executed the plan; drop the loop caches
+    toRelease.foreach(_.unpersist())
+    out
+  }
+
   def dedupClustersIncremental(s: SparkSession, d: String): DataFrame = {
     var toRelease: List[DataFrame] = Nil
     val clusters = graft.util.ScratchIndex.materialize(
         s, s"dedupclustinc_v1_${d.hashCode.toHexString}") {
-      // yesterday's converged labeling: closure of BASE-BASE edges
-      // (persisted once per corpus, like the signature index)
-      val baseLabels = graft.util.ScratchIndex.materialize(
-          s, s"dedupclustbase_v1_${d.hashCode.toHexString}") {
-        val pairs = baseIndexEdges(s, d)
-          .filter(col("jaccard") >= 0.5)
-          .select(col("a_id"), col("b_id"))
-        val c = contractComponents(pairs
-          .unionByName(pairs.select(col("b_id").as("a_id"),
-            col("a_id").as("b_id"))))
-        toRelease :::= c.acquired
-        c.labels
-      }
       val eDelta = deltaVerifiedEdges(s, d)
         .filter(col("jaccard") >= 0.5)
         .select(col("a_id"), col("b_id"))
       val (labeled, acquired) = mergeIncrementalLabels(
-        baseLabels, eDelta, documents(s, d).select(col("doc_id")))
+        baseClusterLabels(s, d), eDelta,
+        documents(s, d).select(col("doc_id")))
       toRelease :::= acquired
       labeled
     }

@@ -249,6 +249,31 @@ object Profile {
           s"""${field("state_rows", v => v._4.toString)},""" +
           s""""failed":${bad.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
           s""""n":${ok.size},"sf":"$sfDir"}""")
+      case "incclusters" =>
+        // the O(delta) claim, measured: pre-build "yesterday's"
+        // persisted artifacts (sig index, edge relation, converged
+        // labeling — a real pipeline reads these, never rebuilds),
+        // then time the DAILY path (delta mine + projected contraction
+        // + compose) against the from-scratch closure. Rebuild runs
+        // LAST so JVM/codegen warm-up biases AGAINST the incremental
+        // number, and both paths' memoized outputs use distinct keys.
+        time("session warm-up") {
+          graft.util.Tables.documents(spark, sfDir).count()
+        }
+        time("base sig+edge index (once ever)") {
+          graft.ops.Dedup.baseIndexEdges(spark, sfDir).count()
+          graft.ops.Dedup.baseIndexBands(spark, sfDir).count()
+        }
+        time("base labels (yesterday's output)") {
+          graft.ops.Dedup.baseClusterLabels(spark, sfDir).count()
+        }
+        time("incremental update (the daily job)") {
+          graft.ops.Dedup.dedupClustersIncremental(spark, sfDir).count()
+        }
+        time("full rebuild (what it replaces)") {
+          graft.ops.Dedup.dedupClusters(spark, sfDir).count()
+        }
+
       case "streamprof" =>
         // per-batch duration breakdown for a streaming query: where a
         // stream query's ~1.5 s fixed cost lives (planning vs WAL vs
