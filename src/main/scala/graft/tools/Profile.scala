@@ -209,10 +209,26 @@ object Profile {
               catch { case e: Throwable => Left(Option(e.getMessage)
                 .getOrElse(e.getClass.getName).take(60)) }
             }
+            // evict CONSUMED memory-sink views between runs: every
+            // streaming drain registers a graft_stream_N temp view
+            // holding its full result rows, and nothing drops them —
+            // at sf10, two sweep passes x 19 stream queries of
+            // retained results filled the 8 GB driver old-gen until an
+            // executor thread died of OOM and the next AQE stage
+            // waited forever on it (observed: sweep hung at 100% old
+            // gen after the second stream pass). The count() above has
+            // fully materialized this query's result, so its sink is
+            // dead weight from here on.
+            def evictSinkViews(): Unit =
+              spark.catalog.listTables().collect()
+                .filter(t => t.isTemporary && t.name.startsWith("graft_stream_"))
+                .foreach(t => spark.catalog.dropTempView(t.name))
             val first = once()
+            evictSinkViews()
             val before = counters() // includes a ≥150 ms settle for run 1
             statePeak.set(0)
             val second = once()
+            evictSinkViews()
             val delta = counters().zip(before).map { case (a, b) => a - b }
             val stRows = statePeak.get()
             val r = (first, second) match {

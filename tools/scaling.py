@@ -20,6 +20,26 @@ import json
 import math
 import sys
 
+MANUAL_BEGIN = "<!-- manual-adjudications:begin -->"
+MANUAL_END = "<!-- manual-adjudications:end -->"
+
+
+def carry_manual_sections():
+    """Everything between the manual-adjudication markers in the
+    EXISTING SCALING.md (the hand-written measurement adjudications —
+    controls, verdict-task closures) is carried into the regenerated
+    file verbatim, so re-running the sweep never silently drops the
+    round-over-round evidence narrative."""
+    try:
+        text = open("SCALING.md").read()
+    except FileNotFoundError:
+        return None
+    i, j = text.find(MANUAL_BEGIN), text.find(MANUAL_END)
+    if i == -1 or j == -1 or j < i:
+        return None
+    return text[i:j + len(MANUAL_END)]
+
+
 FLOOR_SEC = 0.5          # below this at top scale: overhead-bound
 SUPERLINEAR = 1.05       # top-decade exponent above this gets flagged
 SHUF_FLOOR_MB = 10.0     # shuffle volume below this at top scale: noise
@@ -186,10 +206,10 @@ def main(argv):
     }
 
     md = []
-    md.append("# SCALING — measured scale curves (round 9)\n")
+    md.append("# SCALING — measured scale curves\n")
     md.append(
         "`tools/Profile <sf> all` (min-of-2 runs per query, local[32]) at "
-        f"{', '.join(tags)} — three measured decades.  The top decade "
+        f"{', '.join(tags)} — {len(tags) - 1} measured decades.  The top decade "
         "(sf0.1 → sf1) uses the 10× profiling fixture built by "
         "`tools/ScaleFixture` (disjoint key spaces per copy, fixed dims, "
         "per-copy-salted document text; see its scaladoc), so the "
@@ -428,6 +448,10 @@ def main(argv):
         md.append(f"| {q} | {ts} | {r['top_exponent']:.2f} | {nrows} | "
                   f"{r['class']} |")
     md.append("")
+
+    manual = carry_manual_sections()
+    if manual:
+        md.append(manual + "\n")
 
     md.append(f"""## Reading guide / caveats
 
