@@ -290,6 +290,26 @@ object Profile {
           graft.ops.Dedup.dedupClusters(spark, sfDir).count()
         }
 
+      case "incivf" =>
+        // same shape as incclusters, for the vector index: pre-build
+        // the frozen quantizer + persisted base postings (read, never
+        // rebuilt, by a real pipeline), then time the daily path
+        // (assign delta + union + answer) against a full retrain +
+        // reassign + answer. Rebuild runs LAST so warm-up biases
+        // against the incremental number.
+        time("session warm-up") {
+          graft.util.Tables.embeddings(spark, sfDir).count()
+        }
+        time("frozen quantizer + base postings (once ever)") {
+          graft.ops.Similarity.baseIvfPostings(spark, sfDir).count()
+        }
+        time("incremental update + answer (the daily job)") {
+          graft.ops.Similarity.annIvfIncremental(spark, sfDir).count()
+        }
+        time("full retrain + reassign + answer (what it replaces)") {
+          graft.ops.Similarity.annIvf(spark, sfDir).count()
+        }
+
       case "streamprof" =>
         // per-batch duration breakdown for a streaming query: where a
         // stream query's ~1.5 s fixed cost lives (planning vs WAL vs
