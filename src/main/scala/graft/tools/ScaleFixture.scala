@@ -117,6 +117,29 @@ object ScaleFixture {
       return
     }
 
+    if (mode == "embeddings-only") {
+      // vector-corpus decade for the incremental-IVF measurement: the
+      // full fixture ties the embeddings cardinality to the relational
+      // decade (2 k rows at sf0.1 → 200 k at sf10), which leaves both
+      // index-maintenance paths fixed-cost-bound; this mode scales the
+      // vector table alone so the avoided work (Lloyd passes + full
+      // reassign over history) is measurable. Perturbing one dimension
+      // per copy keeps copies from being bit-identical duplicate
+      // cliques without changing the distribution's shape.
+      val emb = graft.util.Tables.embeddings(spark, srcDir)
+      val vecOff = keyMax(emb, "vec_id") + 1
+      write(replicate(emb) { (d, k) =>
+        d.withColumn("vec_id", col("vec_id") + k * vecOff)
+          .withColumn("embedding", transform(col("embedding"), (x, i) =>
+            when(i === k % 64, x + lit(1e-4f) * (k % 7 - 3))
+              .otherwise(x)))
+      }, "embeddings", 8)
+      println(s"[fixture] done: $outDir = $copies x $srcDir " +
+        "(embeddings only)")
+      spark.stop()
+      return
+    }
+
     // dimensions: verbatim, one copy
     write(graft.util.Tables.region(spark, srcDir), "region", 1)
     write(graft.util.Tables.nation(spark, srcDir), "nation", 1)
