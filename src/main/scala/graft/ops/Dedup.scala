@@ -274,7 +274,7 @@ object Dedup {
     * relation — shared by the full rebuild and the incremental merge
     * so both paths score edges identically by construction.
     */
-  private def verifyEdges(cand: DataFrame, sigs: DataFrame): DataFrame =
+  private[graft] def verifyEdges(cand: DataFrame, sigs: DataFrame): DataFrame =
     cand
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
         col("sh").as("a_sh")), "a_id")

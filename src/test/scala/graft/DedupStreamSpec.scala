@@ -33,4 +33,36 @@ class DedupStreamSpec extends SparkTestBase {
       s"stream-only: ${got -- expected}; batch-only: ${expected -- got}")
     assert(expected.nonEmpty, "test vacuous: no near-dup pairs at this sf")
   }
+
+  test("stream-maintained LSH index equals the batch-incremental edge relation") {
+    val got = DedupStream.streamingLshIndex(spark, sf).collect()
+    // the landing really split into micro-batches — otherwise the
+    // per-batch mining is vacuously one batch pass
+    assert(DedupStream.lastIndexRunBatches.get() >= 2,
+      s"only ${DedupStream.lastIndexRunBatches.get()} micro-batch(es)")
+    // emitted surface: same relation the batch-incremental path serves
+    val batch = Dedup.minhashLshIncremental(spark, sf).collect()
+    assert(got.toSeq === batch.toSeq)
+    assert(got.nonEmpty, "test vacuous: no J >= 0.7 pairs at this sf")
+    // and the FULL streamed edge relation (pre-threshold, incl. both
+    // jaccard columns) is the batch delta-edge relation, set-for-set
+    val streamedEdges = spark.read.parquet(
+      graft.util.ScratchIndex.dir(
+        s"lshidx_run_${sf.hashCode.toHexString}").toString + "/edges")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val deltaEdges = Dedup.deltaVerifiedEdges(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(streamedEdges === deltaEdges,
+      s"stream-only: ${streamedEdges -- deltaEdges}; " +
+        s"batch-only: ${deltaEdges -- streamedEdges}")
+  }
+
+  test("stream index run is repeatable (fresh run state, same answer)") {
+    // the memoized landing + a stale checkpoint/append dir would
+    // double the index or skip every file; two back-to-back runs
+    // must agree exactly
+    val first = DedupStream.streamingLshIndex(spark, sf).collect()
+    val second = DedupStream.streamingLshIndex(spark, sf).collect()
+    assert(first.toSeq === second.toSeq)
+  }
 }
