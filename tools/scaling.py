@@ -210,7 +210,7 @@ def main(argv):
     md.append(
         "`tools/Profile <sf> all` (min-of-2 runs per query, local[32]) at "
         f"{', '.join(tags)} — {len(tags) - 1} measured decades.  The top decade "
-        "(sf0.1 → sf1) uses the 10× profiling fixture built by "
+        f"({tags[-2]} → {tags[-1]}) uses the profiling fixture built by "
         "`tools/ScaleFixture` (disjoint key spaces per copy, fixed dims, "
         "per-copy-salted document text; see its scaladoc), so the "
         "100×-survival argument in past verdicts is now a measurement: "
