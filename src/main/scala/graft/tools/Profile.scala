@@ -316,14 +316,17 @@ object Profile {
         def postingSizes(df: org.apache.spark.sql.DataFrame): Long =
           df.groupBy("cent_id").count()
             .agg(org.apache.spark.sql.functions.sum("count")).head().getLong(0)
-        time("incremental index update (the daily job)") {
-          postingSizes(graft.ops.Similarity.incrementalIvfPostings(spark, sfDir))
+        time("incremental index update (the daily job: assign delta + publish)") {
+          graft.ops.Similarity.deltaIvfPostingsPath(spark, sfDir)
         }
         time("full retrain + reassign (what it replaces)") {
           postingSizes(graft.ops.Similarity.rebuildIvfPostings(spark, sfDir))
         }
-        time("answer from the incremental index (shared query path)") {
+        time("answer, batch shape (20 queries, probes cover ~all lists)") {
           graft.ops.Similarity.annIvfIncremental(spark, sfDir).count()
+        }
+        time("answer, point lookup (1 query, nprobe pruned lists)") {
+          graft.ops.Similarity.annIvfIncrementalFor(spark, sfDir, 1).count()
         }
 
       case "streamprof" =>

@@ -55,12 +55,54 @@ class IncrementalIvfSpec extends SparkTestBase {
         case f: org.apache.spark.sql.execution.FileSourceScanExec =>
           f.relation.location.rootPaths.map(_.toString)
       }.flatten
-    assert(scans.exists(_.contains("ivfbase_v1_")),
+    assert(scans.exists(_.contains("ivfbase_v3_")),
       s"base postings not served from the persisted index: $scans")
-    // ...and the corpus itself is scanned exactly once: the delta
-    // assignment, the whole update's embedding footprint
-    assert(scans.count(_.contains("embeddings.parquet")) === 1,
-      s"expected exactly one corpus scan (the delta): $scans")
+    assert(scans.exists(_.contains("ivfdelta_v2_")),
+      s"delta postings not served from the published layer: $scans")
+    // ...and the maintained index contains NO corpus scan at all:
+    // the delta's one embedding scan happened at publish time
+    // (deltaIvfPostingsPath), not at read time
+    assert(scans.count(_.contains("embeddings.parquet")) === 0,
+      s"query-time corpus scan leaked into the index read: $scans")
+  }
+
+  test("the probe prunes posting-list partitions at the index scan") {
+    // posting lists are partitions (partitionBy cent_id); the answer
+    // path filters on the probed cells BEFORE the scan, so the
+    // partition filter must reach the persisted index's
+    // FileSourceScan — otherwise the query reads the whole index and
+    // the cost-∝-probed-lists claim is false
+    def indexDirs(df: org.apache.spark.sql.DataFrame): Set[String] = {
+      // the answer plan is AQE-wrapped (joins): materialize, then read
+      // the FINAL plan's scan locations from the rendered tree — each
+      // per-list fetch is its own scan with exactly one root path, so
+      // nothing is elided
+      df.collect()
+      "ivfbase_v3_[0-9a-f]+/cent_id=[0-9]+".r
+        .findAllIn(df.queryExecution.executedPlan.toString).toSet
+    }
+    def probedDirs(probed: Seq[Int]): Set[String] =
+      probed.map(c => s"cent_id=$c").toSet
+    // batch shape (the registered query, 20 queries): reads ⊆ probed —
+    // at sf0.001 the 20-query probe set covers most of k=16 cells, so
+    // the subset may not be proper here, but nothing OUTSIDE the
+    // probe set is ever read
+    val batchProbe = Similarity.probedCentIds(spark, sf)
+    val batchDirs = indexDirs(Similarity.annIvfIncremental(spark, sf))
+    assert(batchDirs.nonEmpty, "no posting-list reads in the plan")
+    assert(batchDirs.forall(p => probedDirs(batchProbe).exists(p.endsWith)),
+      s"scan reads non-probed lists: $batchDirs vs $batchProbe")
+    // point-lookup shape (one query): the index read collapses to the
+    // nprobe directories of that query — pruning is real, not just a
+    // subset identity
+    val oneProbe = Similarity.probedCentIds(spark, sf, maxQ = 1)
+    assert(oneProbe.size <= 2 && oneProbe.size < batchProbe.size,
+      s"single-query probe set $oneProbe")
+    val oneDirs = indexDirs(
+      Similarity.annIvfIncrementalFor(spark, sf, maxQ = 1))
+    assert(oneDirs.nonEmpty &&
+      oneDirs.forall(p => probedDirs(oneProbe).exists(p.endsWith)),
+      s"point lookup read $oneDirs, probed $oneProbe")
   }
 
   test("incremental-index recall@3 stays above the IVF floor") {
