@@ -147,6 +147,15 @@ object DedupStream {
       .write.mode(SaveMode.Overwrite).parquet(edgeDir)
 
     lastIndexRunBatches.set(0)
+    // The 4-partition stream clamp is kept even though this query has
+    // no state store — MEASURED, not assumed: at .scale/sf10 the run
+    // takes 27.8 s at 4 shuffle partitions and 46-68 s at the
+    // session's 32, because every per-batch append writes
+    // shuffle-partition-many files that every LATER batch re-reads
+    // (4 batches × 32-file appends compound into hundreds of small
+    // index files), and the per-batch jobs are too small to amortize
+    // 32-way task overhead. A real daily stream would compact the
+    // appended layer periodically (src_compaction is that operator).
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
@@ -180,11 +189,19 @@ object DedupStream {
               .unionByName(ss.read.parquet(sigDir))
               .unionByName(bSigs)
             dedup.verifyEdges(cand, allSigs)
+              // edges: NOT coalesced — coalesce(1) here would collapse
+              // the whole band-join + verify stage to one task
+              // (measured: 67 s vs 26 s at sf10), and edgeDir is only
+              // read once at the end, so its file count is harmless
               .write.mode(SaveMode.Append).parquet(edgeDir)
             // index appends AFTER mining: the batch probed itself via
-            // bBands, so appending first would only double-mine
-            bSigs.write.mode(SaveMode.Append).parquet(sigDir)
-            bBands.write.mode(SaveMode.Append).parquet(bandDir)
+            // bBands, so appending first would only double-mine.
+            // These two layers ARE re-read by every later batch, and
+            // both writes sit at a pipeline break (bSigs is persisted;
+            // bBands is a narrow explode of it), so one file per
+            // append costs nothing and avoids the small-file tax
+            bSigs.coalesce(1).write.mode(SaveMode.Append).parquet(sigDir)
+            bBands.coalesce(1).write.mode(SaveMode.Append).parquet(bandDir)
           } finally { bSigs.unpersist(): Unit }
         }
         // checkpoint lives under the per-run root: the rm above must
