@@ -274,9 +274,10 @@ object Similarity {
     *    ([[baseIvfPostings]], scratch parquet standing in for the
     *    lake's index table);
     *  - today's batch is assigned by the frozen quantizer — a narrow
-    *    shuffle-free projection over the DELTA ONLY, the sole
-    *    embedding scan of the whole update — and appended
-    *    ([[incrementalIvfPostings]]).
+    *    projection over the DELTA ONLY, the sole embedding scan of
+    *    the whole update — and PUBLISHED as a second per-list layer
+    *    beside the base ([[deltaIvfPostingsPath]]); the merged
+    *    relation is [[incrementalIvfPostings]].
     *
     * Because per-vector assignment under a frozen quantizer is
     * deterministic and independent across rows, the merged index
@@ -291,10 +292,11 @@ object Similarity {
     * What the daily path avoids growing with history: Lloyd training
     * (iters × corpus passes + k×dim driver agg) and the full-corpus
     * assignment scan. What remains corpus-proportional: nothing — the
-    * update touches delta rows plus an O(1)-per-file metadata append
-    * (here: the persisted base postings are read, not rewritten;
-    * `ivfAnswer` scans base ∪ delta lazily at query time exactly as a
-    * lake query would).
+    * update touches delta rows only, base files are never rewritten,
+    * and queries fetch just the PROBED `cent_id=c/` directories of
+    * both layers ([[prunedLayer]]), so even the read side follows the
+    * probe set, not the corpus (measured flat across 100× in
+    * SCALING.md).
     */
   private[graft] val deltaVecPred = pmod(col("vec_id"), lit(10)) === 7
 
