@@ -518,6 +518,77 @@ object EventStream {
       |       round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY bucket, event_type""".stripMargin
 
+  /** Micro-batches the last [[stateSourceCore]] drain processed —
+    * spec instrumentation (as in DedupStream.lastIndexRunBatches)
+    * proving the multi-batch replay really split the landing.
+    */
+  private[graft] val lastStateRunBatches = new AtomicInteger(0)
+
+  /** Drains `src`'s per-user running aggregate keeping the CHECKPOINT,
+    * then answers from the checkpoint alone via Spark 4's state data
+    * source. Shared by the query (whole-table one-batch drain) and
+    * StreamStateSourceSpec (staged multi-file landing, one file per
+    * trigger — proving the state read is batch-count invariant).
+    */
+  private[graft] def stateSourceCore(s: SparkSession, src: DataFrame)
+      : DataFrame = {
+    val ckRoot = graft.util.ScratchIndex.dir(
+      s"state_src_ck_${qid.incrementAndGet()}")
+    def rm(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
+      f.delete(): Unit
+    }
+    rm(ckRoot) // fresh run state: a stale offsets WAL would skip files
+    val agg = src
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions(s))
+    try {
+      // Update mode + noop batch sink: only changed keys leave the
+      // operator each micro-batch and the sink discards them — ALL
+      // information flows through the state store, which is the point
+      val q = agg.writeStream.outputMode(OutputMode.Update())
+        .option("checkpointLocation", ckRoot.toString)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          lastStateRunBatches.incrementAndGet(): Unit
+          b.write.format("noop").mode("overwrite").save()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.read.format("statestore").option("path", ckRoot.toString).load()
+      .select(col("key.user_id").as("user_id"),
+        col("value.count").as("n_events"),
+        round(col("value.sum"), 4).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  /** Reads a streaming aggregation's checkpointed STATE back as a
+    * batch DataFrame — Spark 4's state data source
+    * (`spark.read.format("statestore")`), the operational surface a
+    * production deployment uses to inspect, audit, or bootstrap
+    * stateful-query state without replaying the stream (reference has
+    * no streaming; this extends the engine's observability surface).
+    *
+    * FULL ORACLE: an unwatermarked global groupBy never evicts, so
+    * the final state IS the complete per-user aggregate and the state
+    * read must equal the plain batch SQL. The state value schema is
+    * the agg BUFFER (`value.count`, `value.sum`) — reading it is also
+    * a schema contract on what Spark persists per key. At scale the
+    * read parallelizes by state partition and never touches the
+    * events corpus.
+    */
+  def stateSourceAgg(s: SparkSession, dir: String): DataFrame = {
+    lastStateRunBatches.set(0)
+    stateSourceCore(s, eventsStream(s, dir))
+  }
+
+  val stateSourceAggSql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |       round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
   /** Stateful sessionization with flatMapGroupsWithState: per-user
     * state machine splitting on >30-min gaps.
     *
@@ -1408,6 +1479,7 @@ object EventStream {
     "stream_tws_map"         -> (twsMapTotals _),
     "stream_tws_bootstrap"   -> (twsBootstrap _),
     "stream_tws_ttl"         -> (twsTtlEvictions _),
+    "stream_state_source"    -> (stateSourceAgg _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1429,5 +1501,6 @@ object EventStream {
     "stream_tws_map"         -> twsMapTotalsSql,
     "stream_tws_bootstrap"   -> twsBootstrapSql,
     "stream_tws_ttl"         -> twsTtlEvictionsSql,
+    "stream_state_source"    -> stateSourceAggSql,
   )
 }

@@ -367,6 +367,27 @@ object Profile {
           }
         }
         spark.streams.removeListener(listener)
+      case "stateprobe" =>
+        // dev probe: drain a per-user streaming agg keeping its
+        // checkpoint, then introspect what the Spark 4 state data
+        // source exposes (schemas + a few rows) for both formats
+        import org.apache.spark.sql.streaming.OutputMode
+        import org.apache.spark.sql.functions._
+        val ck = graft.util.ScratchIndex.dir("stateprobe_ck").toString
+        val agg = graft.streaming.EventStream.eventsStream(spark, sfDir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        val q = agg.writeStream.outputMode(OutputMode.Complete())
+          .option("checkpointLocation", ck)
+          .format("memory").queryName("stateprobe").start()
+        try q.processAllAvailable() finally q.stop()
+        println("== state-metadata ==")
+        val meta = spark.read.format("state-metadata").load(ck)
+        meta.printSchema(); meta.show(false)
+        println("== statestore ==")
+        val st = spark.read.format("statestore").option("path", ck).load()
+        st.printSchema(); st.show(5, false)
       case "explainc" =>
         // the plan the SWEEP actually executes: Profile times
         // fn(...).count(), and EliminateSorts may remove a terminal
