@@ -93,10 +93,15 @@ object Sources {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
-  /** Bucketed-table join: both sides bucketed 8-ways on the join key
-    * at write time → the sort-merge join needs NO Exchange (verified
-    * in SourcesSpec). The managed tables live in the session's
-    * warehouse dir.
+  /** Bucketed-table join: both sides bucketed on the join key at
+    * write time → the sort-merge join needs NO Exchange (verified in
+    * SourcesSpec). The managed tables live in the session's warehouse
+    * dir. The bucket count is data-derived (`Sizing.writeUnits` on the
+    * orders table, same count BOTH sides — equal counts are what let
+    * the join skip the exchange), not hand-pinned: a constant 8 made
+    * each bucket writer sort 100× the bytes at sf10 (5.6 GB measured
+    * spill) while a byte-derived count keeps per-bucket volume flat at
+    * any scale.
     */
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     val db = "graft_buckets"
@@ -116,15 +121,21 @@ object Sources {
       }
     }
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // one byte-derived count for BOTH sides: mismatched bucket counts
+    // would re-shuffle the smaller side, forfeiting the exchange-free
+    // plan this query exists to demonstrate. linecounts_b aggregates
+    // lineitem down to ~one row per order, so orders' footprint is
+    // the right driver for both layouts.
+    val nb = graft.util.Sizing.writeUnits(s, d, "orders")
     orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
       .write.mode(SaveMode.Overwrite)
-      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable(s"$db.orders_b")
     lineitem(s, d)
       .groupBy(col("l_orderkey"))
       .agg(count(lit(1)).as("n_lines"))
       .write.mode(SaveMode.Overwrite)
-      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable(s"$db.linecounts_b")
     s.table(s"$db.orders_b")
       .join(s.table(s"$db.linecounts_b"),
@@ -159,7 +170,10 @@ object Sources {
     val out = s"$scratch/orders_ranged"
     orders(s, d)
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      .repartitionByRange(4, col("o_orderkey"))
+      // partition count tracks the source's bytes (Sizing scaladoc):
+      // each range writer sorts a bounded slice at every scale
+      .repartitionByRange(
+        graft.util.Sizing.writeUnits(s, d, "orders"), col("o_orderkey"))
       .sortWithinPartitions(col("o_orderkey"))
       .write.mode(SaveMode.Overwrite).parquet(out)
     s.read.parquet(out).orderBy("o_orderkey")
@@ -320,7 +334,12 @@ object Sources {
         pmod(col("l_partkey"), lit(1024L)).as("x"),
         pmod(col("l_suppkey"), lit(1024L)).as("y"))
       .withColumn("z", zValue(col("x"), col("y")))
-      .repartitionByRange(8, col("z"))
+      // byte-derived range count (Sizing scaladoc): the pinned 8 spilt
+      // 2.7 GB sorting 1/8 of the 100× corpus per task at sf10; tiles
+      // only get NARROWER with more partitions, so the clustering
+      // property SourcesSpec asserts is preserved at every count
+      .repartitionByRange(
+        graft.util.Sizing.writeUnits(s, d, "lineitem"), col("z"))
       .sortWithinPartitions(col("z"))
       .write.mode(SaveMode.Overwrite).parquet(out)
     // clustering summary per z-range stripe: each stripe's x/y spans
@@ -385,7 +404,12 @@ object Sources {
       orders(s, d)
         .select(col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice"), col("o_orderstatus"))
-        .repartitionByRange(8, col("o_orderdate"))
+        // byte-derived (Sizing scaladoc); ≡ 8 on every current fixture
+        // (orders ≤ 243 MB), grows with the table past that — finer
+        // files mean a finer manifest, i.e. MORE skippable ranges
+        .repartitionByRange(
+          graft.util.Sizing.writeUnits(s, d, "orders"),
+          col("o_orderdate"))
         .sortWithinPartitions(col("o_orderdate"))
         .write.mode(SaveMode.Overwrite).parquet(tmp)
     }
