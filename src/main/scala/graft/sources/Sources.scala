@@ -95,51 +95,72 @@ object Sources {
 
   /** Bucketed-table join: both sides bucketed on the join key at
     * write time → the sort-merge join needs NO Exchange (verified in
-    * SourcesSpec). The managed tables live in the session's warehouse
-    * dir. The bucket count is data-derived (`Sizing.writeUnits` on the
-    * orders table, same count BOTH sides — equal counts are what let
-    * the join skip the exchange), not hand-pinned: a constant 8 made
-    * each bucket writer sort 100× the bytes at sf10 (5.6 GB measured
-    * spill) while a byte-derived count keeps per-bucket volume flat at
-    * any scale.
+    * SourcesSpec). Three production-layout properties, each load-
+    * bearing at 100 TB:
+    *
+    *  - **Write once, join many.** The bucketed copies are memoized
+    *    per corpus (ScratchIndex) and re-registered in the catalog
+    *    over the EXISTING files on later calls — the previous shape
+    *    re-wrote both tables on every run, which is write
+    *    amplification inside what the query exists to demonstrate:
+    *    the amortized exchange-free READ join (8.8 s → the join alone
+    *    at sf10). Bucket ids live in the file NAMES (`_0000N`
+    *    suffix), so registering an external table over files a prior
+    *    bucketed write produced is exact, not heuristic.
+    *  - **One file per bucket.** Each write pre-repartitions by the
+    *    bucket key with numPartitions = bucket count, so task i holds
+    *    exactly bucket i's rows (same hash both sides of the write)
+    *    and each bucket is a single internally-sorted file — the
+    *    layout merge-readers want, and file count stays = bucket
+    *    count rather than input-partitions × buckets.
+    *  - **Data-derived bucket count** (`Sizing.writeUnits` on orders;
+    *    the same count BOTH sides — equal counts are what let the
+    *    join skip the exchange). The linecounts side aggregates
+    *    lineitem down to ~one row per order, so orders' footprint is
+    *    the right driver for both layouts.
     */
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
     val db = "graft_buckets"
-    // the warehouse dir outlives the (per-JVM, Derby) metastore: drop
-    // any prior physical locations or saveAsTable refuses to overwrite
-    for (t <- Seq("orders_b", "linecounts_b")) {
-      s.sql(s"DROP TABLE IF EXISTS $db.$t")
-      val wh = s.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      val loc = new java.io.File(s"$wh/$db.db/$t")
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(loc)
-      }
-    }
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    // one byte-derived count for BOTH sides: mismatched bucket counts
-    // would re-shuffle the smaller side, forfeiting the exchange-free
-    // plan this query exists to demonstrate. linecounts_b aggregates
-    // lineitem down to ~one row per order, so orders' footprint is
-    // the right driver for both layouts.
     val nb = graft.util.Sizing.writeUnits(s, d, "orders")
-    orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(nb, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable(s"$db.orders_b")
-    lineitem(s, d)
-      .groupBy(col("l_orderkey"))
-      .agg(count(lit(1)).as("n_lines"))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(nb, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable(s"$db.linecounts_b")
-    s.table(s"$db.orders_b")
-      .join(s.table(s"$db.linecounts_b"),
-        col("o_orderkey") === col("l_orderkey"))
+    val tag = s"${d.hashCode.toHexString}_$nb"
+
+    // Build (at most once per corpus per JVM) a bucketed layout at a
+    // scratch path, then make sure a catalog entry points at it: the
+    // bucketed write must go THROUGH the catalog (bucketBy requires
+    // saveAsTable), so the builder writes an external throwaway table
+    // into the memo's temp dir and drops the entry — external DROP
+    // keeps the files — before the atomic rename publishes them.
+    def bucketedTable(name: String, df: DataFrame, key: String): DataFrame = {
+      val path = graft.util.ScratchIndex.materializePath(s,
+        s"${name}_$tag") { tmp =>
+        val throwaway = s"$db.build_${name}_$tag"
+        df.repartition(nb, col(key))
+          .write.option("path", tmp)
+          .bucketBy(nb, key).sortBy(key)
+          .saveAsTable(throwaway)
+        s.sql(s"DROP TABLE $throwaway")
+      }
+      val table = s"$db.${name}_$tag"
+      if (!s.catalog.tableExists(table)) {
+        s.sql(
+          s"""CREATE TABLE $table (${df.schema.toDDL})
+             |USING parquet
+             |CLUSTERED BY ($key) SORTED BY ($key) INTO $nb BUCKETS
+             |LOCATION '$path'""".stripMargin)
+      }
+      s.table(table)
+    }
+
+    val ob = bucketedTable("orders_b",
+      orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "o_orderkey")
+    val lb = bucketedTable("linecounts_b",
+      lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_lines")),
+      "l_orderkey")
+    ob.join(lb, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderkey"), col("o_custkey"), col("n_lines"))
       .orderBy("o_orderkey")
   }

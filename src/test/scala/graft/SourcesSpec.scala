@@ -193,6 +193,34 @@ class SourcesSpec extends SparkTestBase {
       s"unexpected hash exchange in bucketed join plan:\n$plan")
   }
 
+  test("bucketed layout is written once and re-registered, not rebuilt") {
+    import org.apache.spark.sql.functions.col
+    val first = Sources.bucketedJoin(spark, sf)
+    val firstRows = first.orderBy("o_orderkey").collect()
+    // one file per bucket: the aligned pre-repartition means file
+    // count == bucket count, not input-partitions × buckets
+    val files = first.inputFiles
+    assert(files.nonEmpty && files.forall(_.matches(".*_\\d{5}\\.c.*")),
+      s"bucket-id suffix missing from: ${files.take(3).mkString(", ")}")
+    val mtimes = files.map(f =>
+      f -> new java.io.File(new java.net.URI(f)).lastModified).toMap
+    // simulate a fresh JVM's empty catalog: drop both entries (the
+    // files survive — the tables are external) and run again
+    spark.catalog.listTables("graft_buckets").collect()
+      .foreach(t => spark.sql(s"DROP TABLE graft_buckets.${t.name}"))
+    val second = Sources.bucketedJoin(spark, sf)
+    val plan = second.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "re-registered tables lost their bucket metadata")
+    assert(second.orderBy("o_orderkey").collect().sameElements(firstRows))
+    // every original file untouched — re-registration, not a rewrite
+    second.inputFiles.foreach { f =>
+      assert(mtimes.contains(f) &&
+        mtimes(f) == new java.io.File(new java.net.URI(f)).lastModified,
+        s"bucket file rebuilt or replaced: $f")
+    }
+  }
+
   test("scratch base selection: override > tmpfs-with-headroom > fallback") {
     import graft.util.ScratchIndex.selectBase
     val tmp = java.nio.file.Files.createTempDirectory("graft_base_spec")
