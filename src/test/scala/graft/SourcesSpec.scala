@@ -205,8 +205,13 @@ class SourcesSpec extends SparkTestBase {
     val mtimes = files.map(f =>
       f -> new java.io.File(new java.net.URI(f)).lastModified).toMap
     // simulate a fresh JVM's empty catalog: drop both entries (the
-    // files survive — the tables are external) and run again
+    // files survive — the tables are external) and run again.
+    // listTables(db) also returns SESSION TEMP VIEWS other suites
+    // registered (e.g. the events_canon canonicalization view), which
+    // do not live in the database and fail a qualified DROP TABLE —
+    // filter to real (non-temporary) tables
     spark.catalog.listTables("graft_buckets").collect()
+      .filter(!_.isTemporary)
       .foreach(t => spark.sql(s"DROP TABLE graft_buckets.${t.name}"))
     val second = Sources.bucketedJoin(spark, sf)
     val plan = second.queryExecution.executedPlan.toString()
