@@ -108,7 +108,34 @@ object ScratchIndex {
         s"${LowWaterBytes >> 30} GiB usable — large scratch writes may " +
         "ENOSPC; set GRAFT_SCRATCH_DIR to a roomier path")
 
+  /** Reap pid-scoped scratch left by DEAD processes. The shutdown
+    * hook only runs on orderly exit; a SIGKILL (OOM killer, external
+    * kill) skips it and leaves the whole scratch tree behind — and on
+    * a tmpfs base that garbage is RAM, not disk. Observed failure
+    * chain (2026-08-15): an OOM-killed profiling JVM left 111 GiB of
+    * shuffle spill in /dev/shm, which then starved and OOM-killed the
+    * NEXT JVM. Reaping at first touch bounds the leak to one process
+    * generation: liveness comes from `ProcessHandle.of(pid)`, so a
+    * running sibling JVM's scratch is never touched, and concurrent
+    * reapers deleting the same dead dir are harmless (delete of a
+    * missing file is a no-op).
+    */
+  private[graft] def reapDeadScratch(baseDir: File): Unit = {
+    val Named = """graft_scratch_(\d+)""".r
+    Option(baseDir.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case Named(pid) if pid.toLong != ProcessHandle.current().pid() &&
+            !ProcessHandle.of(pid.toLong).map[Boolean](_.isAlive)
+              .orElse(false) =>
+          System.err.println(s"[graft] reaping scratch of dead pid $pid: $f")
+          deleteRecursively(f)
+        case _ => ()
+      }
+    }
+  }
+
   private lazy val root: File = {
+    reapDeadScratch(base)
     val dir = new File(base, s"graft_scratch_${ProcessHandle.current().pid()}")
     dir.mkdirs()
     Runtime.getRuntime.addShutdownHook(new Thread(() =>

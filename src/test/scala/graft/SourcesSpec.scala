@@ -252,4 +252,29 @@ class SourcesSpec extends SparkTestBase {
     assert(selectBase(None, fast, fb, Long.MaxValue) === fb)
     a.delete(); fast.delete(); fb.delete(); tmp.toFile.delete(): Unit
   }
+
+  test("dead-pid scratch is reaped; live and foreign dirs survive") {
+    import graft.util.ScratchIndex.reapDeadScratch
+    val base = java.nio.file.Files.createTempDirectory("graft_reap_spec")
+      .toFile
+    // a dead pid's scratch: SIGKILL skips the shutdown hook, and on a
+    // tmpfs base the leftovers are RAM (observed: 111 GiB from one
+    // OOM-killed JVM starving the next). Pid max is bounded well
+    // below Long.MaxValue, so this pid can never be alive.
+    val dead = new java.io.File(base, s"graft_scratch_${Long.MaxValue}")
+    new java.io.File(dead, "spark_local").mkdirs()
+    // this JVM's own dir and non-matching names must never be touched
+    val mine = new java.io.File(base,
+      s"graft_scratch_${ProcessHandle.current().pid()}")
+    mine.mkdirs()
+    val shared = new java.io.File(base, "graft_scratch_shared")
+    shared.mkdirs()
+    val foreign = new java.io.File(base, "unrelated_dir")
+    foreign.mkdirs()
+    reapDeadScratch(base)
+    assert(!dead.exists(), "dead pid scratch should be reaped")
+    assert(mine.exists() && shared.exists() && foreign.exists(),
+      "live/shared/foreign dirs must survive the reap")
+    Seq(mine, shared, foreign, base).foreach(_.delete(): Unit)
+  }
 }
