@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
 
@@ -880,9 +881,79 @@ object Dedup {
       |WHERE levenshtein(a.c_name, b.c_name) <= 2
       |ORDER BY dist ASC, a_key ASC, b_key ASC LIMIT 50""".stripMargin
 
+  /** The retention policy that turns a clustering into a deduplicated
+    * corpus: per near-dup cluster keep ONE canonical document — the
+    * longest (n_chars), ties broken by lowest doc_id — and report what
+    * the policy dropped. This is the step a 100 TB pretraining
+    * pipeline actually ships (clusters are diagnostics; the kept-doc
+    * list is the output): one broadcastable-sized window over the
+    * cluster assignment (rows = docs, keys = clusters) joined back to
+    * the doc metadata, no text re-scan — [[dedupClusters]]'s memoized
+    * assignment is the only input, so at scale this costs one
+    * cluster-keyed shuffle of (doc_id, cluster_id, n_chars) triples
+    * regardless of corpus bytes. Quality = n_chars is deliberately an
+    * exact INTEGER: ranking on a float score would re-open the
+    * cross-engine tie taxonomy for no modeling gain.
+    */
+  def dedupCanonical(s: SparkSession, d: String): DataFrame = {
+    val labels = dedupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val meta = documents(s, d).select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(desc("n_chars"), asc("doc_id"))
+    labels.join(meta, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc_id"),
+        col("n_chars").as("kept_n_chars"), col("cluster_size"),
+        (col("cluster_size") - lit(1L)).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
+  /** Same closure as [[dedupClustersSql]] + the argmax retention. */
+  val dedupCanonicalSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         $shinglesSql AS sh
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+       |        FROM documents)
+       |), pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM t a JOIN t b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+       |        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+       |), e AS (
+       |  SELECT a_id, b_id FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs
+       |  UNION ALL SELECT doc_id, doc_id FROM t
+       |), reach AS (
+       |  WITH RECURSIVE r(a, b) AS (
+       |    SELECT a_id, b_id FROM e
+       |    UNION
+       |    SELECT r.a, e.b_id FROM r JOIN e ON r.b = e.a_id
+       |  ) SELECT * FROM r
+       |), labels AS (
+       |  SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+       |), sized AS (
+       |  SELECT l.doc_id, l.cluster_id, s.n AS cluster_size, d.n_chars,
+       |         row_number() OVER (PARTITION BY l.cluster_id
+       |                            ORDER BY d.n_chars DESC, l.doc_id) AS rn
+       |  FROM labels l
+       |  JOIN (SELECT cluster_id, count(*) AS n FROM labels GROUP BY 1) s
+       |    USING (cluster_id)
+       |  JOIN documents d USING (doc_id)
+       |)
+       |SELECT cluster_id, doc_id AS kept_doc_id,
+       |       n_chars AS kept_n_chars, cluster_size,
+       |       cluster_size - 1 AS n_dropped
+       |FROM sized WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_entity_pairs" -> (entityPairs _),
     "dedup_clusters"    -> (dedupClusters _),
+    "dedup_canonical"   -> (dedupCanonical _),
     "dedup_exact"       -> (dedupExact _),
     "dedup_fingerprint" -> (dedupFingerprint _),
     "dedup_jaccard"     -> (jaccardPairs _),
@@ -896,6 +967,7 @@ object Dedup {
   val oracle: Map[String, String] = Map(
     "dedup_entity_pairs" -> entityPairsSql,
     "dedup_clusters"    -> dedupClustersSql,
+    "dedup_canonical"   -> dedupCanonicalSql,
     "dedup_exact"       -> dedupExactSql,
     "dedup_fingerprint" -> dedupFingerprintSql,
     "dedup_jaccard"     -> jaccardPairsSql,

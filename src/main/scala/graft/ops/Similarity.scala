@@ -997,9 +997,65 @@ object Similarity {
       |           FROM p GROUP BY 1) dr USING (cluster)
       |ORDER BY cluster""".stripMargin
 
+  /** Exact FILTERED vector search — top-5 cosine neighbors restricted
+    * to corpus vectors sharing the query's label (the metadata-filtered
+    * retrieval shape every RAG/vector store serves: "nearest within
+    * this tenant/class/language"). The scale point is WHERE the filter
+    * sits: pre-filtering turns [[knnBruteForce]]'s broadcast cross
+    * join into a label EQUI-join, so each query vector is scored
+    * against only its label's partition of the corpus — at 100 TB the
+    * selectivity of the predicate, not the corpus size, bounds the
+    * scored set (and post-filtering an unfiltered top-k, the other
+    * common shape, silently loses recall when the filter is narrow).
+    * Same determinism discipline as the unfiltered query: rank on the
+    * 6-dp-rounded cosine with vec_id tie-break.
+    */
+  def knnFiltered(s: SparkSession, d: String): DataFrame = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("q"))
+    // equi-join on the filter column: the label predicate prunes the
+    // candidate set BEFORE any distance is computed
+    val scored = emb.join(broadcast(queries),
+        col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(graft.functions.VectorFunctions.cosine_sim(col("q"), col("v")), 6)
+          .as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+      .orderBy("q_id", "rank")
+  }
+
+  val knnFilteredSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      |), q AS (
+      |  SELECT vec_id AS q_id, label AS q_label, v AS q FROM e WHERE vec_id < 5
+      |), scored AS (
+      |  SELECT q_id, e.vec_id,
+      |         round(list_dot_product(q, v)
+      |               / (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(v, v))),
+      |               6) AS cos_sim
+      |  FROM e JOIN q ON e.label = q.q_label AND e.vec_id <> q.q_id
+      |), ranked AS (
+      |  SELECT q_id, vec_id, cos_sim,
+      |         row_number() OVER (PARTITION BY q_id
+      |                            ORDER BY cos_sim DESC, vec_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT q_id, rank, vec_id, cos_sim FROM ranked
+      |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_quantize_int8"  -> (quantizeInt8 _),
     "sim_knn_brute"      -> (knnBruteForce _),
+    "sim_knn_filtered"   -> (knnFiltered _),
     "sim_ann_lsh"        -> (annLsh _),
     "sim_ann_ivf"        -> (annIvf _),
     "sim_ann_ivf_incremental" -> (annIvfIncremental _),
@@ -1015,6 +1071,7 @@ object Similarity {
   val oracle: Map[String, String] = Map(
     "sim_quantize_int8"  -> quantizeInt8Sql,
     "sim_knn_brute"      -> knnBruteForceSql,
+    "sim_knn_filtered"   -> knnFilteredSql,
     "sim_embed_stats"    -> embedStatsSql,
     "sim_centroid_classify" -> centroidClassifySql,
     "dedup_embed_cosine" -> embCosinePairsSql,

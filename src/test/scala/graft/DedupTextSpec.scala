@@ -172,6 +172,33 @@ class DedupTextSpec extends SparkTestBase {
     assert(inc === full)
   }
 
+  test("canonical retention keeps exactly one argmax-quality doc per cluster") {
+    val labels = Dedup.dedupClusters(spark, sf)
+      .as[(Long, Long, Long)].collect() // (doc_id, cluster_id, size)
+    val nChars = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    val kept = Dedup.dedupCanonical(spark, sf)
+      .select($"cluster_id", $"kept_doc_id", $"kept_n_chars",
+        $"cluster_size", $"n_dropped")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // one output row per cluster, covering every cluster
+    val clusters = labels.groupBy(_._2)
+    assert(kept.length === clusters.size)
+    assert(kept.map(_._1).toSet === clusters.keySet)
+    kept.foreach { case (cid, keep, keepChars, size, dropped) =>
+      val members = clusters(cid).map(_._1)
+      assert(members.contains(keep), s"cluster $cid keeps non-member $keep")
+      assert(size === members.length.toLong)
+      assert(dropped === size - 1)
+      // the policy: longest doc wins, lowest doc_id breaks ties
+      val maxChars = members.map(nChars).max
+      assert(keepChars === maxChars)
+      assert(keep === members.filter(nChars(_) == maxChars).min)
+    }
+    // retention conserves the corpus: kept + dropped = all docs
+    assert(kept.map(_._4).sum === labels.length.toLong)
+  }
+
   test("simhash: near-identical docs differ in fewer bits than distinct docs") {
     val base = (1 to 80).map(i => s"w$i").mkString(" ")
     val nearDup = base + " extra"

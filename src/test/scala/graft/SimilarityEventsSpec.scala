@@ -30,6 +30,31 @@ class SimilarityEventsSpec extends SparkTestBase {
     assert(ranksPerQuery.forall(_ == Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("filtered knn: label predicate enforced, pre-filter (equi-join, no cartesian)") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"label").as[(Long, String)].collect().toMap
+    val knn = Similarity.knnFiltered(spark, sf).collect()
+    assert(knn.length === 25) // 5 queries × top-5 within each label class
+    // every returned neighbor shares its query's label — the filter is
+    // a hard constraint, not a soft re-rank
+    assert(knn.forall(r => emb(r.getLong(2)) == emb(r.getLong(0))))
+    assert(knn.forall(r => r.getLong(0) != r.getLong(2)))
+    // non-vacuity: the constraint changes the answer vs unfiltered
+    // brute force for at least one query (otherwise the spec would
+    // pass on a filter that is silently ignored)
+    val unfiltered = Similarity.knnBruteForce(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val filtered = knn.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(filtered.exists { case (k, v) => unfiltered(k) != v },
+      "filtered top-5 identical to unfiltered — filter had no effect")
+    // the scale property: the predicate prunes BEFORE distances are
+    // computed — label equi-join, not a cross join + post-filter
+    val plan = Similarity.knnFiltered(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("ANN-LSH candidates rank far above random (percentile vs brute force)") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
