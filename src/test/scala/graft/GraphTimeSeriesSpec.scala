@@ -23,6 +23,37 @@ class GraphTimeSeriesSpec extends SparkTestBase {
     assert(n === 2L)
   }
 
+  test("bfs hop distances equal a plain-Scala BFS over the collected graph") {
+    // independent reimplementation: collect the co-purchase edges,
+    // run textbook queue BFS from the same seed set, compare the full
+    // (vertex, dist) map — the join-iteration must be exactly BFS
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val byOrder = li.groupBy(_._1).values
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    for (grp <- byOrder; Array(a, b) <- grp.map(_._2).distinct.sorted
+        .combinations(2)) {
+      adj(a) += b; adj(b) += a
+    }
+    val seeds = adj.keySet.filter(_ <= 5L).toSeq.sorted
+    assert(seeds.nonEmpty, "no seed vertices <= 5 in the graph")
+    val dist = scala.collection.mutable.Map[Long, Long]()
+    var frontier = seeds.toSet
+    frontier.foreach(v => dist(v) = 0L)
+    for (h <- 1L to 4L) {
+      frontier = frontier.flatMap(adj).filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = h)
+    }
+    val got = Graph.bfsHops(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got === dist.toMap)
+    // the seed ball really expands: at least one vertex per hop level
+    // up to the graph's reach (non-vacuity of the iteration)
+    assert(got.values.toSet.contains(0L))
+    assert(got.values.max >= 1L)
+  }
+
   test("degree histogram mass equals twice the edge count") {
     val hist = Graph.degreeHistogram(spark, sf)
     val mass = hist.select(sum($"degree" * $"n_vertices")).as[Long].head()
