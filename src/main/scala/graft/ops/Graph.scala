@@ -150,28 +150,56 @@ object Graph {
     var toRelease: List[DataFrame] = Nil
     val dists = graft.util.ScratchIndex.materialize(
         s, s"bfshops_v1_${d.hashCode.toHexString}") {
-      val e0 = coOrderEdges(s, d)
-      // undirected walk over canonical (p1 < p2) edges
-      val e = e0.select(col("p1").as("a"), col("p2").as("b"))
-        .unionAll(e0.select(col("p2").as("a"), col("p1").as("b")))
-      var frontier = e.select(col("a").as("v")).distinct()
-        .filter(col("v") <= 5).persist()
-      toRelease ::= frontier
-      var visited = frontier.withColumn("dist", lit(0L))
-      for (h <- 1 to MaxHops) {
-        val next = frontier.join(e, frontier("v") === e("a"))
-          .select(col("b").as("v")).distinct()
-          .join(visited.select(col("v")), Seq("v"), "left_anti")
-          .persist()
-        toRelease ::= next
-        visited = visited
-          .unionByName(next.withColumn("dist", lit(h.toLong)))
-        frontier = next
-      }
+      val (visited, counts, acquired) = bfsWalk(s, d)
+      toRelease = acquired
+      // one log line per corpus build: the per-hop frontier sizes ARE
+      // the shuffle bound (each hop shuffles O(frontier × avg-degree)
+      // rows) — surfacing them makes the claim checkable in any run log
+      System.err.println(
+        s"[graph] bfs frontier sizes by hop (corpus $d): " +
+          counts.mkString(", "))
       visited
     }
     toRelease.foreach(_.unpersist())
     dists.orderBy("v")
+  }
+
+  /** The BFS join-iteration itself: returns the converged (v, dist)
+    * relation, the per-hop frontier sizes (hop 0 = seeds), and the
+    * persisted frames the caller must release. Each frontier is
+    * counted once — a cheap action on a frame the next join needs
+    * materialized anyway — which both publishes the frontier-bound
+    * measurement and lets the loop SHORT-CIRCUIT when the frontier
+    * empties (diameter < cap), instead of planning empty join rounds.
+    */
+  private[graft] def bfsWalk(s: SparkSession, d: String)
+      : (DataFrame, Seq[Long], List[DataFrame]) = {
+    var toRelease: List[DataFrame] = Nil
+    val e0 = coOrderEdges(s, d)
+    // undirected walk over canonical (p1 < p2) edges
+    val e = e0.select(col("p1").as("a"), col("p2").as("b"))
+      .unionAll(e0.select(col("p2").as("a"), col("p1").as("b")))
+    var frontier = e.select(col("a").as("v")).distinct()
+      .filter(col("v") <= 5).persist()
+    toRelease ::= frontier
+    val counts = scala.collection.mutable.ArrayBuffer(frontier.count())
+    var visited = frontier.withColumn("dist", lit(0L))
+    var h = 1
+    while (h <= MaxHops && counts.last > 0L) {
+      val next = frontier.join(e, frontier("v") === e("a"))
+        .select(col("b").as("v")).distinct()
+        .join(visited.select(col("v")), Seq("v"), "left_anti")
+        .persist()
+      toRelease ::= next
+      counts += next.count()
+      if (counts.last > 0L) {
+        visited = visited
+          .unionByName(next.withColumn("dist", lit(h.toLong)))
+      }
+      frontier = next
+      h += 1
+    }
+    (visited, counts.toSeq, toRelease)
   }
 
   /** Recursive-CTE replay: UNION (not UNION ALL) semantics dedup the
@@ -198,15 +226,154 @@ object Graph {
       |)
       |SELECT v, min(d) AS dist FROM walk GROUP BY v ORDER BY v""".stripMargin
 
+  /** Fixed power-iteration count for [[pagerank]]. Bounded (like
+    * [[MaxHops]]) so BOTH engines run the identical iteration count —
+    * a convergence-threshold stop would make the comparison depend on
+    * float drift. Five iterations carry rank ~4 hops, past this
+    * graph's ~3-4 diameter.
+    */
+  private val PrIters = 5
+
+  /** Damping factor — the canonical 0.85 from the original PageRank
+    * formulation (public: Brin & Page 1998).
+    */
+  private val Damping = 0.85
+
+  /** Bounded-iteration PageRank over the undirected co-purchase
+    * graph: the weighted-propagation complement to [[bfsHops]]
+    * (seed expansion → distance labeling → authority scoring — the
+    * link-graph-curation triple). The canonical 100-TB iterative-join
+    * workload: each iteration is ONE ranks⋈edges equi-join + one
+    * keyed aggregation, so an iteration shuffles O(|E|) contribution
+    * rows and the FIXED iteration count (not the corpus) bounds the
+    * number of shuffles. The degree is joined onto the edge list ONCE
+    * before the loop (it never changes), so the loop body re-joins
+    * only the one relation that does. Per-iteration ranks are
+    * persisted and lineage-truncated ([[org.apache.spark.sql.
+    * GraftColumnBridge.truncateLineage]] — the dedupClusters
+    * discipline: a loop that re-joins its own iterate grows the
+    * logical plan every round even when the data is cached), and the
+    * converged table is memoized per corpus via ScratchIndex like the
+    * BFS distance table.
+    *
+    * Float discipline (taxonomy case 3, Relational.scala header):
+    * ranks are genuinely continuous — accumulation order differs
+    * across engines by ulps per iteration — so the OUTPUT rounds, and
+    * it rounds the SCALE-FREE normalized mass rank·N (~O(1) at every
+    * corpus size, so one precision works at every decade) to 9
+    * decimals: observed cross-engine drift is ≲1e-12 relative after
+    * 5 iterations, giving the half-cell ~500× headroom. Every vertex
+    * has degree ≥ 1 (it came from an edge), so there is no dangling-
+    * mass term and the contribution aggregation reaches every vertex.
+    * Order key is the vertex id (unique, exact), never the float.
+    */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    var toRelease: List[DataFrame] = Nil
+    val ranked = graft.util.ScratchIndex.materialize(
+        s, s"pagerank_v1_${d.hashCode.toHexString}") {
+      val e0 = coOrderEdges(s, d)
+      val e = e0.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionAll(e0.select(col("p2").as("src"), col("p1").as("dst")))
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      // (src, dst, degree-of-src): the loop-invariant relation,
+      // built once, persisted, re-joined every iteration
+      val ce = e.join(deg, "src").persist()
+      toRelease ::= ce
+      // n is ONE scalar to the driver (bounded, like the k-means
+      // cell means) — it parameterizes the teleport literal both
+      // engines compute as the same IEEE division
+      val n = deg.count()
+      var ranks = deg
+        .select(col("src").as("v"), lit(1.0 / n).as("rank"))
+      for (_ <- 1 to PrIters) {
+        val next = ce.join(ranks, ce("src") === ranks("v"))
+          .groupBy(col("dst"))
+          .agg((lit(0.15 / n) + lit(Damping) *
+            sum(col("rank") / col("degree"))).as("rank"))
+          .select(col("dst").as("v"), col("rank"))
+          .persist()
+        toRelease ::= next
+        ranks = org.apache.spark.sql.GraftColumnBridge
+          .truncateLineage(next)
+      }
+      ranks.join(deg.select(col("src").as("v"), col("degree")), "v")
+        .select(col("v"), col("degree"),
+          round(col("rank") * lit(n.toDouble), 9).as("rank_norm"))
+    }
+    toRelease.foreach(_.unpersist())
+    ranked.orderBy("v")
+  }
+
+  /** Unrolled 5-iteration replay (DuckDB disallows aggregation in a
+    * recursive term, and unrolling keeps the iteration count
+    * literally identical). Same shapes as the Spark plan: one
+    * rank/degree division, one sum, the same teleport literal — so
+    * the only cross-engine delta is summation order, absorbed by the
+    * final round(·, 9) on the normalized mass.
+    */
+  val pagerankSql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM lineitem a
+      |  JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e AS (
+      |  SELECT p1 AS src, p2 AS dst FROM e0
+      |  UNION ALL SELECT p2, p1 FROM e0
+      |), deg AS (
+      |  SELECT src AS v, count(*) AS degree FROM e GROUP BY src
+      |), nn AS (
+      |  SELECT count(*) AS n FROM deg
+      |), r0 AS (
+      |  SELECT v, 1.0 / (SELECT n FROM nn) AS rank FROM deg
+      |), r1 AS (
+      |  SELECT e.dst AS v,
+      |         0.15 / (SELECT n FROM nn)
+      |           + 0.85 * sum(r.rank / d.degree) AS rank
+      |  FROM e JOIN r0 r ON e.src = r.v JOIN deg d ON r.v = d.v
+      |  GROUP BY e.dst
+      |), r2 AS (
+      |  SELECT e.dst AS v,
+      |         0.15 / (SELECT n FROM nn)
+      |           + 0.85 * sum(r.rank / d.degree) AS rank
+      |  FROM e JOIN r1 r ON e.src = r.v JOIN deg d ON r.v = d.v
+      |  GROUP BY e.dst
+      |), r3 AS (
+      |  SELECT e.dst AS v,
+      |         0.15 / (SELECT n FROM nn)
+      |           + 0.85 * sum(r.rank / d.degree) AS rank
+      |  FROM e JOIN r2 r ON e.src = r.v JOIN deg d ON r.v = d.v
+      |  GROUP BY e.dst
+      |), r4 AS (
+      |  SELECT e.dst AS v,
+      |         0.15 / (SELECT n FROM nn)
+      |           + 0.85 * sum(r.rank / d.degree) AS rank
+      |  FROM e JOIN r3 r ON e.src = r.v JOIN deg d ON r.v = d.v
+      |  GROUP BY e.dst
+      |), r5 AS (
+      |  SELECT e.dst AS v,
+      |         0.15 / (SELECT n FROM nn)
+      |           + 0.85 * sum(r.rank / d.degree) AS rank
+      |  FROM e JOIN r4 r ON e.src = r.v JOIN deg d ON r.v = d.v
+      |  GROUP BY e.dst
+      |)
+      |SELECT r5.v, deg.degree,
+      |       round(r5.rank * (SELECT CAST(n AS DOUBLE) FROM nn), 9)
+      |         AS rank_norm
+      |FROM r5 JOIN deg ON r5.v = deg.v
+      |ORDER BY r5.v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles"  -> (triangles _),
     "graph_degree_hist" -> (degreeHistogram _),
     "graph_bfs_hops"   -> (bfsHops _),
+    "graph_pagerank"   -> (pagerank _),
   )
 
   val oracle: Map[String, String] = Map(
     "graph_triangles"  -> trianglesSql,
     "graph_degree_hist" -> degreeHistogramSql,
     "graph_bfs_hops"   -> bfsHopsSql,
+    "graph_pagerank"   -> pagerankSql,
   )
 }

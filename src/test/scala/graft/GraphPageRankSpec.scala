@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** PageRank (bounded power iteration) and the BFS frontier-bound
+  * measurement: the two propagation primitives are cross-checked
+  * against independent plain-Scala reimplementations over the
+  * collected edge list, and the structural invariants (mass
+  * conservation, teleport floor, frontier short-circuit) are pinned.
+  */
+class GraphPageRankSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Collected undirected co-purchase adjacency at sf0.001 — small by
+    * construction (the spec-side reimplementation; the engine never
+    * collects edges).
+    */
+  private lazy val adj: Map[Long, Seq[Long]] = {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey").as[(Long, Long)].collect()
+    val m = scala.collection.mutable.Map[Long, Set[Long]]()
+      .withDefaultValue(Set.empty)
+    for (grp <- li.groupBy(_._1).values;
+         Array(a, b) <- grp.map(_._2).distinct.sorted.combinations(2)) {
+      m(a) += b; m(b) += a
+    }
+    m.view.mapValues(_.toSeq.sorted).toMap
+  }
+
+  test("pagerank matches a plain-Scala power iteration within 1e-9") {
+    val n = adj.size
+    var rank = adj.keys.map(v => v -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val contribs = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      for ((u, nbrs) <- adj; v <- nbrs)
+        contribs(v) += rank(u) / nbrs.size
+      rank = adj.keys.map(v => v -> (0.15 / n + 0.85 * contribs(v))).toMap
+    }
+    val got = Graph.pagerank(spark, sf)
+      .select($"v", $"rank_norm").as[(Long, Double)].collect().toMap
+    assert(got.keySet === rank.keySet)
+    // the engines sum in different orders — compare within the float
+    // budget the output rounding absorbs, not bit-exactly
+    got.foreach { case (v, g) =>
+      assert(math.abs(g - rank(v) * n) < 1e-9,
+        s"vertex $v: engine $g vs local ${rank(v) * n}")
+    }
+  }
+
+  test("pagerank invariants: mass conserved, teleport floor, degree exact") {
+    val pr = Graph.pagerank(spark, sf).cache()
+    val n = pr.count()
+    assert(n > 0)
+    // Σ rank = 1 ⇔ avg(rank·N) = 1: teleport adds 0.15, propagation
+    // keeps 0.85 of a unit mass (no dangling vertices by construction)
+    val mean = pr.agg(avg($"rank_norm")).as[Double].head()
+    assert(math.abs(mean - 1.0) < 1e-6, s"mean normalized rank $mean")
+    // every vertex keeps at least the teleport share
+    assert(pr.filter($"rank_norm" < 0.15).count() === 0)
+    // the joined degree column is the true undirected degree
+    val deg = pr.select($"v", $"degree").as[(Long, Long)].collect().toMap
+    assert(deg === adj.view.mapValues(_.size.toLong).toMap)
+    pr.unpersist()
+  }
+
+  test("bfs frontier sizes equal the plain-Scala BFS level sizes") {
+    // graduates the frontier-bound claim (each hop shuffles
+    // O(frontier × avg-degree) rows) from argument to measurement:
+    // the engine's per-hop counts must equal the true BFS level sizes
+    val seeds = adj.keySet.filter(_ <= 5L)
+    assert(seeds.nonEmpty)
+    val levels = scala.collection.mutable.ArrayBuffer(seeds)
+    val seen = scala.collection.mutable.Set[Long]() ++= seeds
+    var cur = seeds
+    var h = 0
+    while (cur.nonEmpty && h < 4) {
+      cur = cur.flatMap(adj.getOrElse(_, Seq.empty)).toSet.diff(seen)
+      seen ++= cur
+      levels += cur
+      h += 1
+    }
+    val want = levels.map(_.size.toLong).toSeq
+    val (visited, counts, acquired) = Graph.bfsWalk(spark, sf)
+    val visN = visited.count()
+    acquired.foreach(_.unpersist())
+    // engine counts match level sizes exactly; a short-circuited walk
+    // reports at most one trailing zero (the convergence probe)
+    assert(counts.takeWhile(_ > 0L) === want.takeWhile(_ > 0L))
+    assert(counts.count(_ === 0L) <= 1)
+    assert(visN === seen.size.toLong)
+  }
+}

@@ -34,19 +34,33 @@ class SimilarityEventsSpec extends SparkTestBase {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
       .select($"vec_id", $"label").as[(Long, String)].collect().toMap
     val knn = Similarity.knnFiltered(spark, sf).collect()
-    assert(knn.length === 25) // 5 queries × top-5 within each label class
+    // expected rows derive from the DATA, not a hard-coded 25: each
+    // query (vec_id < 5) yields min(5, |its label class| - 1) rows, so
+    // a testdata regeneration with a sparse class can't fail the spec
+    // without a code bug
+    val classSize = emb.values.groupBy(identity).view.mapValues(_.size).toMap
+    val queries = emb.keys.filter(_ < 5L).toSeq.sorted
+    assert(queries.nonEmpty)
+    val expectedRows = queries
+      .map(q => math.min(5, classSize(emb(q)) - 1)).sum
+    assert(knn.length === expectedRows)
     // every returned neighbor shares its query's label — the filter is
     // a hard constraint, not a soft re-rank
     assert(knn.forall(r => emb(r.getLong(2)) == emb(r.getLong(0))))
     assert(knn.forall(r => r.getLong(0) != r.getLong(2)))
     // non-vacuity: the constraint changes the answer vs unfiltered
-    // brute force for at least one query (otherwise the spec would
-    // pass on a filter that is silently ignored)
+    // brute force — asserted only when the corpus actually contains a
+    // query whose unfiltered top-5 crosses labels (otherwise the two
+    // answers are legitimately identical and the check is vacuous)
     val unfiltered = Similarity.knnBruteForce(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val filtered = knn.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(filtered.exists { case (k, v) => unfiltered(k) != v },
-      "filtered top-5 identical to unfiltered — filter had no effect")
+    val crossesLabels = unfiltered.exists { case ((q, _), v) =>
+      emb(v) != emb(q) }
+    if (crossesLabels) {
+      val filtered = knn.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(filtered.exists { case (k, v) => unfiltered.get(k).exists(_ != v) },
+        "filtered top-5 identical to unfiltered — filter had no effect")
+    }
     // the scale property: the predicate prunes BEFORE distances are
     // computed — label equi-join, not a cross join + post-filter
     val plan = Similarity.knnFiltered(spark, sf).queryExecution
