@@ -742,7 +742,65 @@ object Events {
       |SELECT user_id, CAST(slot AS BIGINT) AS slot, event_id, event_type
       |FROM ranked WHERE slot <= 3 ORDER BY user_id, slot""".stripMargin
 
+  /** Per-user event-type transition matrix — the Markov/sequence-model
+    * statistic behind next-action features and behavioral-sequence
+    * training data: lag(event_type) over each user's (ts_us,
+    * event_id)-ordered stream (the unique event id breaks any
+    * equal-µs tie, so the sequence — unlike a bare-timestamp sort —
+    * is total and engine-independent), then (prev → curr) counts and
+    * the row-normalized transition probability.
+    *
+    * Plan shape at scale: one shuffle by user_id for the lag window
+    * (each user's sequence is independent — the streaming-compatible
+    * per-key formulation), then a partial-agg groupBy that collapses
+    * to at most |types|² rows BEFORE its exchange, and a final
+    * window-sum over a matrix that is O(1) in the corpus. Nothing
+    * downstream of the first shuffle scales with the data.
+    *
+    * Float discipline: p = n / n_from is two exact BIGINTs into ONE
+    * IEEE division — bit-identical across engines, no rounding — and
+    * the sort keys are the (prev_type, event_type) strings, never the
+    * float.
+    */
+  def transitions(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val counts = events(s, d)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))))
+      .select(col("prev_type"), col("event_type"), col("n"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** Same shapes: lag over the identical total order, BIGINT counts,
+    * one cast-then-divide (DuckDB's window sum over BIGINT is HUGEINT
+    * — cast BEFORE the division so both engines divide doubles from
+    * exact integers).
+    */
+  val transitionsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |         lag(event_type) OVER (PARTITION BY user_id
+      |                               ORDER BY epoch_us(ts), event_id)
+      |           AS prev_type
+      |  FROM events
+      |), t AS (
+      |  SELECT prev_type, event_type, count(*) AS n
+      |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT prev_type, event_type, n,
+      |       CAST(n AS DOUBLE)
+      |         / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+      |FROM t ORDER BY prev_type, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_transitions"     -> (transitions _),
     "events_secondary_sort"  -> (secondarySort _),
     "events_reservoir"       -> (reservoirSample _),
     "events_interval_join"   -> (intervalJoin _),
@@ -762,6 +820,7 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "events_transitions"     -> transitionsSql,
     "events_secondary_sort"  -> secondarySortSql,
     "events_reservoir"       -> reservoirSampleSql,
     "events_interval_join"   -> intervalJoinSql,

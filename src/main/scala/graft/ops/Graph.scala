@@ -363,11 +363,94 @@ object Graph {
       |FROM r5 JOIN deg ON r5.v = deg.v
       |ORDER BY r5.v""".stripMargin
 
+  /** Link-prediction features for the top co-purchase edges: for each
+    * existing edge (p1, p2), the common-neighbor count (the edge's
+    * embeddedness — its triangle support) and the Jaccard similarity
+    * of the two endpoint neighborhoods, reported for the 100 most
+    * embedded edges. The standard candidate-scoring pass of a
+    * link-graph curation pipeline (which near-edges are structurally
+    * confirmed), and the per-EDGE complement of [[triangles]]' global
+    * count.
+    *
+    * Plan shape at scale: the same adjacency-intersection formulation
+    * as [[triangles]] — build each vertex's sorted UNDIRECTED
+    * neighbor list once (one shuffle of the shared memoized edge
+    * relation), join it onto the edge list twice, and compute |N(a) ∩
+    * N(b)| with the allocation-free fused merge kernel
+    * ([[graft.functions.SortedLongIntersect]]), so the quadratic
+    * wedge relation (~40× the edge count on this graph) is never
+    * materialized; the final top-100 is a TakeOrderedAndProject
+    * (per-partition heaps, no global sort).
+    *
+    * Float discipline: jaccard = cn / (deg_a + deg_b − cn) is exact
+    * integers into ONE IEEE division — bit-identical across engines,
+    * no rounding needed — and it is never a sort key; the top-100
+    * orders by (cn DESC, p1, p2), integer keys with the unique edge
+    * id as the total tiebreak.
+    */
+  def commonNeighbors(s: SparkSession, d: String): DataFrame = {
+    val e0 = coOrderEdges(s, d)
+    val und = e0.select(col("p1").as("a"), col("p2").as("b"))
+      .unionAll(e0.select(col("p2").as("a"), col("p1").as("b")))
+    val adj = und.groupBy(col("a").as("v"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    e0
+      .join(adj.withColumnRenamed("nbrs", "na"), col("p1") === col("v"))
+      .drop("v")
+      .join(adj.withColumnRenamed("nbrs", "nb"), col("p2") === col("v"))
+      .drop("v")
+      .select(col("p1"), col("p2"),
+        graft.functions.SetSimilarityFunctions
+          .sorted_long_intersect(col("na"), col("nb")).as("cn"),
+        size(col("na")).cast("bigint").as("degree_a"),
+        size(col("nb")).cast("bigint").as("degree_b"))
+      .withColumn("jaccard",
+        col("cn").cast("double")
+          / (col("degree_a") + col("degree_b") - col("cn")).cast("double"))
+      .orderBy(col("cn").desc, col("p1"), col("p2"))
+      .limit(100)
+  }
+
+  /** Wedge-enumeration replay: DuckDB has no sorted-merge kernel, so
+    * the oracle counts common neighbors the relational way (und ⋈ und
+    * on the shared endpoint) — correct but corpus-quadratic, which is
+    * exactly why the engine side doesn't do it this way. LEFT join +
+    * coalesce keeps zero-embeddedness edges rankable (they only
+    * surface on corpora with < 100 triangle-supported edges).
+    */
+  val commonNeighborsSql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM lineitem a
+      |  JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), und AS (
+      |  SELECT p1 AS a, p2 AS b FROM e0
+      |  UNION ALL SELECT p2, p1 FROM e0
+      |), deg AS (
+      |  SELECT a AS v, count(*) AS degree FROM und GROUP BY a
+      |), wedge AS (
+      |  SELECT x.a AS p1, y.a AS p2, count(*) AS cn
+      |  FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
+      |  GROUP BY 1, 2
+      |)
+      |SELECT e0.p1, e0.p2, coalesce(w.cn, 0) AS cn,
+      |       da.degree AS degree_a, db.degree AS degree_b,
+      |       CAST(coalesce(w.cn, 0) AS DOUBLE)
+      |         / CAST(da.degree + db.degree - coalesce(w.cn, 0) AS DOUBLE)
+      |         AS jaccard
+      |FROM e0
+      |LEFT JOIN wedge w ON w.p1 = e0.p1 AND w.p2 = e0.p2
+      |JOIN deg da ON da.v = e0.p1
+      |JOIN deg db ON db.v = e0.p2
+      |ORDER BY cn DESC, e0.p1, e0.p2 LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles"  -> (triangles _),
     "graph_degree_hist" -> (degreeHistogram _),
     "graph_bfs_hops"   -> (bfsHops _),
     "graph_pagerank"   -> (pagerank _),
+    "graph_common_neighbors" -> (commonNeighbors _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -375,5 +458,6 @@ object Graph {
     "graph_degree_hist" -> degreeHistogramSql,
     "graph_bfs_hops"   -> bfsHopsSql,
     "graph_pagerank"   -> pagerankSql,
+    "graph_common_neighbors" -> commonNeighborsSql,
   )
 }

@@ -929,7 +929,84 @@ object Relational3 {
       |FROM customer WHERE c_nationkey < 10
       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** Market-basket association rules over orders: the 100 most
+    * frequent co-purchased part pairs with support, directional
+    * confidence, and lift — the classic frequent-itemset/
+    * recommendation statistic (public: Agrawal & Srikant, VLDB'94),
+    * and the FREQUENCY complement of the graph suite's structural
+    * pair queries (Graph.commonNeighbors scores how connected two
+    * parts' neighborhoods are; this scores how often the pair itself
+    * co-occurs vs chance).
+    *
+    * Plan shape at scale: per-order item sets dedup in ONE exchange
+    * on l_orderkey; the pair enumeration is then a self-equi-join on
+    * the SAME key (AQE reuses the co-partitioning — no second
+    * full-table shuffle), and pair counts partial-aggregate map-side
+    * before their exchange. Per-item supports and the order count are
+    * two scalar-sized side relations joined onto the top pairs —
+    * broadcast at any corpus size. The final top-100 is a
+    * TakeOrderedAndProject on (n_ab DESC, p1, p2) — integer keys,
+    * unique-pair tiebreak, no global sort.
+    *
+    * Float discipline: confidence = n_ab / n_a and
+    * lift = (n_orders · n_ab) / (n_a · n_b) are exact BIGINT products
+    * into ONE IEEE division each — bit-identical across engines, no
+    * rounding — and neither is ever a sort key.
+    */
+  def basketLift(s: SparkSession, d: String): DataFrame = {
+    val items = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .distinct()
+    val pairs = items.toDF("ok", "p1")
+      .join(items.toDF("ok", "p2"), Seq("ok"))
+      .filter(col("p1") < col("p2"))
+      .groupBy(col("p1"), col("p2")).agg(count(lit(1)).as("n_ab"))
+      .orderBy(col("n_ab").desc, col("p1"), col("p2"))
+      .limit(100)
+    val support = items.groupBy(col("p").as("v"))
+      .agg(count(lit(1)).as("n_v"))
+    val nOrders = items.select(countDistinct(col("ok")).as("n_orders"))
+    pairs
+      .join(support.select(col("v"), col("n_v").as("n_a")),
+        col("p1") === col("v")).drop("v")
+      .join(support.select(col("v"), col("n_v").as("n_b")),
+        col("p2") === col("v")).drop("v")
+      .crossJoin(nOrders)
+      .select(col("p1"), col("p2"), col("n_ab"), col("n_a"), col("n_b"),
+        (col("n_ab").cast("double") / col("n_a").cast("double"))
+          .as("confidence"),
+        ((col("n_orders") * col("n_ab")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double")).as("lift"))
+      .orderBy(col("n_ab").desc, col("p1"), col("p2"))
+  }
+
+  /** Same shapes: per-order distinct items, pair self-join, the same
+    * integer products cast to DOUBLE before their single division.
+    */
+  val basketLiftSql: String =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+      |), pairs AS (
+      |  SELECT a.p AS p1, b.p AS p2, count(*) AS n_ab
+      |  FROM items a JOIN items b ON a.ok = b.ok AND a.p < b.p
+      |  GROUP BY 1, 2
+      |  ORDER BY n_ab DESC, p1, p2 LIMIT 100
+      |), support AS (
+      |  SELECT p AS v, count(*) AS n_v FROM items GROUP BY p
+      |), no AS (
+      |  SELECT count(DISTINCT ok) AS n_orders FROM items
+      |)
+      |SELECT p1, p2, n_ab, sa.n_v AS n_a, sb.n_v AS n_b,
+      |       CAST(n_ab AS DOUBLE) / CAST(sa.n_v AS DOUBLE) AS confidence,
+      |       CAST((SELECT n_orders FROM no) * n_ab AS DOUBLE)
+      |         / CAST(sa.n_v * sb.n_v AS DOUBLE) AS lift
+      |FROM pairs
+      |JOIN support sa ON sa.v = p1
+      |JOIN support sb ON sb.v = p2
+      |ORDER BY n_ab DESC, p1, p2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_basket_lift" -> (basketLift _),
     "rel_listagg" -> (listAgg _),
     "rel_null_safe_join" -> (nullSafeJoin _),
     "rel_grouping_sets" -> (groupingSets _),
@@ -961,6 +1038,7 @@ object Relational3 {
   )
 
   val oracle: Map[String, String] = Map(
+    "rel_basket_lift" -> basketLiftSql,
     "rel_listagg" -> listAggSql,
     "rel_null_safe_join" -> nullSafeJoinSql,
     "rel_grouping_sets" -> groupingSetsSql,
