@@ -390,14 +390,41 @@ object Graph {
     */
   def commonNeighbors(s: SparkSession, d: String): DataFrame = {
     val e0 = coOrderEdges(s, d)
-    val und = e0.select(col("p1").as("a"), col("p2").as("b"))
-      .unionAll(e0.select(col("p2").as("a"), col("p1").as("b")))
-    val adj = und.groupBy(col("a").as("v"))
-      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    // The undirected adjacency is materialized ONCE per corpus (the
+    // coOrderEdges discipline): referenced inline it is aggregated
+    // TWICE (once per endpoint join — two ObjectHashAggregate
+    // subtrees in the plan), and the list-aggregation buffers are the
+    // memory hot spot of the whole query; the scratch parquet is read
+    // back columnar (unboxed arrays) by both joins instead.
+    val adj = graft.util.ScratchIndex.materialize(
+        s, s"adj_und_v1_${d.hashCode.toHexString}") {
+      val und = e0.select(col("p1").as("a"), col("p2").as("b"))
+        .unionAll(e0.select(col("p2").as("a"), col("p1").as("b")))
+      und.groupBy(col("a").as("v"))
+        .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    }
+    // Join strategy is HINTED to shuffle-hash, adjacency as the build
+    // side — the one shape where the planner's SMJ default is
+    // measurably wrong: an SMJ must SORT the probe stream, and after
+    // the first join every probe row carries a ~1 KB UNDIRECTED
+    // neighbor array (2x the oriented arrays triangles sorts, which
+    // already spill 4.2 GB at sf10) — measured at sf10 the SMJ
+    // variant either externalizes catastrophically (195 GB spill for
+    // 28 GB of shuffle, 704 s) or OOMs the 8 GB profile heap outright
+    // (reproduced twice); the shuffle-hash plan completes the same
+    // corpus in 290 s with ZERO spill. The hash build side is the
+    // adjacency — 8·Σdeg bytes / shuffle-partition count, and the
+    // partition count tracks input bytes (the repo sizing rule), so
+    // the per-task build map stays bounded at any corpus size. The
+    // array payload still moves once per edge (the inherent wedge
+    // volume, compressed into per-vertex arrays); what the hint
+    // removes is sorting it.
     e0
-      .join(adj.withColumnRenamed("nbrs", "na"), col("p1") === col("v"))
+      .join(adj.withColumnRenamed("nbrs", "na").hint("shuffle_hash"),
+        col("p1") === col("v"))
       .drop("v")
-      .join(adj.withColumnRenamed("nbrs", "nb"), col("p2") === col("v"))
+      .join(adj.withColumnRenamed("nbrs", "nb").hint("shuffle_hash"),
+        col("p2") === col("v"))
       .drop("v")
       .select(col("p1"), col("p2"),
         graft.functions.SetSimilarityFunctions
