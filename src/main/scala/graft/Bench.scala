@@ -296,8 +296,36 @@ object Bench {
     }
     val (cold, coldStalls) = adjudicate(coldRaw, warmRaw.map {
       case (n, (t, _)) => n -> t })
-    val (warm, warmStalls) = adjudicate(warmRaw, cold)
+    val (warmAdj, warmStalls) = adjudicate(warmRaw, cold)
     val stallCount = coldStalls.size + warmStalls.size
+
+    // Mid-run WINDOW-SHIFT guard (VERDICT r13 #7): BENCH_r13 started
+    // healthy (io_pre 427) and ended in the deepest throttle band
+    // (io_post 36.7) with ZERO stall re-runs — the stall heuristic
+    // compares each sweep against the OTHER sweep, so a throttle that
+    // degrades BOTH sweeps' tails together is invisible to it. When
+    // the pre/post write probes diverge >3×, re-run the top-K slowest
+    // WARM cells once, post-sweep, and min-merge into warm — warm is
+    // the steady-state number BENCH_HISTORY compares across rounds,
+    // and a post-sweep isolated run measures exactly that state. Cold
+    // is left untouched (a post-sweep re-run has no first-touch work
+    // left to pay, so merging it into cold would understate cold);
+    // the shift is annotated on both JSON lines instead.
+    val windowShifted =
+      math.max(ioPre, ioPost) >
+        3.0 * math.max(math.min(ioPre, ioPost), 1e-9)
+    var shiftReruns = 0
+    val warm: Map[String, Double] =
+      if (!windowShifted) warmAdj
+      else warmAdj.toSeq.sortBy(-_._2).take(8).foldLeft(warmAdj) {
+        case (acc, (n, t)) =>
+          timeOne(SparkEntry.queries(n)) match {
+            case Right((r, _)) =>
+              shiftReruns += 1
+              if (r < t) acc + (n -> r) else acc
+            case _ => acc
+          }
+      }
     val ioDegraded = ioMbps < 60.0 || stallCount > 0
 
     def jmap(m: Map[String, Double], fmt: Double => String): String =
@@ -344,6 +372,7 @@ object Bench {
       s""""stalls_cold":${jmap(coldStalls, _.toString)},""" +
       s""""stalls_warm":${jmap(warmStalls, _.toString)},""" +
       s""""io_mbps_pre":$ioPre,"io_mbps_post":$ioPost,""" +
+      s""""window_shifted":$windowShifted,"shift_reruns":$shiftReruns,""" +
       s""""scan_direct_mbps":$scanDirect,"scan_cached_mbps":$scanCached,""" +
       s""""scratch":"${graft.util.ScratchIndex.base.getPath}",""" +
       s""""failed":${jlist(coldFailed)},"sf":"$sfDir"}""")
@@ -367,7 +396,10 @@ object Bench {
           else ""
         s""""failed":${jlist(shown)},$more"""
       }
-    val queriesBudget = math.max(400, 1550 - failedPart.length)
+    // the fixed window_shifted/shift_reruns fields joined the compact
+    // line, so the variable queries map cedes them ~50 chars of the
+    // shared ~2000-char driver stdout-tail budget
+    val queriesBudget = math.max(400, 1500 - failedPart.length)
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
       s""""queries":${compactQueries(cold, queriesBudget)},""" +
       s""""warm_total":${r2(warmTotal)},$failedPart"n":${cold.size},""" +

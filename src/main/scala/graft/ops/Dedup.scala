@@ -215,7 +215,7 @@ object Dedup {
     */
   private[graft] def signatureTable(s: SparkSession, d: String): DataFrame =
     graft.util.ScratchIndex.materialize(
-      s, s"minhash_v1_${d.hashCode.toHexString}") {
+      s, s"minhash_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
       minhashSignatures(documents(s, d).select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("sig"), shingles(col("text")).as("sh"))
     }
@@ -251,7 +251,7 @@ object Dedup {
     */
   private[graft] def candidateEdges(s: SparkSession, d: String): DataFrame =
     graft.util.ScratchIndex.materialize(
-      s, s"lshcand_v1_${d.hashCode.toHexString}") {
+      s, s"lshcand_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
       val sigs = signatureTable(s, d)
       val bands = bandsOf(sigs)
       // NOTE (round 10): hand-caching `bands` and semi-join-pruning
@@ -369,7 +369,7 @@ object Dedup {
   private[graft] def baseIndexSigs(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     graft.util.ScratchIndex.materialize(
-      s, s"minhash_base_v1_${d.hashCode.toHexString}") {
+      s, s"minhash_base_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
       minhashSignatures(docs.filter(!deltaDocPred))
         .select(col("doc_id"), col("sig"), shingles(col("text")).as("sh"))
     }
@@ -380,7 +380,7 @@ object Dedup {
     */
   private[graft] def baseIndexEdges(s: SparkSession, d: String): DataFrame =
     graft.util.ScratchIndex.materialize(
-      s, s"lshbase_v1_${d.hashCode.toHexString}") {
+      s, s"lshbase_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
       val bands = bandsOf(baseIndexSigs(s, d))
       verifyEdges(
         bands.as("x").join(bands.as("y"),
@@ -400,7 +400,7 @@ object Dedup {
     */
   private[graft] def baseIndexBands(s: SparkSession, d: String): DataFrame =
     graft.util.ScratchIndex.materialize(
-      s, s"lshbasebands_v1_${d.hashCode.toHexString}") {
+      s, s"lshbasebands_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
       bandsOf(baseIndexSigs(s, d))
         .select(col("doc_id"), col("band_idx"), col("band_sig"))
     }
@@ -672,7 +672,7 @@ object Dedup {
     // calls read the memoized assignment table instead of re-looping
     var toRelease: List[DataFrame] = Nil
     val clusters = graft.util.ScratchIndex.materialize(
-        s, s"dedupclusters_v2_${d.hashCode.toHexString}") {
+        s, s"dedupclusters_v2_${graft.util.ScratchIndex.corpusTag(d)}") {
     val pairs = candidateEdges(s, d)
       .filter(col("jaccard") >= 0.5)
       .select(col("a_id"), col("b_id"))
@@ -813,7 +813,7 @@ object Dedup {
   private[graft] def baseClusterLabels(s: SparkSession, d: String): DataFrame = {
     var toRelease: List[DataFrame] = Nil
     val out = graft.util.ScratchIndex.materialize(
-        s, s"dedupclustbase_v1_${d.hashCode.toHexString}") {
+        s, s"dedupclustbase_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
       val pairs = baseIndexEdges(s, d)
         .filter(col("jaccard") >= 0.5)
         .select(col("a_id"), col("b_id"))
@@ -831,7 +831,7 @@ object Dedup {
   def dedupClustersIncremental(s: SparkSession, d: String): DataFrame = {
     var toRelease: List[DataFrame] = Nil
     val clusters = graft.util.ScratchIndex.materialize(
-        s, s"dedupclustinc_v1_${d.hashCode.toHexString}") {
+        s, s"dedupclustinc_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
       val eDelta = deltaVerifiedEdges(s, d)
         .filter(col("jaccard") >= 0.5)
         .select(col("a_id"), col("b_id"))

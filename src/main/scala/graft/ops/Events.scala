@@ -297,9 +297,24 @@ object Events {
     * after the previous stage's). Three keyed aggregates chained by
     * co-partitioned joins on user_id — at scale every step shuffles
     * on the same key, so AQE reuses the partitioning; no windows, no
-    * global state. Single-row summary: users reaching each stage +
-    * mean view→purchase latency (integer-µs arithmetic end to end:
-    * exact BIGINT sum, one shared division, no rounding).
+    * global state.
+    *
+    * ONE plan, zero driver-side actions: the stage relations are
+    * LEFT-joined v→c→p on user_id and all three stage counts plus
+    * the latency summary come out of a single aggregate — count(tv)
+    * counts every v row, count(tc)/count(tp) count only matched
+    * stages. The previous form ran v.count() and c.count() as
+    * separate jobs with nothing persisted, re-executing the events
+    * scan + view aggregation up to 6× across 3 jobs; in the single
+    * plan Catalyst's ReuseExchange dedupes the identical v/c shuffle
+    * subtrees so each stage aggregate materializes once.
+    *
+    * Latency stays integer-µs end to end: exact BIGINT sum (null
+    * tp−tv rows are skipped by sum, matching the old p-only scan),
+    * ONE shared division — both engines compute bit-identical
+    * doubles (element-wise /1000.0 before summing would accumulate
+    * engine-order-dependent error; no round: the true k/(1000n)
+    * ratio CAN land on a real decimal tie, taxonomy case 2).
     */
   def funnel(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
@@ -315,22 +330,14 @@ object Events {
       .join(c, Seq("user_id"))
       .filter(col("tsu") >= col("tc"))
       .groupBy(col("user_id"))
-      .agg(min(col("tsu")).as("tp"), first(col("tv")).as("tv"))
-    val nv = v.count()
-    val nc = c.count()
-    // avg over exact integer µs, ONE division at the end — both
-    // engines compute bit-identical doubles (element-wise /1000.0
-    // before summing would accumulate engine-order-dependent error).
-    // No round: the true k/(1000n) ratio CAN land on a real decimal
-    // tie (taxonomy case 2) — sum(long) stays exact, and the single
-    // identically-shaped division matches bit-for-bit cross-engine.
-    val summary = p
-      .select((col("tp") - col("tv")).as("latency_us"))
-      .agg(count(lit(1)).as("n_purchase"),
-        (sum(col("latency_us")) / (lit(1000.0) * count(lit(1))))
+      .agg(min(col("tsu")).as("tp"))
+    v.join(c.select(col("user_id"), col("tc")), Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(count(col("tv")).as("n_view"),
+        count(col("tc")).as("n_click"),
+        count(col("tp")).as("n_purchase"),
+        (sum(col("tp") - col("tv")) / (lit(1000.0) * count(col("tp"))))
           .as("avg_view_to_purchase_ms"))
-    summary.select(lit(nv).as("n_view"), lit(nc).as("n_click"),
-      col("n_purchase"), col("avg_view_to_purchase_ms"))
   }
 
   val funnelSql: String =

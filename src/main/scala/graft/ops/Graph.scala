@@ -37,7 +37,7 @@ object Graph {
     */
   private def coOrderEdges(s: SparkSession, d: String): DataFrame =
     graft.util.ScratchIndex.materialize(
-      s, s"edges_v1_${d.hashCode.toHexString}")(coOrderEdgesPlan(s, d))
+      s, s"edges_v1_${graft.util.ScratchIndex.corpusTag(d)}")(coOrderEdgesPlan(s, d))
 
   /** Triangle count over the co-purchase graph: the classic
     * three-way distributed equi-join on canonically-oriented edges
@@ -149,7 +149,7 @@ object Graph {
   def bfsHops(s: SparkSession, d: String): DataFrame = {
     var toRelease: List[DataFrame] = Nil
     val dists = graft.util.ScratchIndex.materialize(
-        s, s"bfshops_v1_${d.hashCode.toHexString}") {
+        s, s"bfshops_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
       val (visited, counts, acquired) = bfsWalk(s, d)
       toRelease = acquired
       // one log line per corpus build: the per-hop frontier sizes ARE
@@ -270,7 +270,7 @@ object Graph {
   def pagerank(s: SparkSession, d: String): DataFrame = {
     var toRelease: List[DataFrame] = Nil
     val ranked = graft.util.ScratchIndex.materialize(
-        s, s"pagerank_v1_${d.hashCode.toHexString}") {
+        s, s"pagerank_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
       val e0 = coOrderEdges(s, d)
       val e = e0.select(col("p1").as("src"), col("p2").as("dst"))
         .unionAll(e0.select(col("p2").as("src"), col("p1").as("dst")))
@@ -397,7 +397,7 @@ object Graph {
     // memory hot spot of the whole query; the scratch parquet is read
     // back columnar (unboxed arrays) by both joins instead.
     val adj = graft.util.ScratchIndex.materialize(
-        s, s"adj_und_v1_${d.hashCode.toHexString}") {
+        s, s"adj_und_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
       val und = e0.select(col("p1").as("a"), col("p2").as("b"))
         .unionAll(e0.select(col("p2").as("a"), col("p1").as("b")))
       und.groupBy(col("a").as("v"))
@@ -439,9 +439,16 @@ object Graph {
   }
 
   /** Wedge-enumeration replay: DuckDB has no sorted-merge kernel, so
-    * the oracle counts common neighbors the relational way (und ⋈ und
-    * on the shared endpoint) — correct but corpus-quadratic, which is
-    * exactly why the engine side doesn't do it this way. LEFT join +
+    * the oracle counts common neighbors the relational way — but
+    * ANCHORED on the edge list (e0 ⋈ und ⋈ und), not the free und⋈und
+    * self-join of the whole graph: the free form is corpus-quadratic
+    * in degree (~40× the edge count here) and would make the oracle's
+    * cost grow much faster than the engine's at larger scale factors
+    * (ADVICE r13). Joining x onto e0.p1 and y onto e0.p2 with x.b=y.b
+    * enumerates shared neighbors ONLY for existing edges — identical
+    * counts (neither neighborhood contains its own vertex, so the
+    * endpoints never self-count), wedge volume Σ_(a,b)∈E min-ish of
+    * the endpoint degrees instead of Σ_v deg(v)². LEFT join +
     * coalesce keeps zero-embeddedness edges rankable (they only
     * surface on corpora with < 100 triangle-supported edges).
     */
@@ -457,8 +464,10 @@ object Graph {
       |), deg AS (
       |  SELECT a AS v, count(*) AS degree FROM und GROUP BY a
       |), wedge AS (
-      |  SELECT x.a AS p1, y.a AS p2, count(*) AS cn
-      |  FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
+      |  SELECT e.p1, e.p2, count(*) AS cn
+      |  FROM e0 e
+      |  JOIN und x ON x.a = e.p1
+      |  JOIN und y ON y.a = e.p2 AND y.b = x.b
       |  GROUP BY 1, 2
       |)
       |SELECT e0.p1, e0.p2, coalesce(w.cn, 0) AS cn,
@@ -472,12 +481,117 @@ object Graph {
       |JOIN deg db ON db.v = e0.p2
       |ORDER BY cn DESC, e0.p1, e0.p2 LIMIT 100""".stripMargin
 
+  /** Fixed propagation-round count for [[labelProp]]. Bounded like
+    * [[MaxHops]]/[[PrIters]] so both engines run the identical round
+    * count: a convergence-stop would make the oracle comparison
+    * depend on when each engine detects quiescence. Four rounds
+    * carry the minimum label past this graph's ~3-4 diameter.
+    */
+  private val LpRounds = 4
+
+  /** Bounded-round minimum-label propagation: community assignment
+    * over the undirected co-purchase graph — the label/community
+    * complement to [[bfsHops]] (distance) and [[pagerank]]
+    * (authority), completing the link-graph-curation family. Every
+    * vertex starts labeled with its own id; each round relabels to
+    * the minimum of its own label and its neighbors' labels, so after
+    * R rounds a vertex carries the smallest vertex id within R hops —
+    * deterministic (min is order-insensitive), integer-only (no
+    * float-tie surface), and exactly replayable by an unrolled CTE.
+    *
+    * Plan shape at scale: the same iterative-join discipline as
+    * [[pagerank]] — each round is ONE labels⋈edges equi-join + one
+    * keyed min-aggregation, shuffling O(|E|) label rows per round,
+    * with the FIXED round count (not the corpus) bounding the number
+    * of shuffles. The symmetric edge relation is the loop invariant
+    * (persisted once); per-round labels are persisted and
+    * lineage-truncated, and the converged assignment is memoized per
+    * corpus via ScratchIndex like the BFS/pagerank tables. Community
+    * sizes are joined on at the end (one extra keyed agg) so the
+    * oracle hash pins the partition structure, not just the labels.
+    */
+  def labelProp(s: SparkSession, d: String): DataFrame = {
+    var toRelease: List[DataFrame] = Nil
+    val labeled = graft.util.ScratchIndex.materialize(
+        s, s"labelprop_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
+      val e0 = coOrderEdges(s, d)
+      val e = e0.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionAll(e0.select(col("p2").as("src"), col("p1").as("dst")))
+        .persist()
+      toRelease ::= e
+      // every vertex appears as src in the symmetric relation, so
+      // this distinct covers the full vertex set
+      var labels = e.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl"))
+      for (_ <- 1 to LpRounds) {
+        val next = e.join(labels, e("src") === labels("v"))
+          .select(col("dst").as("v"), col("lbl"))
+          .unionAll(labels)
+          .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
+          .persist()
+        toRelease ::= next
+        labels = org.apache.spark.sql.GraftColumnBridge
+          .truncateLineage(next)
+      }
+      val sizes = labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_members"))
+      labels.join(sizes, "lbl")
+        .select(col("v"), col("lbl").as("community"), col("n_members"))
+    }
+    toRelease.foreach(_.unpersist())
+    labeled.orderBy("v")
+  }
+
+  /** Unrolled 4-round replay (aggregation in a recursive term is
+    * disallowed, same constraint as [[pagerankSql]]); each round is
+    * the identical neighbor-min + self-union shape the Spark loop
+    * runs, so the integer labels match exactly.
+    */
+  val labelPropSql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM lineitem a
+      |  JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e AS (
+      |  SELECT p1 AS src, p2 AS dst FROM e0
+      |  UNION ALL SELECT p2, p1 FROM e0
+      |), l0 AS (
+      |  SELECT DISTINCT src AS v, src AS lbl FROM e
+      |), l1 AS (
+      |  SELECT v, min(lbl) AS lbl FROM (
+      |    SELECT e.dst AS v, l.lbl FROM e JOIN l0 l ON e.src = l.v
+      |    UNION ALL SELECT v, lbl FROM l0
+      |  ) GROUP BY v
+      |), l2 AS (
+      |  SELECT v, min(lbl) AS lbl FROM (
+      |    SELECT e.dst AS v, l.lbl FROM e JOIN l1 l ON e.src = l.v
+      |    UNION ALL SELECT v, lbl FROM l1
+      |  ) GROUP BY v
+      |), l3 AS (
+      |  SELECT v, min(lbl) AS lbl FROM (
+      |    SELECT e.dst AS v, l.lbl FROM e JOIN l2 l ON e.src = l.v
+      |    UNION ALL SELECT v, lbl FROM l2
+      |  ) GROUP BY v
+      |), l4 AS (
+      |  SELECT v, min(lbl) AS lbl FROM (
+      |    SELECT e.dst AS v, l.lbl FROM e JOIN l3 l ON e.src = l.v
+      |    UNION ALL SELECT v, lbl FROM l3
+      |  ) GROUP BY v
+      |), sizes AS (
+      |  SELECT lbl, count(*) AS n_members FROM l4 GROUP BY lbl
+      |)
+      |SELECT l4.v, l4.lbl AS community, sizes.n_members
+      |FROM l4 JOIN sizes ON l4.lbl = sizes.lbl
+      |ORDER BY l4.v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles"  -> (triangles _),
     "graph_degree_hist" -> (degreeHistogram _),
     "graph_bfs_hops"   -> (bfsHops _),
     "graph_pagerank"   -> (pagerank _),
     "graph_common_neighbors" -> (commonNeighbors _),
+    "graph_label_prop" -> (labelProp _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -486,5 +600,6 @@ object Graph {
     "graph_bfs_hops"   -> bfsHopsSql,
     "graph_pagerank"   -> pagerankSql,
     "graph_common_neighbors" -> commonNeighborsSql,
+    "graph_label_prop" -> labelPropSql,
   )
 }

@@ -326,7 +326,7 @@ object Similarity {
     */
   private[graft] def baseIvfPostingsPath(s: SparkSession, d: String): String =
     graft.util.ScratchIndex.materializePath(
-      s, s"ivfbase_v3_${d.hashCode.toHexString}") { tmp =>
+      s, s"ivfbase_v3_${graft.util.ScratchIndex.corpusTag(d)}") { tmp =>
       embRelation(s, d).filter(!deltaVecPred)
         .withColumn("cent_id", bestCentroid(baseIvfCentroids(s, d)))
         // the cell id rides in the FILES too (`cell`), not only in
@@ -371,7 +371,7 @@ object Similarity {
     */
   private[graft] def deltaIvfPostingsPath(s: SparkSession, d: String): String =
     graft.util.ScratchIndex.materializePath(
-      s, s"ivfdelta_v2_${d.hashCode.toHexString}") { tmp =>
+      s, s"ivfdelta_v2_${graft.util.ScratchIndex.corpusTag(d)}") { tmp =>
       embRelation(s, d).filter(deltaVecPred)
         .withColumn("cent_id", bestCentroid(baseIvfCentroids(s, d)))
         .withColumn("cell", col("cent_id"))
@@ -834,7 +834,7 @@ object Similarity {
     */
   private def knnGraphEdges(s: SparkSession, d: String): DataFrame =
     graft.util.ScratchIndex.materialize(
-      s, s"knngraph_v1_${d.hashCode.toHexString}") {
+      s, s"knngraph_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
       val cents = ivfCentroids(s, d)
       val assigned = embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))

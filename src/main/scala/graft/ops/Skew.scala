@@ -164,7 +164,7 @@ object Skew {
     val skewKey = when(pmod(col("user_id"), lit(10)) < 8, 0L)
       .otherwise(col("user_id"))
     val dimPath = graft.util.ScratchIndex
-      .dir(s"skew_dim_${d.hashCode.toHexString}").toString
+      .dir(s"skew_dim_${graft.util.ScratchIndex.corpusTag(d)}").toString
     events(s, d).select(skewKey.as("k")).distinct()
       .withColumn("k_tag", concat(lit("u"), col("k")))
       .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dimPath)
@@ -353,7 +353,7 @@ object Skew {
 
   private[graft] def cboStatsDb(s: SparkSession, d: String): String =
     cboDbs.getOrElseUpdate(d, {
-      val db = s"graft_cbo_${d.hashCode.toHexString}"
+      val db = s"graft_cbo_${graft.util.ScratchIndex.corpusTag(d)}"
       for (t <- Seq("lineitem_c", "part_c", "supplier_c")) {
         s.sql(s"DROP TABLE IF EXISTS $db.$t")
         // the warehouse dir outlives the per-JVM Derby metastore

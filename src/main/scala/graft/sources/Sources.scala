@@ -123,7 +123,7 @@ object Sources {
     val db = "graft_buckets"
     s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
     val nb = graft.util.Sizing.writeUnits(s, d, "orders")
-    val tag = s"${d.hashCode.toHexString}_$nb"
+    val tag = s"${graft.util.ScratchIndex.corpusTag(d)}_$nb"
 
     // Build (at most once per corpus per JVM) a bucketed layout at a
     // scratch path, then make sure a catalog entry points at it: the
@@ -278,7 +278,7 @@ object Sources {
     // it — exactly the warehouse shape, and the bench then measures
     // the DPP join instead of re-exporting the fact table every run
     val fact = graft.util.ScratchIndex.materializePath(
-      s, s"dppfact_${d.hashCode.toHexString}") { p =>
+      s, s"dppfact_${graft.util.ScratchIndex.corpusTag(d)}") { p =>
       lineitem(s, d)
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
           year(col("l_shipdate")).as("ship_year"))
@@ -286,7 +286,7 @@ object Sources {
     }
     // dimension as a real (scanned) relation, filtered at query time
     val dim = graft.util.ScratchIndex.materializePath(
-      s, s"dppdim_${d.hashCode.toHexString}") { p =>
+      s, s"dppdim_${graft.util.ScratchIndex.corpusTag(d)}") { p =>
       s.range(1992, 1999).toDF("y")
         .select(col("y").cast("int").as("ship_year"),
           when(col("y") >= 1996, "recent").otherwise("legacy").as("era"))
@@ -421,7 +421,7 @@ object Sources {
     // look super-linear at the 100x fixture: 19.5 s, of which ~16 s
     // was the repeated 1.5M-row clustered export.)
     val out = graft.util.ScratchIndex.materializePath(s,
-      s"orders_skip_${d.hashCode.toHexString}") { tmp =>
+      s"orders_skip_${graft.util.ScratchIndex.corpusTag(d)}") { tmp =>
       orders(s, d)
         .select(col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice"), col("o_orderstatus"))
@@ -587,7 +587,7 @@ object Sources {
     * protocol delivered every partition's rows exactly once.
     */
   def dsv2SinkRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val name = s"orders_agg_${d.hashCode.toHexString}"
+    val name = s"orders_agg_${graft.util.ScratchIndex.corpusTag(d)}"
     MemorySink.drop(name) // append is cumulative now — idempotent demo
     orders(s, d)
       .groupBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -617,7 +617,7 @@ object Sources {
     * replacement commit wasn't atomic.
     */
   def dsv2SinkOverwrite(s: SparkSession, d: String): DataFrame = {
-    val name = s"orders_status_${d.hashCode.toHexString}"
+    val name = s"orders_status_${graft.util.ScratchIndex.corpusTag(d)}"
     MemorySink.drop(name)
     val agg = orders(s, d)
       .groupBy(col("o_orderstatus"))
@@ -661,7 +661,7 @@ object Sources {
     * hash.
     */
   def atomicPublish(s: SparkSession, d: String): DataFrame = {
-    val root = graft.util.ScratchIndex.dir(s"snap_${d.hashCode.toHexString}")
+    val root = graft.util.ScratchIndex.dir(s"snap_${graft.util.ScratchIndex.corpusTag(d)}")
     root.mkdirs()
     val agg = supplier(s, d)
       .join(nation(s, d), col("s_nationkey") === col("n_nationkey"))

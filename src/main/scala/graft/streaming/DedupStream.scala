@@ -118,7 +118,7 @@ object DedupStream {
     // genuinely splits it across micro-batches; memoized per corpus
     // (the landing is input, not run state)
     val landing = graft.util.ScratchIndex.materializePath(s,
-      s"lshidx_landing_${dir.hashCode.toHexString}") { tmp =>
+      s"lshidx_landing_${graft.util.ScratchIndex.corpusTag(dir)}") { tmp =>
       graft.util.Tables.documents(s, dir)
         .select(col("doc_id"), col("text"))
         .filter(dedup.deltaDocPred)
@@ -128,7 +128,7 @@ object DedupStream {
     // run state (appended index tables + checkpoint): FRESH per call —
     // appends accumulating across runs would duplicate the index
     val root = graft.util.ScratchIndex.dir(
-      s"lshidx_run_${dir.hashCode.toHexString}")
+      s"lshidx_run_${graft.util.ScratchIndex.corpusTag(dir)}")
     def rm(f: java.io.File): Unit = {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rm)
       f.delete(): Unit

@@ -758,7 +758,7 @@ object EventStream {
     // invocation would leak a full copy of the events table into /tmp
     // on every run (bench sweeps this twice per round)
     val out = graft.util.ScratchIndex
-      .dir(s"febatch_${dir.hashCode.toHexString}").toString
+      .dir(s"febatch_${graft.util.ScratchIndex.corpusTag(dir)}").toString
     deleteRecursively(new java.io.File(out))
     val src = eventsStream(s, dir)
       .select(col("event_id"), col("event_type"), col("value"))
@@ -957,7 +957,7 @@ object EventStream {
     * spec derives the offsets path from the same rule.
     */
   private[graft] def ckrecRoot(dir: String): java.io.File =
-    graft.util.ScratchIndex.dir(s"ckrec_${dir.hashCode.toHexString}")
+    graft.util.ScratchIndex.dir(s"ckrec_${graft.util.ScratchIndex.corpusTag(dir)}")
 
   def checkpointRecovery(s: SparkSession, dir: String): DataFrame = {
     val root = ckrecRoot(dir)
@@ -977,7 +977,7 @@ object EventStream {
     // stays per-run (the second half must arrive only mid-run)
     def half(tag: String, parity: Int): String =
       graft.util.ScratchIndex.materializePath(s,
-        s"ckrec_half_${tag}_${dir.hashCode.toHexString}") { tmp =>
+        s"ckrec_half_${tag}_${graft.util.ScratchIndex.corpusTag(dir)}") { tmp =>
         graft.util.Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"))
@@ -1392,7 +1392,7 @@ object EventStream {
     // Spark jobs (~1 s at sf0.1) that the measured query is not about.
     // Only the checkpoint (qid-scoped, below) must be fresh per run.
     val landingPath = graft.util.ScratchIndex.materializePath(s,
-      s"late_landing_${dir.hashCode.toHexString}")(tmp =>
+      s"late_landing_${graft.util.ScratchIndex.corpusTag(dir)}")(tmp =>
         buildLateLanding(s, dir, new java.io.File(tmp)))
     lateDataDropCore(s, dir, landingPath)
   }

@@ -108,6 +108,58 @@ object Profile {
             graft.SparkEntry.queries(name)(spark, sfDir).count()
           }
         }
+      case "annrecall" =>
+        // Recall@3 vs exact brute-force cosine for every ANN variant
+        // at the given corpus — the measured numbers behind the
+        // spec-pinned floors (VERDICT r13 #6: publish the table, not
+        // just the assertions). Ground truth is computed driver-side
+        // over the collected embeddings (bounded: the shared 20-query
+        // set × corpus scan, the same reimplementation the specs use);
+        // every index is deterministic (hash-seeded, no RNG), so these
+        // numbers are exactly reproducible per corpus.
+        import org.apache.spark.sql.functions.col
+        val vecs = graft.util.Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+          .map { r => r.getLong(0) ->
+            r.getSeq[Float](1).map(_.toDouble).toArray }.toMap
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+          }
+          d / math.sqrt(na * nb)
+        }
+        val exactTop3: Map[Long, Set[Long]] =
+          vecs.keys.filter(_ < 20).map { q =>
+            val qv = vecs(q)
+            q -> vecs.toSeq.filter(_._1 != q)
+              .map { case (id, v) => (id, cos(qv, v)) }
+              .sortBy { case (id, sc) => (-sc, id) }
+              .take(3).map(_._1).toSet
+          }.toMap
+        val variants: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+          "sim_ann_lsh"   -> graft.ops.Similarity.annLsh(spark, sfDir),
+          "sim_ann_ivf"   -> graft.ops.Similarity.annIvf(spark, sfDir),
+          "sim_ann_ivf_incremental" ->
+            graft.ops.Similarity.annIvfIncremental(spark, sfDir),
+          "sim_ann_pq"    -> graft.ops.Similarity.annPq(spark, sfDir),
+          "sim_ann_ivfpq" -> graft.ops.Similarity.annIvfPq(spark, sfDir),
+          "sim_ann_graph" -> graft.ops.Similarity.annGraph(spark, sfDir))
+        val cells = variants.map { case (name, df) =>
+          val byQ = df.select(col("q_id"), col("vec_id")).collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+          val perQ = exactTop3.map { case (q, truth) =>
+            (byQ.getOrElse(q, Set.empty) & truth).size.toDouble / truth.size
+          }
+          val recall = perQ.sum / perQ.size
+          println(f"[annrecall] $name%-26s recall@3 = $recall%.3f")
+          f""""$name":${recall}%.3f"""
+        }
+        println(s"""{"metric":"ann_recall_at_3","queries":""" +
+          cells.mkString("{", ",", "}") +
+          s""","n_queries":${exactTop3.size},"sf":"$sfDir"}""")
       case "als" =>
         import org.apache.spark.ml.recommendation.ALS
         val ratings = graft.recommend.AlsPipeline.ratings(spark)

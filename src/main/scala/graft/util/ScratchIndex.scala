@@ -253,6 +253,19 @@ object ScratchIndex {
     */
   def dir(key: String): File = { warnIfLowHeadroom(); new File(root, key) }
 
+  /** Collision-resistant corpus identifier for scratch keys: the
+    * sanitized corpus path itself, NOT a 32-bit `hashCode` — one JVM
+    * sweeping multiple corpora (the five-decade scaling sweeps) must
+    * never alias two corpora onto one key, and a path hash can
+    * (ADVICE r13). Underscore-folding keeps the tag a legal directory
+    * name AND a legal Hive database suffix (`[A-Za-z0-9_]` only — the
+    * CBO query derives a database name from it, which rejects dots).
+    * Corpus paths are short (< 60 chars), so the full path fits any
+    * filename limit with room for the key prefix.
+    */
+  def corpusTag(path: String): String =
+    path.replaceAll("[^A-Za-z0-9_]", "_")
+
   private def deleteRecursively(f: File): Unit = {
     val children = f.listFiles()
     if (children != null) children.foreach(deleteRecursively)

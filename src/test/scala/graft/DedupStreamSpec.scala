@@ -48,7 +48,7 @@ class DedupStreamSpec extends SparkTestBase {
     // jaccard columns) is the batch delta-edge relation, set-for-set
     val streamedEdges = spark.read.parquet(
       graft.util.ScratchIndex.dir(
-        s"lshidx_run_${sf.hashCode.toHexString}").toString + "/edges")
+        s"lshidx_run_${graft.util.ScratchIndex.corpusTag(sf)}").toString + "/edges")
       .as[(Long, Long, Double, Double)].collect().toSet
     val deltaEdges = Dedup.deltaVerifiedEdges(spark, sf)
       .as[(Long, Long, Double, Double)].collect().toSet

@@ -92,4 +92,30 @@ class GraphPageRankSpec extends SparkTestBase {
     assert(counts.count(_ === 0L) <= 1)
     assert(visN === seen.size.toLong)
   }
+
+  test("label propagation matches a plain-Scala min-label walk") {
+    // 4 synchronous rounds of label'(v) = min(label(v), min over
+    // N(v)) — the deterministic reimplementation of Graph.labelProp
+    var lbl: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 4)
+      lbl = lbl.map { case (v, l) =>
+        v -> math.min(l, adj(v).map(lbl).min)
+      }
+    val sizes = lbl.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val want = lbl.toSeq.map { case (v, c) => (v, c, sizes(c)) }
+      .sortBy(_._1)
+    val got = Graph.labelProp(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    // labels only ever move DOWN, to an id reachable within the round
+    // bound; n_members is a consistent partition of the vertex set
+    // (root membership is NOT asserted: under bounded rounds a
+    // community's eponymous vertex can itself relabel further down
+    // while distant members still carry it)
+    got.foreach { case (v, c, _) => assert(c <= v) }
+    got.groupBy(_._2).foreach { case (_, members) =>
+      assert(members.forall(_._3 === members.size.toLong))
+    }
+  }
 }

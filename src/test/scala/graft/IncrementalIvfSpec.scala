@@ -72,13 +72,19 @@ class IncrementalIvfSpec extends SparkTestBase {
     // partition filter must reach the persisted index's
     // FileSourceScan — otherwise the query reads the whole index and
     // the cost-∝-probed-lists claim is false
+    // the rendered Location field truncates at maxMetadataStringLength
+    // (default 100 chars) — the collision-resistant corpus-tagged
+    // scratch keys (ScratchIndex.corpusTag) push a posting-dir path
+    // past it, silently amputating the cent_id= suffix this test
+    // regexes for; raise the cap for this plan-string inspection
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     def indexDirs(df: org.apache.spark.sql.DataFrame): Set[String] = {
       // the answer plan is AQE-wrapped (joins): materialize, then read
       // the FINAL plan's scan locations from the rendered tree — each
       // per-list fetch is its own scan with exactly one root path, so
       // nothing is elided
       df.collect()
-      "ivfbase_v3_[0-9a-f]+/cent_id=[0-9]+".r
+      "ivfbase_v3_[A-Za-z0-9_]+/cent_id=[0-9]+".r
         .findAllIn(df.queryExecution.executedPlan.toString).toSet
     }
     def probedDirs(probed: Seq[Int]): Set[String] =

@@ -90,9 +90,12 @@ class PairAnalyticsSpec extends SparkTestBase {
   }
 
   test("transition matrix matches a plain-Scala sequence walk") {
-    val seqs = spark.read.parquet(s"$sf/events.parquet")
-      .select($"user_id", $"event_id",
-        unix_micros($"ts".cast("timestamp")).as("ts_us"), $"event_type")
+    // derive the expected sequences from Tables.events — the repo's
+    // single ts-encoding absorption point — so a generator drift back
+    // to a legacy encoding fails loudly in normalizeEventTime instead
+    // of silently reordering this spec's expectation (ADVICE r13)
+    val seqs = graft.util.Tables.events(spark, sf)
+      .select($"user_id", $"event_id", $"ts_us", $"event_type")
       .as[(Long, Long, Long, String)].collect()
       .groupBy(_._1).view
       .mapValues(_.sortBy(e => (e._3, e._2)).map(_._4).toSeq)

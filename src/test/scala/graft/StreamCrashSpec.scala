@@ -108,7 +108,7 @@ class StreamCrashSpec extends SparkTestBase {
     */
   private def stage(tag: String): (String, String, String, Long) = {
     val root = graft.util.ScratchIndex.dir(s"crash_${tag}_" +
-      sf.hashCode.toHexString)
+      graft.util.ScratchIndex.corpusTag(sf))
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit

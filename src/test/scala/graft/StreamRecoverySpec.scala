@@ -7,7 +7,7 @@ class StreamRecoverySpec extends SparkTestBase {
   test("sessionize output is micro-batch-count invariant") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.OutputMode
-    val root = graft.util.ScratchIndex.dir(s"sessmb_${sf.hashCode.toHexString}")
+    val root = graft.util.ScratchIndex.dir(s"sessmb_${graft.util.ScratchIndex.corpusTag(sf)}")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit
@@ -93,7 +93,7 @@ class StreamRecoverySpec extends SparkTestBase {
   test("tws timer emissions are micro-batch-count invariant") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.OutputMode
-    val root = graft.util.ScratchIndex.dir(s"twsmb_${sf.hashCode.toHexString}")
+    val root = graft.util.ScratchIndex.dir(s"twsmb_${graft.util.ScratchIndex.corpusTag(sf)}")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete(): Unit

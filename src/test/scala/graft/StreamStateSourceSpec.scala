@@ -24,7 +24,7 @@ class StreamStateSourceSpec extends SparkTestBase {
     // stage the corpus as FOUR files; one file per trigger forces a
     // genuinely multi-batch drain (landing is input → memoized)
     val landing = graft.util.ScratchIndex.materializePath(spark,
-      s"state_src_landing_${sf.hashCode.toHexString}") { tmp =>
+      s"state_src_landing_${graft.util.ScratchIndex.corpusTag(sf)}") { tmp =>
       events.repartition(4).write.parquet(tmp)
     }
     EventStream.lastStateRunBatches.set(0)

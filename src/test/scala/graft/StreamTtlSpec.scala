@@ -41,7 +41,7 @@ class StreamTtlSpec extends SparkTestBase {
 
   test("tws ttl evictions are micro-batch-count invariant") {
     import org.apache.spark.sql.streaming.OutputMode
-    val root = graft.util.ScratchIndex.dir(s"ttlmb_${sf.hashCode.toHexString}")
+    val root = graft.util.ScratchIndex.dir(s"ttlmb_${graft.util.ScratchIndex.corpusTag(sf)}")
     rm(root)
     val landing = new java.io.File(root, "landing")
     landing.mkdirs(): Unit
@@ -80,7 +80,7 @@ class StreamTtlSpec extends SparkTestBase {
   test("built-in TTLConfig expires state between micro-batches") {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
     import spark.implicits._
-    val root = graft.util.ScratchIndex.dir(s"ttlpt_${sf.hashCode.toHexString}")
+    val root = graft.util.ScratchIndex.dir(s"ttlpt_${graft.util.ScratchIndex.corpusTag(sf)}")
     rm(root)
     val landing = new java.io.File(root, "landing")
     landing.mkdirs(): Unit
@@ -91,7 +91,7 @@ class StreamTtlSpec extends SparkTestBase {
     val usersA = halfA.select("user_id").distinct().count()
     val usersB = halfB.select("user_id").distinct().count()
     land(halfA.drop("event_id"), root, landing, 0)
-    val name = s"ttlpt_sink_${sf.hashCode.toHexString}"
+    val name = s"ttlpt_sink_${graft.util.ScratchIndex.corpusTag(sf)}"
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = spark.conf.getOption(providerKey)
     spark.conf.set(providerKey,
