@@ -585,6 +585,147 @@ object Graph {
       |FROM l4 JOIN sizes ON l4.lbl = sizes.lbl
       |ORDER BY l4.v""".stripMargin
 
+  /** Fixed peel-round count for [[kcorePeel]]. Bounded like
+    * [[LpRounds]]/[[PrIters]]/[[MaxHops]] so both engines run the
+    * identical round count; on this near-uniform co-purchase graph
+    * the peel at K = ⌊avg degree⌋ quiesces (empties or stabilizes)
+    * within 3 rounds, so 4 covers convergence with a spare round.
+    */
+  private val KcRounds = 4
+
+  /** Bounded-round k-core peeling: per-vertex PEEL LAYER (the number
+    * of peel rounds survived at threshold K = ⌊average degree⌋) over
+    * the undirected co-purchase graph — the density/coreness
+    * complement to [[bfsHops]] (distance), [[pagerank]] (authority)
+    * and [[labelProp]] (community). Each round simultaneously removes
+    * every vertex whose degree in the CURRENT subgraph is below K and
+    * restricts the edge relation to the survivors; a vertex's layer
+    * is the last round it survived (0 = peeled immediately,
+    * [[KcRounds]] = still in the residual core). The layer is the
+    * standard graph-curation density score (which vertices sit in a
+    * well-connected region vs hang off the periphery), and emitting
+    * it per vertex keeps the output total — every vertex gets a row —
+    * so the hash pins the entire peel cascade, not just the
+    * (possibly empty) final core.
+    *
+    * K adapts to the corpus as ⌊2|E| / |V|⌋ computed by exact INTEGER
+    * division from two bounded scalar actions (the pagerank-n
+    * discipline) — both engines truncate the same positive longs, so
+    * no float enters the threshold. All emitted columns are integers:
+    * no float-tie surface anywhere.
+    *
+    * Plan shape at scale: the same iterative-join discipline as
+    * [[pagerank]]/[[labelProp]] — each round is ONE keyed count
+    * aggregation over the current edges plus TWO semi-joins
+    * restricting the edge relation, all O(|E|) shuffles, with the
+    * FIXED round count bounding the number of shuffles. Per-round
+    * edge relations are persisted and lineage-truncated; the loop
+    * SHORT-CIRCUITS when a round's survivor set is empty (later
+    * rounds are no-ops on an empty subgraph); the converged layer
+    * table is memoized per corpus via ScratchIndex.
+    */
+  def kcorePeel(s: SparkSession, d: String): DataFrame = {
+    var toRelease: List[DataFrame] = Nil
+    val layered = graft.util.ScratchIndex.materialize(
+        s, s"kcore_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
+      val e0 = coOrderEdges(s, d)
+      val sym = e0.select(col("p1").as("src"), col("p2").as("dst"))
+        .unionAll(e0.select(col("p2").as("src"), col("p1").as("dst")))
+        .persist()
+      toRelease ::= sym
+      val deg0 = sym.groupBy(col("src").as("v"))
+        .agg(count(lit(1)).as("degree"))
+        .persist()
+      toRelease ::= deg0
+      // two bounded scalars to the driver; Long division truncates
+      // positives exactly like the oracle's integer `//`
+      val k = sym.count() / deg0.count()
+      var edges = sym
+      // survivors of round r, tagged r; round 0 = the full vertex set
+      var tagged = deg0.select(col("v"), lit(0L).as("r"))
+      var r = 1
+      var alive = true
+      while (r <= KcRounds && alive) {
+        val surv = edges.groupBy(col("src").as("v"))
+          .agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("v"))
+          .persist()
+        toRelease ::= surv
+        alive = surv.count() > 0L
+        if (alive) {
+          tagged = tagged.unionAll(surv.withColumn("r", lit(r.toLong)))
+          val next = edges
+            .join(surv, edges("src") === surv("v"), "left_semi")
+            .join(surv, edges("dst") === surv("v"), "left_semi")
+            .persist()
+          toRelease ::= next
+          edges = org.apache.spark.sql.GraftColumnBridge
+            .truncateLineage(next)
+        }
+        r += 1
+      }
+      deg0.join(
+        tagged.groupBy(col("v")).agg(max(col("r")).as("layer")), "v")
+        .select(col("v"), col("degree"), col("layer"))
+    }
+    toRelease.foreach(_.unpersist())
+    layered.orderBy("v")
+  }
+
+  /** Unrolled 4-round replay; layer via nested-core membership
+    * (s4 ⊆ s3 ⊆ s2 ⊆ s1, so the first non-null from the deepest side
+    * is the last round survived). `//` is DuckDB integer division —
+    * the same positive-long truncation the Spark driver computes.
+    */
+  val kcorePeelSql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM lineitem a
+      |  JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), e AS (
+      |  SELECT p1 AS src, p2 AS dst FROM e0
+      |  UNION ALL SELECT p2, p1 FROM e0
+      |), deg AS (
+      |  SELECT src AS v, count(*) AS degree FROM e GROUP BY src
+      |), kk AS (
+      |  SELECT (SELECT count(*) FROM e) // (SELECT count(*) FROM deg)
+      |    AS k
+      |), s1 AS (
+      |  SELECT src AS v FROM e
+      |  GROUP BY src HAVING count(*) >= (SELECT k FROM kk)
+      |), e1 AS (
+      |  SELECT e.src, e.dst FROM e
+      |  JOIN s1 a ON e.src = a.v JOIN s1 b ON e.dst = b.v
+      |), s2 AS (
+      |  SELECT src AS v FROM e1
+      |  GROUP BY src HAVING count(*) >= (SELECT k FROM kk)
+      |), e2 AS (
+      |  SELECT e1.src, e1.dst FROM e1
+      |  JOIN s2 a ON e1.src = a.v JOIN s2 b ON e1.dst = b.v
+      |), s3 AS (
+      |  SELECT src AS v FROM e2
+      |  GROUP BY src HAVING count(*) >= (SELECT k FROM kk)
+      |), e3 AS (
+      |  SELECT e2.src, e2.dst FROM e2
+      |  JOIN s3 a ON e2.src = a.v JOIN s3 b ON e2.dst = b.v
+      |), s4 AS (
+      |  SELECT src AS v FROM e3
+      |  GROUP BY src HAVING count(*) >= (SELECT k FROM kk)
+      |)
+      |SELECT deg.v, deg.degree,
+      |       CAST(CASE WHEN s4.v IS NOT NULL THEN 4
+      |                 WHEN s3.v IS NOT NULL THEN 3
+      |                 WHEN s2.v IS NOT NULL THEN 2
+      |                 WHEN s1.v IS NOT NULL THEN 1
+      |                 ELSE 0 END AS BIGINT) AS layer
+      |FROM deg
+      |LEFT JOIN s1 ON s1.v = deg.v
+      |LEFT JOIN s2 ON s2.v = deg.v
+      |LEFT JOIN s3 ON s3.v = deg.v
+      |LEFT JOIN s4 ON s4.v = deg.v
+      |ORDER BY deg.v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles"  -> (triangles _),
     "graph_degree_hist" -> (degreeHistogram _),
@@ -592,6 +733,7 @@ object Graph {
     "graph_pagerank"   -> (pagerank _),
     "graph_common_neighbors" -> (commonNeighbors _),
     "graph_label_prop" -> (labelProp _),
+    "graph_kcore"      -> (kcorePeel _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -601,5 +743,6 @@ object Graph {
     "graph_pagerank"   -> pagerankSql,
     "graph_common_neighbors" -> commonNeighborsSql,
     "graph_label_prop" -> labelPropSql,
+    "graph_kcore"      -> kcorePeelSql,
   )
 }

@@ -488,7 +488,73 @@ object TextAnalysis {
       |       max(source) AS max_source
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** First-occurrence n-gram novelty scoring: for every document, the
+    * fraction of its distinct word 3-gram shingles whose FIRST
+    * occurrence in the corpus (minimum doc_id over all documents
+    * containing the shingle) is this document. The standard
+    * curation-side novelty signal — a near-copy of earlier material
+    * scores ~0, fresh text scores ~1 — and the set-level complement
+    * of pairwise dedup: instead of asking "which pairs overlap", it
+    * attributes every shingle to its canonical first owner and scores
+    * each document by how much it contributed first.
+    *
+    * Plan shape at scale: explode the per-doc distinct shingle sets
+    * once, ONE shingle-keyed min-aggregation (the same key the dedup
+    * family shuffles on — salting-friendly, partial-agg collapses
+    * duplicates map-side), one equi-join back on the shingle key, one
+    * doc-keyed count aggregation. All linear in total shingle volume;
+    * no pairwise anything.
+    *
+    * Float discipline: novelty = n_novel / n_shingles is exact
+    * integers into ONE IEEE division (taxonomy case 1) — bit-identical
+    * cross-engine, never rounded, never a sort key (order is doc_id,
+    * unique). Every document emits at least one shingle (the
+    * under-3-token fallback shingle is the whole text), so the output
+    * is total: one row per document, no empty-set division.
+    */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame =
+    ngramNoveltyOf(documents(s, d))
+
+  /** Core novelty scoring over any (doc_id, text) relation. */
+  def ngramNoveltyOf(docsIn: DataFrame): DataFrame = {
+    val ex = docsIn
+      .select(col("doc_id"),
+        explode(Dedup.shingles(col("text"))).as("sh"))
+    val owner = ex.groupBy(col("sh"))
+      .agg(min(col("doc_id")).as("owner"))
+    ex.join(owner, "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Dedup.shinglesSql} AS sh
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(text, '\\s+'),
+       |                           x -> x != '') AS toks
+       |        FROM documents)
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS sh FROM t
+       |), own AS (
+       |  SELECT sh, min(doc_id) AS owner FROM ex GROUP BY sh
+       |)
+       |SELECT ex.doc_id, count(*) AS n_shingles,
+       |       CAST(sum(CASE WHEN own.owner = ex.doc_id
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       CAST(sum(CASE WHEN own.owner = ex.doc_id
+       |                     THEN 1 ELSE 0 END) AS DOUBLE)
+       |         / CAST(count(*) AS DOUBLE) AS novelty
+       |FROM ex JOIN own ON ex.sh = own.sh
+       |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_ngram_novelty" -> (ngramNovelty _),
     "text_variant"      -> (variantExtract _),
     "text_repetition"   -> (repetition _),
     "text_postings"     -> (postings _),
@@ -503,6 +569,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_ngram_novelty" -> ngramNoveltySql,
     "text_variant"      -> variantExtractSql,
     "text_repetition"   -> repetitionSql,
     "text_postings"     -> postingsSql,

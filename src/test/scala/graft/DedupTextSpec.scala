@@ -243,4 +243,35 @@ class DedupTextSpec extends SparkTestBase {
         || $"alpha_ratio" < 0 || $"alpha_ratio" > 1).count()
     assert(bad === 0)
   }
+
+  test("ngram novelty: first owner wins, scores match hand computation") {
+    // doc 1 owns all three of its shingles; doc 2 shares two of them
+    // (novel only in its tail); doc 3 is a verbatim prefix copy
+    val got = TextAnalysis.ngramNoveltyOf(docsDf(
+        (1L, "a b c d e"),
+        (2L, "a b c d x"),
+        (3L, "a b c")))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got === Seq(
+      (1L, 3L, 3L, 1.0),
+      (2L, 3L, 1L, 1.0 / 3.0),
+      (3L, 1L, 0L, 0.0)))
+  }
+
+  test("ngram novelty on the corpus: total, and novel counts partition the shingle space") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val nv = TextAnalysis.ngramNoveltyOf(docs).cache()
+    // total: one row per document (every doc emits >= 1 shingle)
+    assert(nv.count() === docs.count())
+    // each distinct shingle has exactly one first owner, so the novel
+    // counts sum to the corpus's distinct shingle count
+    val sumNovel = nv.agg(sum($"n_novel")).as[Long].head()
+    val distinctShingles = docs
+      .select(explode(Dedup.shingles($"text")).as("sh"))
+      .select($"sh").distinct().count()
+    assert(sumNovel === distinctShingles)
+    // novelty is a proper ratio and doc order is doc_id
+    assert(nv.filter($"novelty" < 0 || $"novelty" > 1).count() === 0)
+    nv.unpersist()
+  }
 }

@@ -118,4 +118,33 @@ class GraphPageRankSpec extends SparkTestBase {
       assert(members.forall(_._3 === members.size.toLong))
     }
   }
+
+  test("k-core peel layers match a plain-Scala synchronous peel") {
+    // synchronous rounds: every vertex below K in the CURRENT
+    // subgraph is removed together; layer = last round survived
+    val k = adj.values.map(_.size.toLong).sum / adj.size
+    var aliveSet = adj.keySet
+    val layer = scala.collection.mutable.Map[Long, Long]()
+      .withDefaultValue(0L)
+    var r = 1
+    var moved = true
+    while (r <= 4 && moved) {
+      val next = aliveSet.filter(v =>
+        adj(v).count(aliveSet.contains).toLong >= k)
+      moved = next.nonEmpty
+      next.foreach(v => layer(v) = r.toLong)
+      aliveSet = next
+      r += 1
+    }
+    val want = adj.keys.toSeq.sorted
+      .map(v => (v, adj(v).size.toLong, layer(v)))
+    val got = Graph.kcorePeel(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === want)
+    // the layer column is a peel cascade: layers are contiguous from
+    // 0 up to the deepest observed, and every vertex has exactly one
+    val seen = got.map(_._3).toSet
+    assert(seen.min === 0L || got.forall(_._3 === got.head._3))
+    assert(got.map(_._1).distinct.size === got.size)
+  }
 }
