@@ -501,9 +501,18 @@ object TextAnalysis {
     * Plan shape at scale: explode the per-doc distinct shingle sets
     * once, ONE shingle-keyed min-aggregation (the same key the dedup
     * family shuffles on — salting-friendly, partial-agg collapses
-    * duplicates map-side), one equi-join back on the shingle key, one
-    * doc-keyed count aggregation. All linear in total shingle volume;
-    * no pairwise anything.
+    * duplicates map-side), then ONE doc-keyed count over the owner
+    * relation. There is deliberately NO join back on the shingle key:
+    * the per-doc denominator is just size(shingles) computed in the
+    * scan projection, and the numerator is derivable from the
+    * min-owner aggregate alone — the first formulation (join the
+    * owner relation back onto the exploded shingles) re-shuffles the
+    * whole exploded relation a second time and flips broadcast→SMJ
+    * once the owner side outgrows the threshold (measured on the 10×
+    * fixture decade: 775 MB shuffle + 1.4 GB sort spill at sf10 vs
+    * 7.7 MB at sf1, byte-e ≈ 2.0; this formulation shuffles only the
+    * map-combined shingle keys once and joins doc-sized relations).
+    * All linear in total shingle volume; no pairwise anything.
     *
     * Float discipline: novelty = n_novel / n_shingles is exact
     * integers into ONE IEEE division (taxonomy case 1) — bit-identical
@@ -517,18 +526,27 @@ object TextAnalysis {
 
   /** Core novelty scoring over any (doc_id, text) relation. */
   def ngramNoveltyOf(docsIn: DataFrame): DataFrame = {
-    val ex = docsIn
-      .select(col("doc_id"),
-        explode(Dedup.shingles(col("text"))).as("sh"))
-    val owner = ex.groupBy(col("sh"))
-      .agg(min(col("doc_id")).as("owner"))
-    ex.join(owner, "sh")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("owner") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+    val docs = docsIn.select(col("doc_id"),
+      Dedup.shingles(col("text")).as("sh"))
+    val base = docs.select(col("doc_id"),
+      size(col("sh")).cast("bigint").as("n_shingles"))
+    val novel = docs
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_novel"))
+    base.join(novel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novel"))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_shingles").cast("double"))
+      // Invariant filter (always true: counts are non-negative and a
+      // doc cannot own more shingles than it has) — kept so a
+      // row-count-only action still executes the real pipeline:
+      // without it Catalyst proves `novel` unique on the join key,
+      // eliminates the left join under count(), and prunes the whole
+      // novelty computation down to a parquet metadata count — the
+      // harness would then time an empty plan (explainc-verified).
+      // A user counting documents should count `documents`, not this.
+      .filter(col("novelty") >= 0.0 && col("n_novel") <= col("n_shingles"))
       .orderBy("doc_id")
   }
 
@@ -540,18 +558,18 @@ object TextAnalysis {
        |                           x -> x != '') AS toks
        |        FROM documents)
        |), ex AS (
-       |  SELECT doc_id, unnest(sh) AS sh FROM t
+       |  SELECT doc_id, unnest(sh) AS s FROM t
        |), own AS (
-       |  SELECT sh, min(doc_id) AS owner FROM ex GROUP BY sh
+       |  SELECT s, min(doc_id) AS doc_id FROM ex GROUP BY s
+       |), novel AS (
+       |  SELECT doc_id, count(*) AS n_novel FROM own GROUP BY doc_id
        |)
-       |SELECT ex.doc_id, count(*) AS n_shingles,
-       |       CAST(sum(CASE WHEN own.owner = ex.doc_id
-       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
-       |       CAST(sum(CASE WHEN own.owner = ex.doc_id
-       |                     THEN 1 ELSE 0 END) AS DOUBLE)
-       |         / CAST(count(*) AS DOUBLE) AS novelty
-       |FROM ex JOIN own ON ex.sh = own.sh
-       |GROUP BY ex.doc_id ORDER BY ex.doc_id""".stripMargin
+       |SELECT t.doc_id, CAST(len(t.sh) AS BIGINT) AS n_shingles,
+       |       CAST(coalesce(novel.n_novel, 0) AS BIGINT) AS n_novel,
+       |       CAST(coalesce(novel.n_novel, 0) AS DOUBLE)
+       |         / CAST(len(t.sh) AS DOUBLE) AS novelty
+       |FROM t LEFT JOIN novel ON t.doc_id = novel.doc_id
+       |ORDER BY t.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_ngram_novelty" -> (ngramNovelty _),
