@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
 
@@ -428,7 +428,102 @@ object Skew {
       |WHERE p_size <= 2
       |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
 
+  /** Count-min depth (independent hash rows) and width (buckets per
+    * row) for [[cmsPortable]]. Width 1024 over ~O(10³) distinct keys
+    * keeps collisions rare enough that most probes are exact while
+    * still exercising the min-over-rows estimate.
+    */
+  private val CmsD = 4
+  private val CmsW = 1024L
+
+  /** ENGINE-PORTABLE count-min sketch: frequency estimates for 20
+    * probe keys from a (depth 4 × width 1024) counter table built
+    * with md5-derived bucket hashes — the portable-hash complement to
+    * [[cmsProbe]] (which demonstrates Spark's built-in murmur3-seeded
+    * `stat.countMinSketch` and is therefore rows-only). Because every
+    * bucket index is a deterministic md5 function both engines
+    * compute identically (the [[graft.ops.Dedup.simhashOf]]
+    * precedent), the WHOLE sketch — build, probe, estimate — replays
+    * in DuckDB and the query takes a FULL hash oracle: the oracle
+    * pins not just the error band but the exact counter values.
+    *
+    * The relational form IS the sketch: explode each row into its D
+    * (row, bucket) cells, one keyed count — the counter table is
+    * bounded at D×W rows regardless of corpus size, built in ONE
+    * partial-agged pass over the data (map-side combine collapses to
+    * ≤ D×W cells per task before any shuffle), and MERGEABLE by
+    * construction (counters of a union are the sums of the counters —
+    * asserted over a corpus split in SkewSketchSpec). Estimates are
+    * min over the D probed cells; missing cells are zero. At 100 TB:
+    * per-partition sketches combine associatively exactly like the
+    * approx_top_k path above — no raw-key shuffle, ever.
+    */
+  def cmsPortable(s: SparkSession, d: String): DataFrame = {
+    val js = array((0 until CmsD).map(lit): _*)
+    def bucketOf(j: Column, key: Column): Column =
+      conv(substring(md5(concat_ws(":", j, key)), 1, 8), 16, 10)
+        .cast("long") % CmsW
+    val ev = events(s, d).select(col("user_id"))
+    val counters = ev
+      .select(col("user_id"), explode(js).as("j"))
+      .select(col("j"), bucketOf(col("j"), col("user_id")).as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+    val probes = s.range(20)
+      .select(col("id").as("user_id"), explode(js).as("j"))
+      .select(col("user_id"), col("j"),
+        bucketOf(col("j"), col("user_id")).as("bucket"))
+    val est = probes.join(counters, Seq("j", "bucket"), "left")
+      .na.fill(0L, Seq("c"))
+      .groupBy(col("user_id")).agg(min(col("c")).as("cms_count"))
+    val exact = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("user_id"), "left")
+      .na.fill(0L, Seq("exact_count"))
+      .select(col("user_id"), col("exact_count"), col("cms_count"))
+      // Invariant filter (always true: count-min only over-counts) —
+      // the counter table and the exact side are both unique-keyed
+      // aggregates, so without a reference to their columns Catalyst
+      // eliminates the joins under a count() action and the harness
+      // times a 20-row literal plan (the text_ngram_novelty lesson).
+      .filter(col("cms_count") >= col("exact_count"))
+      .orderBy("user_id")
+  }
+
+  /** Same sketch, relationally replayed: identical md5 bucket hashes,
+    * identical min-over-rows estimate — full counter-level equality.
+    */
+  val cmsPortableSql: String =
+    """WITH js AS (
+      |  SELECT unnest([0, 1, 2, 3]) AS j
+      |), counters AS (
+      |  SELECT j,
+      |         ('0x' || substr(md5(j::VARCHAR || ':' || user_id::VARCHAR),
+      |                         1, 8))::BIGINT % 1024 AS bucket,
+      |         count(*) AS c
+      |  FROM events, js GROUP BY 1, 2
+      |), probes AS (
+      |  SELECT t.u AS user_id, js.j,
+      |         ('0x' || substr(md5(js.j::VARCHAR || ':' || t.u::VARCHAR),
+      |                         1, 8))::BIGINT % 1024 AS bucket
+      |  FROM range(20) t(u), js
+      |), est AS (
+      |  SELECT p.user_id, min(coalesce(c.c, 0)) AS cms_count
+      |  FROM probes p
+      |  LEFT JOIN counters c ON c.j = p.j AND c.bucket = p.bucket
+      |  GROUP BY p.user_id
+      |), exact AS (
+      |  SELECT user_id, count(*) AS exact_count FROM events
+      |  GROUP BY user_id
+      |)
+      |SELECT est.user_id,
+      |       CAST(coalesce(exact.exact_count, 0) AS BIGINT) AS exact_count,
+      |       CAST(est.cms_count AS BIGINT) AS cms_count
+      |FROM est LEFT JOIN exact ON est.user_id = exact.user_id
+      |WHERE est.cms_count >= coalesce(exact.exact_count, 0)
+      |ORDER BY est.user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_cms_portable" -> (cmsPortable _),
     "sketch_topk_exact" -> (topkSketch _),
     "sketch_hll_rollup" -> (hllRollup _),
     "sketch_kll_rollup" -> (kllRollup _),
@@ -442,6 +537,7 @@ object Skew {
   )
 
   val oracle: Map[String, String] = Map(
+    "sketch_cms_portable" -> cmsPortableSql,
     "sketch_topk_exact" -> topkSketchSql,
     "skew_salted_agg" -> saltedAggSql,
     "skew_aqe_join"   -> skewJoinAqeSql,

@@ -240,6 +240,38 @@ class SkewSketchSpec extends SparkTestBase {
       "with maxItemsTracked >= distinct items the sketch must be exact")
   }
 
+  test("portable CMS: one-sided guarantee and mergeable counters") {
+    // over-count only: a count-min cell sums every colliding key, so
+    // the min over rows can never undershoot the true frequency
+    val rows = Skew.cmsPortable(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, exact, est) =>
+      assert(est >= exact, s"probe $u: est $est < exact $exact")
+    }
+    // mergeability IS the 100-TB claim: the counter table of the full
+    // corpus equals the cell-wise SUM of the counter tables of any
+    // partition of it (here: split by user parity) — per-partition
+    // sketches combine associatively, no raw-key shuffle needed
+    val ev = graft.util.Tables.events(spark, sf).select($"user_id")
+    def counters(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id",
+        explode(array((0 until 4).map(lit): _*)).as("j"))
+      .select($"j",
+        (conv(substring(md5(concat_ws(":", $"j", $"user_id")), 1, 8),
+          16, 10).cast("long") % 1024L).as("bucket"))
+      .groupBy($"j", $"bucket").agg(count(lit(1)).as("c"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (j, b, c) => (j, b) -> c }.toMap
+    val whole = counters(ev)
+    val even = counters(ev.filter($"user_id" % 2 === 0))
+    val odd = counters(ev.filter($"user_id" % 2 === 1))
+    val merged = (even.keySet ++ odd.keySet).map { k =>
+      k -> (even.getOrElse(k, 0L) + odd.getOrElse(k, 0L))
+    }.toMap
+    assert(merged === whole)
+  }
+
   test("approximate median lands between group min and max") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val bounds = li.groupBy($"l_returnflag")
