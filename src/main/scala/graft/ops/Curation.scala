@@ -720,7 +720,129 @@ object Curation {
       |FROM ranked WHERE rk <= 15
       |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Minimum group size for [[kAnonymize]] — the k of k-anonymity. */
+  private val AnonK = 10
+
+  /** Sentinel for a generalized-away attribute ([[kAnonymize]]):
+    * emitted instead of NULL so every output column keeps one
+    * concrete integer/string type in BOTH engines (a nullable int
+    * column round-trips as float through some readers, which would
+    * make the hash compare type-fragile for no semantic gain).
+    */
+  private val Suppressed = -1L
+
+  /** K-anonymity generalization over customer quasi-identifiers — the
+    * privacy gate a training-data release pipeline runs before
+    * shipping records that could re-identify people: a record is only
+    * released at a generalization level whose quasi-identifier group
+    * has at least [[AnonK]] members. The ladder generalizes the most
+    * identifying attribute away first: level 0 keeps (nation,
+    * segment, account-balance band), level 1 drops the band, level 2
+    * also drops the nation, level 3 suppresses everything. Each
+    * record reports its level, its surviving attributes (sentinel
+    * [[Suppressed]] / "*" where generalized), and the size of the
+    * group it hides in — so the output hash pins the whole anonymity
+    * structure, and a spec can assert the guarantee directly (every
+    * emitted group size ≥ k or level 3).
+    *
+    * Precisely: this is the per-record MINIMAL-GENERALIZATION ladder —
+    * each record is released at the first level whose
+    * pre-generalization attribute group holds ≥ k records. Strict
+    * equivalence-class k-anonymity additionally re-checks the
+    * RESIDUAL class (level-1 records of a group whose level-0
+    * siblings were released separately can form a smaller released
+    * class) and escalates it — one more round of the same three
+    * aggregations per ladder rung; the audit form here is the
+    * standard first pass of that loop and what the spec asserts.
+    *
+    * Plan shape at scale: THREE keyed count aggregations over the
+    * same scan (one per ladder level — each is a narrow (keys, count)
+    * relation, partial-agged map-side) joined back onto the row
+    * stream by their group keys, plus one broadcast scalar (the total
+    * row count) for level 3. No self-joins, no windows over the full
+    * relation; everything is linear with bounded group-key
+    * cardinality (|nations| × |segments| × |bands|). The band is
+    * floor(acctbal / 1000) — one IEEE division + floor, bit-identical
+    * cross-engine (taxonomy case 1; never a sort key).
+    */
+  def kAnonymize(s: SparkSession, d: String): DataFrame = {
+    val base = customer(s, d).select(
+      col("c_custkey"),
+      col("c_nationkey").cast("long").as("nation"),
+      col("c_mktsegment").as("segment"),
+      floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+    val g0 = base.groupBy(col("nation"), col("segment"), col("band"))
+      .agg(count(lit(1)).as("n0"))
+    val g1 = base.groupBy(col("nation"), col("segment"))
+      .agg(count(lit(1)).as("n1"))
+    val g2 = base.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n2"))
+    val total = base.agg(count(lit(1)).as("n3"))
+    val k = lit(AnonK.toLong)
+    base
+      .join(g0, Seq("nation", "segment", "band"))
+      .join(g1, Seq("nation", "segment"))
+      .join(g2, Seq("segment"))
+      .crossJoin(broadcast(total))
+      .withColumn("gen_level",
+        when(col("n0") >= k, 0L).when(col("n1") >= k, 1L)
+          .when(col("n2") >= k, 2L).otherwise(3L))
+      .select(
+        col("c_custkey"),
+        col("gen_level"),
+        when(col("gen_level") <= 1, col("nation"))
+          .otherwise(lit(Suppressed)).as("nation_out"),
+        when(col("gen_level") <= 2, col("segment"))
+          .otherwise(lit("*")).as("segment_out"),
+        when(col("gen_level") === 0, col("band"))
+          .otherwise(lit(Suppressed)).as("band_out"),
+        when(col("gen_level") === 0, col("n0"))
+          .when(col("gen_level") === 1, col("n1"))
+          .when(col("gen_level") === 2, col("n2"))
+          .otherwise(col("n3")).as("group_n"))
+      .orderBy("c_custkey")
+  }
+
+  val kAnonymizeSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+      |         c_mktsegment AS segment,
+      |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+      |  FROM customer
+      |), g0 AS (
+      |  SELECT nation, segment, band, count(*) AS n0 FROM base
+      |  GROUP BY 1, 2, 3
+      |), g1 AS (
+      |  SELECT nation, segment, count(*) AS n1 FROM base GROUP BY 1, 2
+      |), g2 AS (
+      |  SELECT segment, count(*) AS n2 FROM base GROUP BY 1
+      |), lv AS (
+      |  SELECT b.c_custkey, b.nation, b.segment, b.band,
+      |         g0.n0, g1.n1, g2.n2,
+      |         (SELECT count(*) FROM base) AS n3,
+      |         CASE WHEN g0.n0 >= 10 THEN 0
+      |              WHEN g1.n1 >= 10 THEN 1
+      |              WHEN g2.n2 >= 10 THEN 2
+      |              ELSE 3 END AS lvl
+      |  FROM base b
+      |  JOIN g0 ON g0.nation = b.nation AND g0.segment = b.segment
+      |         AND g0.band = b.band
+      |  JOIN g1 ON g1.nation = b.nation AND g1.segment = b.segment
+      |  JOIN g2 ON g2.segment = b.segment
+      |)
+      |SELECT c_custkey, CAST(lvl AS BIGINT) AS gen_level,
+      |       CAST(CASE WHEN lvl <= 1 THEN nation ELSE -1 END AS BIGINT)
+      |         AS nation_out,
+      |       CASE WHEN lvl <= 2 THEN segment ELSE '*' END AS segment_out,
+      |       CAST(CASE WHEN lvl = 0 THEN band ELSE -1 END AS BIGINT)
+      |         AS band_out,
+      |       CAST(CASE WHEN lvl = 0 THEN n0 WHEN lvl = 1 THEN n1
+      |                 WHEN lvl = 2 THEN n2 ELSE n3 END AS BIGINT)
+      |         AS group_n
+      |FROM lv ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cur_k_anonymize"   -> (kAnonymize _),
     "cur_domain_cap"    -> (domainCap _),
     "cur_weighted_sample" -> (weightedSample _),
     "cur_stratified"    -> (stratifiedSample _),
@@ -737,6 +859,7 @@ object Curation {
   )
 
   val oracle: Map[String, String] = Map(
+    "cur_k_anonymize"   -> kAnonymizeSql,
     "cur_domain_cap"    -> domainCapSql,
     "cur_weighted_sample" -> weightedSampleSql,
     "cur_stratified"    -> stratifiedSampleSql,

@@ -163,4 +163,46 @@ class CurationSpec extends SparkTestBase {
       assert(math.abs(r.getDouble(3) - kept.toDouble / total) < 1e-3)
     }
   }
+
+  test("k-anonymize: ladder matches a plain-Scala regroup, k-guarantee holds") {
+    val base = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT) AS nation",
+        "c_mktsegment AS segment",
+        "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band")
+      .as[(Long, Long, String, Long)].collect()
+    val n0 = base.groupBy(r => (r._2, r._3, r._4)).view.mapValues(_.length).toMap
+    val n1 = base.groupBy(r => (r._2, r._3)).view.mapValues(_.length).toMap
+    val n2 = base.groupBy(_._3).view.mapValues(_.length).toMap
+    val k = 10
+    val want = base.sortBy(_._1).map { case (id, na, sg, bd) =>
+      val lvl =
+        if (n0((na, sg, bd)) >= k) 0L
+        else if (n1((na, sg)) >= k) 1L
+        else if (n2(sg) >= k) 2L
+        else 3L
+      val gn = lvl match {
+        case 0L => n0((na, sg, bd)).toLong
+        case 1L => n1((na, sg)).toLong
+        case 2L => n2(sg).toLong
+        case _  => base.length.toLong
+      }
+      (id, lvl,
+        if (lvl <= 1) na else -1L,
+        if (lvl <= 2) sg else "*",
+        if (lvl == 0) bd else -1L,
+        gn)
+    }.toSeq
+    val got = graft.ops.Curation.kAnonymize(spark, sf)
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSeq
+    assert(got === want)
+    // the released guarantee: every record either hides in a group of
+    // >= k at its chosen level, or is fully suppressed (level 3)
+    got.foreach { case (id, lvl, _, _, _, gn) =>
+      assert(lvl === 3L || gn >= k.toLong, s"cust $id: level $lvl group $gn")
+    }
+    // monotone ladder: released attributes only ever shrink with level
+    got.filter(_._2 === 3L).foreach { case (_, _, n, s2, b, _) =>
+      assert(n === -1L && s2 === "*" && b === -1L)
+    }
+  }
 }
