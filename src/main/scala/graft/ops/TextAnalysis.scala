@@ -571,7 +571,90 @@ object TextAnalysis {
        |FROM t LEFT JOIN novel ON t.doc_id = novel.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Incremental novelty scoring — the daily-ingest form of
+    * [[ngramNovelty]]: score TODAY'S batch (the standing
+    * `doc_id % 10 == 7` delta, the same fixture convention as
+    * [[Dedup.deltaDocPred]]) against everything already seen, where
+    * "seen" is a memoized FIRST-OWNER INDEX (shingle → min doc_id
+    * over the base corpus) built once per corpus and re-read
+    * thereafter. The merged owner per shingle is
+    * min(base owner, delta-internal min) = the min over the WHOLE
+    * corpus, so the emitted scores are provably identical to the full
+    * rebuild restricted to the delta — the oracle replays the
+    * full-corpus computation with a delta predicate, making merge ≡
+    * rebuild a hash-checked fact (the dedup_lsh_incremental
+    * discipline), and NoveltySpec asserts it against
+    * [[ngramNoveltyOf]] directly.
+    *
+    * Plan shape at scale: the delta text scan is the ONLY text scan;
+    * the delta's shingle-min relation is small (one day's batch), so
+    * the owner-index join broadcasts the DELTA side and STREAMS the
+    * index columnar scan map-side — the corpus-sized index is never
+    * shuffled, never re-derived. Daily cost ∝ delta shingles + one
+    * index scan (co-locatable by bucketing the index on the shingle
+    * key at cluster scale). Same aggregate-only form as the base
+    * query — no shingle-keyed join-back, and the same always-true
+    * invariant filter so the as-counted plan is the real plan.
+    */
+  def noveltyIncremental(s: SparkSession, d: String): DataFrame = {
+    val deltaPred = Dedup.deltaDocPred
+    val owners = graft.util.ScratchIndex.materialize(
+        s, s"novowner_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
+      documents(s, d).filter(!deltaPred)
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
+        .groupBy(col("s")).agg(min(col("doc_id")).as("base_owner"))
+    }
+    val delta = documents(s, d).filter(deltaPred)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val base = delta.select(col("doc_id"),
+      size(col("sh")).cast("bigint").as("n_shingles"))
+    val deltaMin = delta
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("s")).agg(min(col("doc_id")).as("delta_min"))
+    val novel = deltaMin.join(owners, Seq("s"), "left")
+      // a delta doc owns the shingle iff it beats every base owner
+      // (a missing base row means the shingle is delta-new)
+      .filter(col("base_owner").isNull
+        || col("delta_min") < col("base_owner"))
+      .groupBy(col("delta_min").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    base.join(novel, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+      .filter(col("novelty") >= 0.0 && col("n_novel") <= col("n_shingles"))
+      .orderBy("doc_id")
+  }
+
+  /** Full-corpus replay restricted to the delta: the merged owner of
+    * a shingle is the min over ALL docs, so the incremental path must
+    * reproduce these rows exactly — the oracle IS the merge ≡ rebuild
+    * proof.
+    */
+  val noveltyIncrementalSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${Dedup.shinglesSql} AS sh
+       |  FROM (SELECT doc_id,
+       |               list_filter(string_split_regex(text, '\\s+'),
+       |                           x -> x != '') AS toks
+       |        FROM documents)
+       |), ex AS (
+       |  SELECT doc_id, unnest(sh) AS s FROM t
+       |), own AS (
+       |  SELECT s, min(doc_id) AS doc_id FROM ex GROUP BY s
+       |), novel AS (
+       |  SELECT doc_id, count(*) AS n_novel FROM own GROUP BY doc_id
+       |)
+       |SELECT t.doc_id, CAST(len(t.sh) AS BIGINT) AS n_shingles,
+       |       CAST(coalesce(novel.n_novel, 0) AS BIGINT) AS n_novel,
+       |       CAST(coalesce(novel.n_novel, 0) AS DOUBLE)
+       |         / CAST(len(t.sh) AS DOUBLE) AS novelty
+       |FROM t LEFT JOIN novel ON t.doc_id = novel.doc_id
+       |WHERE t.doc_id % 10 = 7
+       |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_novelty_incremental" -> (noveltyIncremental _),
     "text_ngram_novelty" -> (ngramNovelty _),
     "text_variant"      -> (variantExtract _),
     "text_repetition"   -> (repetition _),
@@ -587,6 +670,7 @@ object TextAnalysis {
   )
 
   val oracle: Map[String, String] = Map(
+    "text_novelty_incremental" -> noveltyIncrementalSql,
     "text_ngram_novelty" -> ngramNoveltySql,
     "text_variant"      -> variantExtractSql,
     "text_repetition"   -> repetitionSql,

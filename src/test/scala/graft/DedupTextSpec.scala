@@ -258,6 +258,21 @@ class DedupTextSpec extends SparkTestBase {
       (3L, 1L, 0L, 0.0)))
   }
 
+  test("incremental novelty equals the full rebuild restricted to the delta") {
+    // merged owner = min(base owner, delta-internal min) = the
+    // corpus-wide min, so the incremental path must reproduce the
+    // full recomputation's delta rows EXACTLY (ints and the one
+    // IEEE division alike)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val full = TextAnalysis.ngramNoveltyOf(docs)
+      .filter(pmod($"doc_id", lit(10)) === 7)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    val inc = TextAnalysis.noveltyIncremental(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(inc === full)
+    assert(inc.nonEmpty)
+  }
+
   test("ngram novelty on the corpus: total, and novel counts partition the shingle space") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val nv = TextAnalysis.ngramNoveltyOf(docs).cache()
