@@ -728,8 +728,13 @@ object Curation {
     * concrete integer/string type in BOTH engines (a nullable int
     * column round-trips as float through some readers, which would
     * make the hash compare type-fragile for no semantic gain).
+    * The value sits OUTSIDE both attribute domains: nations are
+    * [0, 24] and bands are floor(acctbal/1000) ∈ [-1, 9] for the
+    * TPC-H balance range (-999.99, 9999.99] — the obvious -1 was a
+    * bug, colliding with the legitimate band of every
+    * negative-balance customer (CurationSpec pins the disjointness).
     */
-  private val Suppressed = -1L
+  private val Suppressed = -100L
 
   /** K-anonymity generalization over customer quasi-identifiers — the
     * privacy gate a training-data release pipeline runs before
@@ -755,15 +760,15 @@ object Curation {
     * aggregations per ladder rung; the audit form here is the
     * standard first pass of that loop and what the spec asserts.
     *
-    * Plan shape at scale: THREE keyed count aggregations over the
-    * same scan (one per ladder level — each is a narrow (keys, count)
-    * relation, partial-agged map-side) joined back onto the row
-    * stream by their group keys, plus one broadcast scalar (the total
-    * row count) for level 3. No self-joins, no windows over the full
-    * relation; everything is linear with bounded group-key
-    * cardinality (|nations| × |segments| × |bands|). The band is
-    * floor(acctbal / 1000) — one IEEE division + floor, bit-identical
-    * cross-engine (taxonomy case 1; never a sort key).
+    * Plan shape at scale: ONE corpus-sized keyed count aggregation
+    * (the finest level, g0); the coarser levels and the total
+    * RE-AGGREGATE g0 — a bounded |nations| × |segments| × |bands|
+    * relation (≈ thousands of rows) — instead of re-scanning the
+    * corpus, so the row stream is scanned once for grouping and once
+    * as the join probe side, with every ladder relation broadcast
+    * back onto it. The band is floor(acctbal / 1000) — one IEEE
+    * division + floor, bit-identical cross-engine (taxonomy case 1;
+    * never a sort key).
     */
   def kAnonymize(s: SparkSession, d: String): DataFrame = {
     val base = customer(s, d).select(
@@ -773,11 +778,13 @@ object Curation {
       floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
     val g0 = base.groupBy(col("nation"), col("segment"), col("band"))
       .agg(count(lit(1)).as("n0"))
-    val g1 = base.groupBy(col("nation"), col("segment"))
-      .agg(count(lit(1)).as("n1"))
-    val g2 = base.groupBy(col("segment"))
-      .agg(count(lit(1)).as("n2"))
-    val total = base.agg(count(lit(1)).as("n3"))
+    // coarser ladder levels re-aggregate the bounded g0 relation —
+    // counts sum exactly, and the corpus is never re-scanned
+    val g1 = g0.groupBy(col("nation"), col("segment"))
+      .agg(sum(col("n0")).as("n1"))
+    val g2 = g1.groupBy(col("segment"))
+      .agg(sum(col("n1")).as("n2"))
+    val total = g2.agg(sum(col("n2")).as("n3"))
     val k = lit(AnonK.toLong)
     base
       .join(g0, Seq("nation", "segment", "band"))
@@ -813,13 +820,13 @@ object Curation {
       |  SELECT nation, segment, band, count(*) AS n0 FROM base
       |  GROUP BY 1, 2, 3
       |), g1 AS (
-      |  SELECT nation, segment, count(*) AS n1 FROM base GROUP BY 1, 2
+      |  SELECT nation, segment, sum(n0) AS n1 FROM g0 GROUP BY 1, 2
       |), g2 AS (
-      |  SELECT segment, count(*) AS n2 FROM base GROUP BY 1
+      |  SELECT segment, sum(n1) AS n2 FROM g1 GROUP BY 1
       |), lv AS (
       |  SELECT b.c_custkey, b.nation, b.segment, b.band,
       |         g0.n0, g1.n1, g2.n2,
-      |         (SELECT count(*) FROM base) AS n3,
+      |         (SELECT sum(n2) FROM g2) AS n3,
       |         CASE WHEN g0.n0 >= 10 THEN 0
       |              WHEN g1.n1 >= 10 THEN 1
       |              WHEN g2.n2 >= 10 THEN 2
@@ -831,10 +838,10 @@ object Curation {
       |  JOIN g2 ON g2.segment = b.segment
       |)
       |SELECT c_custkey, CAST(lvl AS BIGINT) AS gen_level,
-      |       CAST(CASE WHEN lvl <= 1 THEN nation ELSE -1 END AS BIGINT)
+      |       CAST(CASE WHEN lvl <= 1 THEN nation ELSE -100 END AS BIGINT)
       |         AS nation_out,
       |       CASE WHEN lvl <= 2 THEN segment ELSE '*' END AS segment_out,
-      |       CAST(CASE WHEN lvl = 0 THEN band ELSE -1 END AS BIGINT)
+      |       CAST(CASE WHEN lvl = 0 THEN band ELSE -100 END AS BIGINT)
       |         AS band_out,
       |       CAST(CASE WHEN lvl = 0 THEN n0 WHEN lvl = 1 THEN n1
       |                 WHEN lvl = 2 THEN n2 ELSE n3 END AS BIGINT)

@@ -433,8 +433,16 @@ object Skew {
     * keeps collisions rare enough that most probes are exact while
     * still exercising the min-over-rows estimate.
     */
-  private val CmsD = 4
-  private val CmsW = 1024L
+  private[graft] val CmsD = 4
+  private[graft] val CmsW = 1024L
+
+  /** The md5-derived count-min bucket for hash row `j` — shared with
+    * SkewSketchSpec so the mergeability proof exercises the SHIPPED
+    * hash, not a spec-local copy that could silently diverge.
+    */
+  private[graft] def cmsBucketOf(j: Column, key: Column): Column =
+    conv(substring(md5(concat_ws(":", j, key)), 1, 8), 16, 10)
+      .cast("long") % CmsW
 
   /** ENGINE-PORTABLE count-min sketch: frequency estimates for 20
     * probe keys from a (depth 4 × width 1024) counter table built
@@ -460,9 +468,7 @@ object Skew {
     */
   def cmsPortable(s: SparkSession, d: String): DataFrame = {
     val js = array((0 until CmsD).map(lit): _*)
-    def bucketOf(j: Column, key: Column): Column =
-      conv(substring(md5(concat_ws(":", j, key)), 1, 8), 16, 10)
-        .cast("long") % CmsW
+    def bucketOf(j: Column, key: Column): Column = cmsBucketOf(j, key)
     val ev = events(s, d).select(col("user_id"))
     val counters = ev
       .select(col("user_id"), explode(js).as("j"))

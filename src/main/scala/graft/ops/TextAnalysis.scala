@@ -498,11 +498,18 @@ object TextAnalysis {
     * attributes every shingle to its canonical first owner and scores
     * each document by how much it contributed first.
     *
-    * Plan shape at scale: explode the per-doc distinct shingle sets
-    * once, ONE shingle-keyed min-aggregation (the same key the dedup
+    * Plan shape at scale: ONE shingle-keyed min-aggregation over the
+    * exploded per-doc distinct shingle sets (the same key the dedup
     * family shuffles on — salting-friendly, partial-agg collapses
     * duplicates map-side), then ONE doc-keyed count over the owner
-    * relation. There is deliberately NO join back on the shingle key:
+    * relation. The per-doc denominator branch recomputes the shingle
+    * expression over a second text scan — two aggregation keys with
+    * no common exchange, so Spark cannot share the subtree, and
+    * persisting the corpus-sized exploded relation to avoid a
+    * constant-factor recompute is the worse trade at scale; the
+    * amortized production path is [[noveltyIncremental]], whose
+    * memoized owner index removes the rebuild entirely. There is
+    * deliberately NO join back on the shingle key:
     * the per-doc denominator is just size(shingles) computed in the
     * scan projection, and the numerator is derivable from the
     * min-owner aggregate alone — the first formulation (join the
@@ -550,7 +557,14 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val ngramNoveltySql: String =
+  /** One core replay for BOTH novelty oracles (they must stay in
+    * lockstep — the incremental form IS the same computation plus a
+    * delta predicate, and letting two near-identical strings drift
+    * would silently break the merge ≡ rebuild relationship). The
+    * WHERE mirrors the Spark side's always-true invariant filter so
+    * both query texts agree that it is part of the contract.
+    */
+  private def noveltySqlCore(extraWhere: String): String =
     s"""WITH t AS (
        |  SELECT doc_id, ${Dedup.shinglesSql} AS sh
        |  FROM (SELECT doc_id,
@@ -569,7 +583,10 @@ object TextAnalysis {
        |       CAST(coalesce(novel.n_novel, 0) AS DOUBLE)
        |         / CAST(len(t.sh) AS DOUBLE) AS novelty
        |FROM t LEFT JOIN novel ON t.doc_id = novel.doc_id
+       |WHERE coalesce(novel.n_novel, 0) BETWEEN 0 AND len(t.sh)$extraWhere
        |ORDER BY t.doc_id""".stripMargin
+
+  val ngramNoveltySql: String = noveltySqlCore("")
 
   /** Incremental novelty scoring — the daily-ingest form of
     * [[ngramNovelty]]: score TODAY'S batch (the standing
@@ -632,26 +649,7 @@ object TextAnalysis {
     * proof.
     */
   val noveltyIncrementalSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, ${Dedup.shinglesSql} AS sh
-       |  FROM (SELECT doc_id,
-       |               list_filter(string_split_regex(text, '\\s+'),
-       |                           x -> x != '') AS toks
-       |        FROM documents)
-       |), ex AS (
-       |  SELECT doc_id, unnest(sh) AS s FROM t
-       |), own AS (
-       |  SELECT s, min(doc_id) AS doc_id FROM ex GROUP BY s
-       |), novel AS (
-       |  SELECT doc_id, count(*) AS n_novel FROM own GROUP BY doc_id
-       |)
-       |SELECT t.doc_id, CAST(len(t.sh) AS BIGINT) AS n_shingles,
-       |       CAST(coalesce(novel.n_novel, 0) AS BIGINT) AS n_novel,
-       |       CAST(coalesce(novel.n_novel, 0) AS DOUBLE)
-       |         / CAST(len(t.sh) AS DOUBLE) AS novelty
-       |FROM t LEFT JOIN novel ON t.doc_id = novel.doc_id
-       |WHERE t.doc_id % 10 = 7
-       |ORDER BY t.doc_id""".stripMargin
+    noveltySqlCore(" AND t.doc_id % 10 = 7")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_novelty_incremental" -> (noveltyIncremental _),

@@ -187,14 +187,21 @@ class CurationSpec extends SparkTestBase {
         case _  => base.length.toLong
       }
       (id, lvl,
-        if (lvl <= 1) na else -1L,
+        if (lvl <= 1) na else -100L,
         if (lvl <= 2) sg else "*",
-        if (lvl == 0) bd else -1L,
+        if (lvl == 0) bd else -100L,
         gn)
     }.toSeq
     val got = graft.ops.Curation.kAnonymize(spark, sf)
       .as[(Long, Long, Long, String, Long, Long)].collect().toSeq
     assert(got === want)
+    // the suppression sentinel is DISJOINT from both attribute
+    // domains on this data — in particular the band of a
+    // negative-balance customer is -1, which the first sentinel
+    // choice collided with
+    val realBands = base.map(_._4)
+    assert(realBands.min >= -1L, "band domain must stay clear of the sentinel")
+    assert(base.map(_._2).min >= 0L)
     // the released guarantee: every record either hides in a group of
     // >= k at its chosen level, or is fully suppressed (level 3)
     got.foreach { case (id, lvl, _, _, _, gn) =>

@@ -254,12 +254,13 @@ class SkewSketchSpec extends SparkTestBase {
     // partition of it (here: split by user parity) — per-partition
     // sketches combine associatively, no raw-key shuffle needed
     val ev = graft.util.Tables.events(spark, sf).select($"user_id")
+    // built from the SHIPPED hash + constants (Skew.cmsBucketOf /
+    // CmsD / CmsW) — a spec-local copy would keep passing if the
+    // production sketch changed underneath it
     def counters(df: org.apache.spark.sql.DataFrame) = df
       .select($"user_id",
-        explode(array((0 until 4).map(lit): _*)).as("j"))
-      .select($"j",
-        (conv(substring(md5(concat_ws(":", $"j", $"user_id")), 1, 8),
-          16, 10).cast("long") % 1024L).as("bucket"))
+        explode(array((0 until Skew.CmsD).map(lit): _*)).as("j"))
+      .select($"j", Skew.cmsBucketOf($"j", $"user_id").as("bucket"))
       .groupBy($"j", $"bucket").agg(count(lit(1)).as("c"))
       .as[(Int, Long, Long)].collect()
       .map { case (j, b, c) => (j, b) -> c }.toMap
