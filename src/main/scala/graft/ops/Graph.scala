@@ -542,12 +542,12 @@ object Graph {
     labeled.orderBy("v")
   }
 
-  /** Unrolled 4-round replay (aggregation in a recursive term is
-    * disallowed, same constraint as [[pagerankSql]]); each round is
-    * the identical neighbor-min + self-union shape the Spark loop
-    * runs, so the integer labels match exactly.
+  /** The shared unrolled 4-round label-propagation CTE chain —
+    * single-sourced so [[labelPropSql]] and [[modularitySql]] can
+    * never drift apart (the modularity oracle must score EXACTLY the
+    * partition the label-prop oracle emits).
     */
-  val labelPropSql: String =
+  private val labelPropCtes: String =
     """WITH e0 AS (
       |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
       |  FROM lineitem a
@@ -580,10 +580,121 @@ object Graph {
       |  ) GROUP BY v
       |), sizes AS (
       |  SELECT lbl, count(*) AS n_members FROM l4 GROUP BY lbl
-      |)
+      |)""".stripMargin
+
+  /** Unrolled 4-round replay (aggregation in a recursive term is
+    * disallowed, same constraint as [[pagerankSql]]); each round is
+    * the identical neighbor-min + self-union shape the Spark loop
+    * runs, so the integer labels match exactly.
+    */
+  val labelPropSql: String =
+    s"""$labelPropCtes
       |SELECT l4.v, l4.lbl AS community, sizes.n_members
       |FROM l4 JOIN sizes ON l4.lbl = sizes.lbl
       |ORDER BY l4.v""".stripMargin
+
+  /** Modularity scoring of the [[labelProp]] partition — the QUALITY
+    * measure that closes the graph-curation loop (assign communities,
+    * then score the assignment): per community c, the Newman
+    * contribution Q_c = L_c/m − (D_c/2m)², where L_c is the number of
+    * INTERNAL edges (both endpoints in c), D_c the community's total
+    * degree, and m the global edge count (public: Newman & Girvan
+    * 2004). Emits (community, n_members, l_internal, d_total, q_c)
+    * ordered by community id.
+    *
+    * Float discipline (a case the taxonomy's "one division" rule
+    * generalizes to): every float here is a FIXED scalar expression
+    * over exact integers — x = L_c/m, y = D_c/(2m), q_c = x − y·y —
+    * with no accumulation-order dependence anywhere (the sums that
+    * feed it are integer sums), so both engines compute bit-identical
+    * doubles with NO rounding; y·y is an IEEE multiply, deliberately
+    * not pow() (libm). The float is never a sort key (order is the
+    * integer community id). A global Q would be a float SUM over
+    * communities — order-dependent — so it is not emitted; the spec
+    * derives it from the exact integer totals instead.
+    *
+    * Plan shape at scale: the partition is the MEMOIZED label-prop
+    * assignment (one scratch read) and the edges are the shared
+    * memoized relation; scoring is two broadcast-joins of labels onto
+    * the edge list (labels are (v, community) longs — at cluster
+    * scale this becomes the standard map-side hash join against the
+    * co-partitioned assignment), one community-keyed count for L_c,
+    * one for D_c, and a single-row broadcast for m. Everything
+    * downstream of the edge scan is |communities|-sized.
+    */
+  def modularity(s: SparkSession, d: String): DataFrame = {
+    val labels = labelProp(s, d)
+      .select(col("v"), col("community"))
+    val communities = labelProp(s, d)
+      .select(col("community"), col("n_members")).distinct()
+    val e0 = coOrderEdges(s, d)
+    val sym = e0.select(col("p1").as("src"), col("p2").as("dst"))
+      .unionAll(e0.select(col("p2").as("src"), col("p1").as("dst")))
+    val m = e0.agg(count(lit(1)).as("m"))
+    val lc = e0
+      .join(labels.toDF("p1", "c1"), Seq("p1"))
+      .join(labels.toDF("p2", "c2"), Seq("p2"))
+      .filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("community"))
+      .agg(count(lit(1)).as("l_internal"))
+    val dc = sym.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).as("degree"))
+      .join(labels, Seq("v"))
+      .groupBy(col("community"))
+      .agg(sum(col("degree")).as("d_total"))
+    val scored = communities
+      .join(lc, Seq("community"), "left")
+      .na.fill(0L, Seq("l_internal"))
+      .join(dc, Seq("community"))
+      .crossJoin(broadcast(m))
+      .withColumn("x",
+        col("l_internal").cast("double") / col("m").cast("double"))
+      .withColumn("y",
+        col("d_total").cast("double") / (col("m") * 2L).cast("double"))
+    scored
+      .select(col("community"), col("n_members"),
+        col("l_internal"), col("d_total"),
+        (col("x") - col("y") * col("y")).as("q_c"))
+      .orderBy("community")
+  }
+
+  /** Same partition (the shared unrolled CTE chain), same exact-int
+    * aggregates, the SAME x/y/x−y·y expression structure — so the
+    * emitted doubles are bit-identical, not merely close.
+    */
+  val modularitySql: String =
+    s"""$labelPropCtes,
+      |m AS (
+      |  SELECT count(*) AS m FROM e0
+      |), lc AS (
+      |  SELECT la.lbl AS community, count(*) AS l_internal
+      |  FROM e0
+      |  JOIN l4 la ON la.v = e0.p1
+      |  JOIN l4 lb ON lb.v = e0.p2
+      |  WHERE la.lbl = lb.lbl
+      |  GROUP BY la.lbl
+      |), dc AS (
+      |  SELECT l4.lbl AS community, CAST(sum(deg.degree) AS BIGINT)
+      |    AS d_total
+      |  FROM (SELECT src AS v, count(*) AS degree FROM e GROUP BY src)
+      |    deg
+      |  JOIN l4 ON l4.v = deg.v
+      |  GROUP BY l4.lbl
+      |), scored AS (
+      |  SELECT s.lbl AS community, s.n_members,
+      |         CAST(coalesce(lc.l_internal, 0) AS BIGINT) AS l_internal,
+      |         dc.d_total,
+      |         CAST(coalesce(lc.l_internal, 0) AS DOUBLE)
+      |           / CAST((SELECT m FROM m) AS DOUBLE) AS x,
+      |         CAST(dc.d_total AS DOUBLE)
+      |           / CAST((SELECT m FROM m) * 2 AS DOUBLE) AS y
+      |  FROM sizes s
+      |  LEFT JOIN lc ON lc.community = s.lbl
+      |  JOIN dc ON dc.community = s.lbl
+      |)
+      |SELECT community, n_members, l_internal, d_total,
+      |       x - y * y AS q_c
+      |FROM scored ORDER BY community""".stripMargin
 
   /** Fixed peel-round count for [[kcorePeel]]. Bounded like
     * [[LpRounds]]/[[PrIters]]/[[MaxHops]] so both engines run the
@@ -734,6 +845,7 @@ object Graph {
     "graph_common_neighbors" -> (commonNeighbors _),
     "graph_label_prop" -> (labelProp _),
     "graph_kcore"      -> (kcorePeel _),
+    "graph_modularity" -> (modularity _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -744,5 +856,6 @@ object Graph {
     "graph_common_neighbors" -> commonNeighborsSql,
     "graph_label_prop" -> labelPropSql,
     "graph_kcore"      -> kcorePeelSql,
+    "graph_modularity" -> modularitySql,
   )
 }

@@ -119,6 +119,40 @@ class GraphPageRankSpec extends SparkTestBase {
     }
   }
 
+  test("modularity matches a plain-Scala score of the min-label partition") {
+    // recompute the bounded-round partition, then Newman's Q_c per
+    // community with the same x − y·y expression structure — exact
+    // double equality, the fixed-scalar-expression float case
+    var lbl: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 4)
+      lbl = lbl.map { case (v, l) =>
+        v -> math.min(l, adj(v).map(lbl).min)
+      }
+    val edges = adj.toSeq.flatMap { case (a, ns) =>
+      ns.filter(_ > a).map(b => (a, b))
+    }
+    val m = edges.size.toLong
+    val lc = edges.filter { case (a, b) => lbl(a) == lbl(b) }
+      .groupBy { case (a, _) => lbl(a) }.view.mapValues(_.size.toLong)
+    val dc = adj.toSeq.groupBy { case (v, _) => lbl(v) }.view
+      .mapValues(_.map(_._2.size.toLong).sum)
+    val nm = lbl.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val want = lbl.values.toSeq.distinct.sorted.map { c =>
+      val l = lc.toMap.getOrElse(c, 0L)
+      val d = dc.toMap.apply(c)
+      val x = l.toDouble / m.toDouble
+      val y = d.toDouble / (2L * m).toDouble
+      (c, nm.toMap.apply(c), l, d, x - y * y)
+    }
+    val got = Graph.modularity(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got === want)
+    // structural invariants: degrees partition 2m; internal edges
+    // never exceed the global edge count
+    assert(got.map(_._4).sum === 2L * m)
+    assert(got.map(_._3).sum <= m)
+  }
+
   test("k-core peel layers match a plain-Scala synchronous peel") {
     // synchronous rounds: every vertex below K in the CURRENT
     // subgraph is removed together; layer = last round survived
