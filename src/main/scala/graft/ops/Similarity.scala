@@ -489,7 +489,16 @@ object Similarity {
     */
   private val PqM = 8 // subspaces
   private val PqSub = 8 // dims per subspace (PqM * PqSub = 64)
-  private val PqK = 32 // codewords per subspace
+  // 8-bit codewords (the standard PQ8x8 shape). The original 5-bit
+  // K=32 codebooks could not separate the shrinking neighbor margins
+  // as the corpus densified: measured recall@3 fell 0.817→0.550
+  // (sim_ann_pq) and 0.783→0.633 (sim_ann_ivfpq) from 500→2000
+  // vectors while every cell-probing variant improved (SCALING.md
+  // round-14 recall table). 256 codewords per subspace keep the code
+  // 8 small ints per vector — the index stays ~32× narrower than the
+  // raw floats — while the quantization error drops enough for the
+  // fixed-depth exact re-rank to recover the true top-3.
+  private val PqK = 256 // codewords per subspace
   private val PqIters = 2
 
   private val pqMemo = scala.collection.concurrent.TrieMap
@@ -506,49 +515,89 @@ object Similarity {
     }: _*)).as("e"))
       .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
 
+  private def trainPqCodebooks(s: SparkSession, d: String)
+      : Array[Array[Array[Double]]] = {
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val init = emb.filter(col("vec_id") < PqK).orderBy("vec_id")
+      .select("v").collect().map(_.getSeq[Double](0).toArray)
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(PqM, PqK) {
+      (m, k) => init(k % init.length).slice(m * PqSub, (m + 1) * PqSub)
+    }
+    for (_ <- 1 to PqIters) {
+      val means = subvectors(emb)
+        .withColumn("code", element_at(
+          graft.functions.VectorFunctions.nearest_centroids(
+            col("sv"), element_at(pqLit(cb), col("m") + 1), 1), 1))
+        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy(col("m"), col("code"), col("dim"))
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+      val next = Array.tabulate(PqM, PqK)((m, k) => cb(m)(k).clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+          BigDecimal(r.getDouble(3))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** Trained codebooks, memoized TWICE: per-corpus scratch parquet
+    * (one small (m, k, vals) relation — so a fresh JVM loads the
+    * model instead of re-running the Lloyd rounds' corpus passes) and
+    * the in-process map on top. The key embeds PqM/PqK so a
+    * parameter change can never read a stale model.
+    */
   def pqCodebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
     pqMemo.getOrElseUpdate(d, {
-      val emb = embeddings(s, d)
-        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      val init = emb.filter(col("vec_id") < PqK).orderBy("vec_id")
-        .select("v").collect().map(_.getSeq[Double](0).toArray)
-      var cb: Array[Array[Array[Double]]] = Array.tabulate(PqM, PqK) {
-        (m, k) => init(k).slice(m * PqSub, (m + 1) * PqSub)
+      val df = graft.util.ScratchIndex.materialize(
+          s, s"pqcodebook_v1_m${PqM}k${PqK}_" +
+            graft.util.ScratchIndex.corpusTag(d)) {
+        val cb = trainPqCodebooks(s, d)
+        import s.implicits._
+        (for { m <- 0 until PqM; k <- 0 until PqK }
+          yield (m, k, cb(m)(k).toSeq)).toDF("m", "k", "vals")
       }
-      for (_ <- 1 to PqIters) {
-        val means = subvectors(emb)
-          .withColumn("code", element_at(
-            graft.functions.VectorFunctions.nearest_centroids(
-              col("sv"), element_at(pqLit(cb), col("m") + 1), 1), 1))
-          .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
-          .groupBy(col("m"), col("code"), col("dim"))
-          .agg(avg(col("x")).as("mean"))
-          .collect()
-        val next = Array.tabulate(PqM, PqK)((m, k) => cb(m)(k).clone())
-        means.foreach { r =>
-          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-            BigDecimal(r.getDouble(3))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-        }
-        cb = next
+      val cb = Array.ofDim[Array[Double]](PqM, PqK)
+      df.collect().foreach { r =>
+        cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
       }
       cb
     })
+
+  /** The stored code table — (vec_id, codes): what a production PQ
+    * index persists (8 small ints per vector, ~32× narrower than the
+    * raw floats). Encoding the corpus is a one-time index build, not
+    * a per-query cost; queries stream THIS relation and decode via
+    * codebook lookups.
+    */
+  private def pqCodeTable(s: SparkSession, d: String): DataFrame = {
+    val cb = pqLit(pqCodebooks(s, d))
+    val codes = array((0 until PqM).map { m =>
+      element_at(graft.functions.VectorFunctions.nearest_centroids(
+        slice(col("v"), m * PqSub + 1, PqSub),
+        element_at(cb, m + 1), 1), 1)
+    }: _*)
+    graft.util.ScratchIndex.materialize(
+        s, s"pqcodes_v1_m${PqM}k${PqK}_" +
+          graft.util.ScratchIndex.corpusTag(d)) {
+      embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), codes.as("codes"))
+    }
+  }
 
   def annPq(s: SparkSession, d: String): DataFrame = {
     val emb = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val cb = pqLit(pqCodebooks(s, d))
 
-    // encode: PqM codes per vector (narrow); decode: reconstruct v̂
-    // by stitching the codewords back together — both pure built-ins
-    val codes = array((0 until PqM).map { m =>
-      element_at(graft.functions.VectorFunctions.nearest_centroids(
-        slice(col("v"), m * PqSub + 1, PqSub),
-        element_at(cb, m + 1), 1), 1)
-    }: _*)
-    val compressed = emb.select(col("vec_id"), codes.as("codes"))
-    val decoded = compressed.select(col("vec_id"),
+    // the query path streams the STORED code table and reconstructs
+    // v̂ by stitching codewords back together — pure built-ins; the
+    // corpus encode happened once at index-build time (pqCodeTable)
+    val decoded = pqCodeTable(s, d).select(col("vec_id"),
       flatten(array((0 until PqM).map { m =>
         element_at(element_at(cb, m + 1),
           element_at(col("codes"), m + 1) + 1)
@@ -618,15 +667,17 @@ object Similarity {
     val cents = ivfCentroids(s, d)
     val cb = pqLit(pqCodebooks(s, d))
 
-    // the stored index: (cent_id, vec_id, codes) — narrow, no floats
-    val codes = array((0 until PqM).map { m =>
-      element_at(graft.functions.VectorFunctions.nearest_centroids(
-        slice(col("v"), m * PqSub + 1, PqSub),
-        element_at(cb, m + 1), 1), 1)
-    }: _*)
-    val index = emb
-      .withColumn("cent_id", bestCentroid(cents))
-      .select(col("cent_id"), col("vec_id"), codes.as("codes"))
+    // the stored index: (cent_id, vec_id, codes) — narrow, no
+    // floats; built once per corpus (coarse assignment joined onto
+    // the shared PQ code table) and memoized like the IVF postings
+    val index = graft.util.ScratchIndex.materialize(
+        s, s"ivfpqindex_v1_m${PqM}k${PqK}_" +
+          graft.util.ScratchIndex.corpusTag(d)) {
+      emb.withColumn("cent_id", bestCentroid(cents))
+        .select(col("cent_id"), col("vec_id"))
+        .join(pqCodeTable(s, d), Seq("vec_id"))
+        .select(col("cent_id"), col("vec_id"), col("codes"))
+    }
 
     val qProbe = emb.filter(col("vec_id") < 20)
       .withColumn("cent_id",
