@@ -734,7 +734,7 @@ object Curation {
     * bug, colliding with the legitimate band of every
     * negative-balance customer (CurationSpec pins the disjointness).
     */
-  private val Suppressed = -100L
+  private[graft] val Suppressed = -100L
 
   /** K-anonymity generalization over customer quasi-identifiers — the
     * privacy gate a training-data release pipeline runs before
@@ -752,13 +752,13 @@ object Curation {
     *
     * Precisely: this is the per-record MINIMAL-GENERALIZATION ladder —
     * each record is released at the first level whose
-    * pre-generalization attribute group holds ≥ k records. Strict
-    * equivalence-class k-anonymity additionally re-checks the
-    * RESIDUAL class (level-1 records of a group whose level-0
-    * siblings were released separately can form a smaller released
-    * class) and escalates it — one more round of the same three
-    * aggregations per ladder rung; the audit form here is the
-    * standard first pass of that loop and what the spec asserts.
+    * pre-generalization attribute group holds ≥ k records. That is an
+    * AUDIT form, not a release gate: the class actually released at
+    * level L can be smaller than k (level-(L−1) siblings went out
+    * with finer attributes, in a different class). The release-grade
+    * guarantee is [[kAnonymizeStrict]], which sizes each rung on the
+    * residual class; use THIS form to see where the minimal ladder
+    * would land each record, and that one to ship data.
     *
     * Plan shape at scale: ONE corpus-sized keyed count aggregation
     * (the finest level, g0); the coarser levels and the total
@@ -770,12 +770,18 @@ object Curation {
     * division + floor, bit-identical cross-engine (taxonomy case 1;
     * never a sort key).
     */
-  def kAnonymize(s: SparkSession, d: String): DataFrame = {
-    val base = customer(s, d).select(
+  /** The quasi-identifier projection shared by both k-anonymity
+    * forms: (c_custkey, nation, segment, band).
+    */
+  private def anonBase(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
       col("c_custkey"),
       col("c_nationkey").cast("long").as("nation"),
       col("c_mktsegment").as("segment"),
       floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
+
+  def kAnonymize(s: SparkSession, d: String): DataFrame = {
+    val base = anonBase(s, d)
     val g0 = base.groupBy(col("nation"), col("segment"), col("band"))
       .agg(count(lit(1)).as("n0"))
     // coarser ladder levels re-aggregate the bounded g0 relation —
@@ -848,8 +854,134 @@ object Curation {
       |         AS group_n
       |FROM lv ORDER BY c_custkey""".stripMargin
 
+  /** STRICT equivalence-class k-anonymity (r14 verdict #3) — the
+    * guarantee [[kAnonymize]]'s minimal ladder does NOT give: the
+    * minimal form releases a record at the first level whose
+    * PRE-generalization group holds ≥ k records, but the class
+    * actually RELEASED at level L contains only the records released
+    * there — the level-(L−1) siblings went out with finer attributes,
+    * in a different class — so a released class can end up smaller
+    * than k (e.g. a (nation, segment) group of 19 where 12 hide at
+    * level 0: the 7 level-1 records form a released class of 7).
+    *
+    * The strict form sizes each rung on the RESIDUAL: a record is
+    * released at level L only if the count of records sharing its
+    * level-L attributes AND not already released at a finer level is
+    * ≥ k. One residual re-aggregation per rung IS the fixpoint —
+    * escalation always moves whole residual classes (a class is
+    * escalated in its entirety, never split), so no released class
+    * can shrink after the rung that admits it, and every released
+    * class has ≥ k members by construction (CurationSpec asserts
+    * this independently from the emitted rows, and exercises the
+    * escalation + full-suppression branches on a synthetic
+    * small-group fixture). Level 3 is full suppression — those
+    * records are WITHHELD from a release (the standard suppression
+    * treatment, so no k constraint applies); group_n reports the
+    * suppressed-record count for accounting.
+    *
+    * Plan shape at scale: identical to [[kAnonymize]] — ONE
+    * corpus-sized keyed count (g0); the residual rungs re-aggregate
+    * the bounded cell relation (each rung filters the cells already
+    * released — a per-cell flag, never a corpus re-scan), and the
+    * ladder relations broadcast back onto the row stream.
+    */
+  private[graft] def kAnonymizeStrictOf(base: DataFrame): DataFrame = {
+    val k = lit(AnonK.toLong)
+    val g0 = base.groupBy(col("nation"), col("segment"), col("band"))
+      .agg(count(lit(1)).as("n0"))
+    // residual rung 1: cells not safe at level 0, per (nation, segment)
+    val r1 = g0.filter(col("n0") < k)
+      .groupBy(col("nation"), col("segment"))
+      .agg(sum(col("n0")).as("r1"))
+    // residual rung 2: cells safe at neither 0 nor 1, per segment
+    val r2 = g0.filter(col("n0") < k)
+      .join(r1, Seq("nation", "segment"))
+      .filter(col("r1") < k)
+      .groupBy(col("segment"))
+      .agg(sum(col("n0")).as("r2"))
+    // suppressed accounting total (coalesce: the happy corpus has no
+    // suppressed cells and the empty agg sums to null)
+    val r3 = g0.filter(col("n0") < k)
+      .join(r1, Seq("nation", "segment"))
+      .filter(col("r1") < k)
+      .join(r2, Seq("segment"))
+      .filter(col("r2") < k)
+      .agg(coalesce(sum(col("n0")), lit(0L)).as("r3"))
+    base
+      .join(g0, Seq("nation", "segment", "band"))
+      .join(r1, Seq("nation", "segment"), "left")
+      .join(r2, Seq("segment"), "left")
+      .crossJoin(broadcast(r3))
+      .withColumn("gen_level",
+        when(col("n0") >= k, 0L).when(col("r1") >= k, 1L)
+          .when(col("r2") >= k, 2L).otherwise(3L))
+      .select(
+        col("c_custkey"),
+        col("gen_level"),
+        when(col("gen_level") <= 1, col("nation"))
+          .otherwise(lit(Suppressed)).as("nation_out"),
+        when(col("gen_level") <= 2, col("segment"))
+          .otherwise(lit("*")).as("segment_out"),
+        when(col("gen_level") === 0, col("band"))
+          .otherwise(lit(Suppressed)).as("band_out"),
+        when(col("gen_level") === 0, col("n0"))
+          .when(col("gen_level") === 1, col("r1"))
+          .when(col("gen_level") === 2, col("r2"))
+          .otherwise(col("r3")).as("group_n"))
+      .orderBy("c_custkey")
+  }
+
+  def kAnonymizeStrict(s: SparkSession, d: String): DataFrame =
+    kAnonymizeStrictOf(anonBase(s, d))
+
+  val kAnonymizeStrictSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+      |         c_mktsegment AS segment,
+      |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+      |  FROM customer
+      |), g0 AS (
+      |  SELECT nation, segment, band, count(*) AS n0 FROM base
+      |  GROUP BY 1, 2, 3
+      |), r1 AS (
+      |  SELECT nation, segment, sum(n0) AS r1 FROM g0
+      |  WHERE n0 < 10 GROUP BY 1, 2
+      |), r2 AS (
+      |  SELECT g0.segment, sum(g0.n0) AS r2 FROM g0
+      |  JOIN r1 ON r1.nation = g0.nation AND r1.segment = g0.segment
+      |  WHERE g0.n0 < 10 AND r1.r1 < 10 GROUP BY 1
+      |), r3 AS (
+      |  SELECT coalesce(sum(g0.n0), 0) AS r3 FROM g0
+      |  JOIN r1 ON r1.nation = g0.nation AND r1.segment = g0.segment
+      |  JOIN r2 ON r2.segment = g0.segment
+      |  WHERE g0.n0 < 10 AND r1.r1 < 10 AND r2.r2 < 10
+      |), lv AS (
+      |  SELECT b.c_custkey, b.nation, b.segment, b.band,
+      |         g0.n0, r1.r1, r2.r2, (SELECT r3 FROM r3) AS r3,
+      |         CASE WHEN g0.n0 >= 10 THEN 0
+      |              WHEN r1.r1 >= 10 THEN 1
+      |              WHEN r2.r2 >= 10 THEN 2
+      |              ELSE 3 END AS lvl
+      |  FROM base b
+      |  JOIN g0 ON g0.nation = b.nation AND g0.segment = b.segment
+      |         AND g0.band = b.band
+      |  LEFT JOIN r1 ON r1.nation = b.nation AND r1.segment = b.segment
+      |  LEFT JOIN r2 ON r2.segment = b.segment
+      |)
+      |SELECT c_custkey, CAST(lvl AS BIGINT) AS gen_level,
+      |       CAST(CASE WHEN lvl <= 1 THEN nation ELSE -100 END AS BIGINT)
+      |         AS nation_out,
+      |       CASE WHEN lvl <= 2 THEN segment ELSE '*' END AS segment_out,
+      |       CAST(CASE WHEN lvl = 0 THEN band ELSE -100 END AS BIGINT)
+      |         AS band_out,
+      |       CAST(CASE WHEN lvl = 0 THEN n0 WHEN lvl = 1 THEN r1
+      |                 WHEN lvl = 2 THEN r2 ELSE r3 END AS BIGINT)
+      |         AS group_n
+      |FROM lv ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cur_k_anonymize"   -> (kAnonymize _),
+    "cur_k_anonymize_strict" -> (kAnonymizeStrict _),
     "cur_domain_cap"    -> (domainCap _),
     "cur_weighted_sample" -> (weightedSample _),
     "cur_stratified"    -> (stratifiedSample _),
@@ -867,6 +999,7 @@ object Curation {
 
   val oracle: Map[String, String] = Map(
     "cur_k_anonymize"   -> kAnonymizeSql,
+    "cur_k_anonymize_strict" -> kAnonymizeStrictSql,
     "cur_domain_cap"    -> domainCapSql,
     "cur_weighted_sample" -> weightedSampleSql,
     "cur_stratified"    -> stratifiedSampleSql,

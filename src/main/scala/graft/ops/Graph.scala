@@ -623,9 +623,9 @@ object Graph {
     * downstream of the edge scan is |communities|-sized.
     */
   def modularity(s: SparkSession, d: String): DataFrame = {
-    val labels = labelProp(s, d)
-      .select(col("v"), col("community"))
-    val communities = labelProp(s, d)
+    val assignment = labelProp(s, d)
+    val labels = assignment.select(col("v"), col("community"))
+    val communities = assignment
       .select(col("community"), col("n_members")).distinct()
     val e0 = coOrderEdges(s, d)
     val sym = e0.select(col("p1").as("src"), col("p2").as("dst"))
@@ -695,6 +695,183 @@ object Graph {
       |SELECT community, n_members, l_internal, d_total,
       |       x - y * y AS q_c
       |FROM scored ORDER BY community""".stripMargin
+
+  /** Global modularity Q in EXACT INTEGER form. [[modularity]]
+    * deliberately omits the global score: Q is a float SUM over
+    * communities, and a distributed float sum is
+    * accumulation-order-dependent — not hashable cross-engine. But
+    * Q = Σ_c L_c/m − Σ_c (D_c/2m)² = sum_l/m − sum_d2/(4m²) is fully
+    * determined by three exact integers, so this query emits the
+    * integer numerators (n_communities, sum_l, sum_d2, m) in ONE row
+    * and the oracle hashes the global score exactly; a reader (and
+    * the spec) derives the double once, outside any distributed
+    * accumulation, and the spec cross-checks it against the
+    * per-community float sum. sum_d2 = Σ D_c² stays within BIGINT up
+    * to ~1.5e9 edges ((2m)² < 2⁶³); past that the change is one cast
+    * to DECIMAL(38,0) on this column.
+    *
+    * Plan shape at scale: one |communities|-sized aggregate on top of
+    * [[modularity]]'s output — no new corpus-sized work at all; even
+    * m falls out of the handshake identity Σ_c D_c = 2m (integer
+    * `div`, exact in both engines), so the edge relation is not
+    * re-read.
+    */
+  def modularityQ(s: SparkSession, d: String): DataFrame =
+    modularity(s, d).agg(
+      count(lit(1)).as("n_communities"),
+      sum(col("l_internal")).as("sum_l"),
+      sum(col("d_total") * col("d_total")).as("sum_d2"),
+      expr("sum(d_total) div 2").as("m"))
+
+  /** Same per-community integer aggregates as [[modularitySql]], one
+    * final integer roll-up (`//` is DuckDB's integral division,
+    * matching Spark's `div`).
+    */
+  val modularityQSql: String =
+    s"""$labelPropCtes,
+      |lc AS (
+      |  SELECT la.lbl AS community, count(*) AS l_internal
+      |  FROM e0
+      |  JOIN l4 la ON la.v = e0.p1
+      |  JOIN l4 lb ON lb.v = e0.p2
+      |  WHERE la.lbl = lb.lbl
+      |  GROUP BY la.lbl
+      |), dc AS (
+      |  SELECT l4.lbl AS community, CAST(sum(deg.degree) AS BIGINT)
+      |    AS d_total
+      |  FROM (SELECT src AS v, count(*) AS degree FROM e GROUP BY src)
+      |    deg
+      |  JOIN l4 ON l4.v = deg.v
+      |  GROUP BY l4.lbl
+      |), per AS (
+      |  SELECT s.lbl,
+      |         CAST(coalesce(lc.l_internal, 0) AS BIGINT) AS l_internal,
+      |         dc.d_total
+      |  FROM sizes s
+      |  LEFT JOIN lc ON lc.community = s.lbl
+      |  JOIN dc ON dc.community = s.lbl
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n_communities,
+      |       CAST(sum(l_internal) AS BIGINT) AS sum_l,
+      |       CAST(sum(d_total * d_total) AS BIGINT) AS sum_d2,
+      |       CAST(sum(d_total) // 2 AS BIGINT) AS m
+      |FROM per""".stripMargin
+
+  /** The standing graph delta: lineitem rows of orders with
+    * `l_orderkey % 10 == 7` stand in for today's ingest batch (the
+    * `Dedup.deltaDocPred` convention); everything else is
+    * "yesterday's graph", whose edge and degree artifacts are
+    * persisted.
+    */
+  private val deltaOrderPred = pmod(col("l_orderkey"), lit(10)) === 7
+
+  /** Co-purchase pairs over a lineitem subset — the [[coOrderEdgesPlan]]
+    * shape, parameterized so the base/delta split shares one
+    * definition with the full rebuild.
+    */
+  private def pairsOf(li: DataFrame): DataFrame = {
+    val a = li.toDF("ok", "p1")
+    val b = li.toDF("ok", "p2")
+    a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+      .select(col("p1"), col("p2")).distinct()
+  }
+
+  /** Symmetric per-vertex degree of an edge relation. */
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("p1").as("v")).unionAll(e.select(col("p2").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+
+  /** Yesterday's edge relation (base orders only) — memoized; the
+    * base lineitem is scanned for graph building once per corpus.
+    */
+  private def baseGraphEdges(s: SparkSession, d: String): DataFrame =
+    graft.util.ScratchIndex.materialize(
+        s, s"edgesbase_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
+      pairsOf(lineitem(s, d).filter(!deltaOrderPred)
+        .select(col("l_orderkey"), col("l_partkey")))
+    }
+
+  /** Yesterday's degree table, persisted beside the base edges. */
+  private def baseGraphDegrees(s: SparkSession, d: String): DataFrame =
+    graft.util.ScratchIndex.materialize(
+        s, s"degbase_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
+      degreesOf(baseGraphEdges(s, d))
+    }
+
+  /** Incremental degree maintenance — the daily-ingest path of the
+    * graph-curation family (every other family already has one: LSH
+    * index, clusters, IVF, SCD2, agg state, novelty). The degree
+    * table is THE standing per-vertex graph artifact (k-core
+    * thresholds, connectivity scores, degree histograms all read it),
+    * and a daily batch of new orders must update it without
+    * re-scanning yesterday's lineitem: (1) co-purchase pairs are
+    * mined from the DELTA rows only — the sole corpus-side scan of
+    * the update is the persisted base EDGE relation, probed twice
+    * with the (small) delta broadcast, never shuffled; (2) genuinely
+    * NEW edges = delta pairs minus already-present base pairs
+    * (semi-probe the base with the delta broadcast, then anti-join
+    * the delta against that small present-set — both sides of every
+    * join are bounded by the delta, the classic flipped-anti shape);
+    * (3) merged degree = base degree + new-edge incident count via a
+    * broadcast LEFT join onto the persisted base table, plus a
+    * union of brand-new vertices (parts first seen today). Exact by
+    * construction: the full graph's distinct pair set is the
+    * DISJOINT union of base pairs and the new-edge set, so degrees
+    * add — the oracle replays the full rebuild and the hash proves
+    * merge ≡ rebuild, the `dedup_lsh_incremental` discipline.
+    *
+    * Why the OTHER graph queries don't get a delta path (measured
+    * adjudication, r15): bounded-round label-prop/BFS/pagerank labels
+    * are functions of the R-hop neighborhood, and this co-purchase
+    * graph's diameter is ~3-4 — the affected region of ANY delta edge
+    * (vertices within R hops of an endpoint, whose R-hop balls the
+    * exact recompute then needs) is the 2R-hop ball ≈ the ENTIRE
+    * graph, so an exact incremental path degenerates to the rebuild.
+    * Degree (this query) and the converged connected-components path
+    * (`dedup_clusters_incremental`) are the graph artifacts whose
+    * update cost is delta-local.
+    */
+  def degreeIncremental(s: SparkSession, d: String): DataFrame = {
+    val deltaPairs = pairsOf(lineitem(s, d).filter(deltaOrderPred)
+      .select(col("l_orderkey"), col("l_partkey")))
+    val base = baseGraphEdges(s, d)
+    // delta pairs already in the base: ONE broadcast-probe pass over
+    // the persisted base edges (output ≤ |delta|, base never shuffles)
+    val present = base.join(broadcast(deltaPairs), Seq("p1", "p2"),
+      "left_semi")
+    val newEdges = deltaPairs.join(broadcast(present), Seq("p1", "p2"),
+      "left_anti")
+    val deltaDeg = degreesOf(newEdges)
+    val baseDeg = baseGraphDegrees(s, d)
+    // merged = base rows incremented via broadcast left join (no base
+    // shuffle) ∪ vertices first seen today
+    val bumped = baseDeg.select(col("v"), col("degree").as("d_b"))
+      .join(broadcast(deltaDeg.select(col("v"), col("degree").as("d_n"))),
+        Seq("v"), "left")
+      .select(col("v"),
+        (col("d_b") + coalesce(col("d_n"), lit(0L))).as("degree"))
+    val presentVerts = baseDeg.select(col("v"))
+      .join(broadcast(deltaDeg.select(col("v"))), Seq("v"), "left_semi")
+    val newVerts = deltaDeg
+      .join(broadcast(presentVerts), Seq("v"), "left_anti")
+      .select(col("v"), col("degree"))
+    bumped.unionAll(newVerts).orderBy("v")
+  }
+
+  /** Full-rebuild replay over all of lineitem: the hash match proves
+    * the incrementally-maintained degree table IS the rebuild's.
+    */
+  val degreeIncrementalSql: String =
+    """WITH e0 AS (
+      |  SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      |  FROM lineitem a
+      |  JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |), und AS (
+      |  SELECT p1 AS v FROM e0 UNION ALL SELECT p2 FROM e0
+      |)
+      |SELECT v, count(*) AS degree FROM und GROUP BY v
+      |ORDER BY v""".stripMargin
 
   /** Fixed peel-round count for [[kcorePeel]]. Bounded like
     * [[LpRounds]]/[[PrIters]]/[[MaxHops]] so both engines run the
@@ -846,6 +1023,8 @@ object Graph {
     "graph_label_prop" -> (labelProp _),
     "graph_kcore"      -> (kcorePeel _),
     "graph_modularity" -> (modularity _),
+    "graph_modularity_q" -> (modularityQ _),
+    "graph_degree_incremental" -> (degreeIncremental _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -857,5 +1036,7 @@ object Graph {
     "graph_label_prop" -> labelPropSql,
     "graph_kcore"      -> kcorePeelSql,
     "graph_modularity" -> modularitySql,
+    "graph_modularity_q" -> modularityQSql,
+    "graph_degree_incremental" -> degreeIncrementalSql,
   )
 }

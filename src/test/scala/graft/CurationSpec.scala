@@ -208,8 +208,109 @@ class CurationSpec extends SparkTestBase {
       assert(lvl === 3L || gn >= k.toLong, s"cust $id: level $lvl group $gn")
     }
     // monotone ladder: released attributes only ever shrink with level
-    got.filter(_._2 === 3L).foreach { case (_, _, n, s2, b, _) =>
-      assert(n === -1L && s2 === "*" && b === -1L)
+    // (sentinel is Curation.Suppressed, NOT -1 — -1 is a legitimate
+    // band value for negative-balance customers)
+    val S = graft.ops.Curation.Suppressed
+    got.filter(_._2 == 3L).foreach { case (_, _, n, s2, b, _) =>
+      assert(n === S && s2 === "*" && b === S)
     }
+  }
+
+  /** Plain-Scala reimplementation of the STRICT residual ladder —
+    * shared by the corpus test and the synthetic-fixture test.
+    */
+  private def strictWant(base: Seq[(Long, Long, String, Long)], k: Int)
+      : Seq[(Long, Long, Long, String, Long, Long)] = {
+    val S = graft.ops.Curation.Suppressed
+    val n0 = base.groupBy(r => (r._2, r._3, r._4)).view.mapValues(_.length).toMap
+    val unsafe0 = base.filter(r => n0((r._2, r._3, r._4)) < k)
+    val r1 = unsafe0.groupBy(r => (r._2, r._3)).view.mapValues(_.length).toMap
+    val unsafe1 = unsafe0.filter(r => r1((r._2, r._3)) < k)
+    val r2 = unsafe1.groupBy(_._3).view.mapValues(_.length).toMap
+    val r3 = unsafe1.count(r => r2(r._3) < k)
+    base.sortBy(_._1).map { case (id, na, sg, bd) =>
+      val lvl =
+        if (n0((na, sg, bd)) >= k) 0L
+        else if (r1((na, sg)) >= k) 1L
+        else if (r2(sg) >= k) 2L
+        else 3L
+      val gn = lvl match {
+        case 0L => n0((na, sg, bd)).toLong
+        case 1L => r1((na, sg)).toLong
+        case 2L => r2(sg).toLong
+        case _  => r3.toLong
+      }
+      (id, lvl,
+        if (lvl <= 1) na else S,
+        if (lvl <= 2) sg else "*",
+        if (lvl == 0) bd else S,
+        gn)
+    }
+  }
+
+  test("strict k-anonymize: residual ladder matches plain-Scala and " +
+      "every RELEASED equivalence class has >= k members") {
+    val base = spark.read.parquet(s"$sf/customer.parquet")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT) AS nation",
+        "c_mktsegment AS segment",
+        "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band")
+      .as[(Long, Long, String, Long)].collect().toSeq
+    val k = 10
+    val got = graft.ops.Curation.kAnonymizeStrict(spark, sf)
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSeq
+    assert(got === strictWant(base, k))
+    // THE strict guarantee, asserted independently from group_n:
+    // group the released rows by their released attributes — every
+    // class must hold >= k records, and group_n must BE the class size
+    got.filter(_._2 < 3L)
+      .groupBy(r => (r._2, r._3, r._4, r._5)).foreach { case (key, cls) =>
+        assert(cls.size >= k, s"released class $key has ${cls.size} < $k")
+        cls.foreach(r => assert(r._6 === cls.size.toLong,
+          s"group_n of ${r._1} != released class size"))
+      }
+  }
+
+  test("strict k-anonymize: synthetic small groups exercise escalation " +
+      "and full suppression; the minimal ladder's residual violation is fixed") {
+    val S = graft.ops.Curation.Suppressed
+    val k = 10 // = Curation.AnonK
+    def cell(n: Int, na: Long, sg: String, bd: Long) =
+      Seq.fill(n)((na, sg, bd))
+    // (1,S,*): one safe cell + two small cells whose (1,S) residual is
+    // only 7 — the MINIMAL ladder would release them at level 1 (the
+    // pre-generalization group is 12+4+3=19 >= k) as a released class
+    // of 7 < k, the exact violation the strict form exists to fix;
+    // (2,S,5) joins them at the segment rung (residual 7+4=11 >= k);
+    // (3,T,1) is unreleasable at every rung -> full suppression;
+    // (4,U,*): a safe cell plus a residual pair big enough for rung 1.
+    val cells =
+      cell(12, 1, "S", 1) ++ cell(4, 1, "S", 2) ++ cell(3, 1, "S", 3) ++
+      cell(4, 2, "S", 5) ++ cell(5, 3, "T", 1) ++
+      cell(6, 4, "U", 1) ++ cell(7, 4, "U", 2) ++ cell(15, 4, "U", 3)
+    val base = cells.zipWithIndex.map { case ((na, sg, bd), i) =>
+      (i.toLong + 1, na, sg, bd)
+    }
+    val df = base.toDF("c_custkey", "nation", "segment", "band")
+    val got = graft.ops.Curation.kAnonymizeStrictOf(df)
+      .as[(Long, Long, Long, String, Long, Long)].collect().toSeq
+    assert(got === strictWant(base, k))
+    val byId = got.map(r => r._1 -> r).toMap
+    // the (1,S,2)/(1,S,3) records ESCALATED past level 1 to the
+    // segment rung, class size 11 (with the (2,S,5) records)
+    (13L to 23L).foreach { id =>
+      assert(byId(id) === ((id, 2L, S, "S", S, 11L)), s"cust $id")
+    }
+    // (3,T,1) records fully suppressed, accounting count 5
+    (24L to 28L).foreach { id =>
+      assert(byId(id) === ((id, 3L, S, "*", S, 5L)), s"cust $id")
+    }
+    // (4,U,1)+(4,U,2) released at level 1 on their RESIDUAL size 13
+    // (not the pre-generalization 28 the minimal ladder reports)
+    (29L to 41L).foreach { id =>
+      assert(byId(id) === ((id, 1L, 4L, "U", S, 13L)), s"cust $id")
+    }
+    // safe cells release at level 0 untouched
+    assert(byId(1L) === ((1L, 0L, 1L, "S", 1L, 12L)))
+    assert(byId(56L) === ((56L, 0L, 4L, "U", 3L, 15L)))
   }
 }

@@ -153,6 +153,41 @@ class GraphPageRankSpec extends SparkTestBase {
     assert(got.map(_._3).sum <= m)
   }
 
+  test("global modularity Q: integer numerators exact, derived double " +
+      "matches the per-community float sum") {
+    val per = Graph.modularity(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    val got = Graph.modularityQ(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.length === 1)
+    val (nc, sumL, sumD2, m) = got.head
+    assert(nc === per.length.toLong)
+    assert(sumL === per.map(_._3).sum)
+    assert(sumD2 === per.map(d => d._4 * d._4).sum)
+    assert(m === per.map(_._4).sum / 2L)
+    // the exact-integer form determines the global score: derive the
+    // double ONCE from the numerators (no distributed accumulation)
+    // and cross-check the order-dependent per-community float sum
+    val q = sumL.toDouble / m.toDouble -
+      sumD2.toDouble / (4.0 * m.toDouble * m.toDouble)
+    val qFloat = per.map(_._5).sum
+    assert(math.abs(q - qFloat) < 1e-9, s"derived $q vs float-sum $qFloat")
+  }
+
+  test("incremental degree maintenance: merge equals the full rebuild") {
+    // ground truth: per-vertex degree of the FULL graph, from the
+    // spec-side adjacency (which is built over all orders)
+    val want = adj.toSeq.map { case (v, ns) => (v, ns.size.toLong) }
+      .sortBy(_._1)
+    val got = Graph.degreeIncremental(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === want)
+    // the base split is real on this corpus: some orders are delta
+    val delta = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(pmod($"l_orderkey", lit(10)) === 7).count()
+    assert(delta > 0L, "delta fixture is empty — the test is vacuous")
+  }
+
   test("k-core peel layers match a plain-Scala synchronous peel") {
     // synchronous rounds: every vertex below K in the CURRENT
     // subgraph is removed together; layer = last round survived
