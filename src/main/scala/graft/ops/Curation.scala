@@ -793,9 +793,17 @@ object Curation {
     val total = g2.agg(sum(col("n2")).as("n3"))
     val k = lit(AnonK.toLong)
     base
-      .join(g0, Seq("nation", "segment", "band"))
-      .join(g1, Seq("nation", "segment"))
-      .join(g2, Seq("segment"))
+      // the ladder relations are BOUNDED (|nations| × |segments| ×
+      // |bands| cells) but Catalyst estimates their size from the
+      // corpus-sized scan beneath the aggregate, so without the hint
+      // the planner SMJs — shuffling the whole corpus to meet a
+      // ~3000-row table (measured at the sf10 fixture: the customer
+      // exchange is the query's entire shuffle volume). The explicit
+      // broadcast makes the promised plan the actual plan at every
+      // scale.
+      .join(broadcast(g0), Seq("nation", "segment", "band"))
+      .join(broadcast(g1), Seq("nation", "segment"))
+      .join(broadcast(g2), Seq("segment"))
       .crossJoin(broadcast(total))
       .withColumn("gen_level",
         when(col("n0") >= k, 0L).when(col("n1") >= k, 1L)
@@ -908,9 +916,11 @@ object Curation {
       .filter(col("r2") < k)
       .agg(coalesce(sum(col("n0")), lit(0L)).as("r3"))
     base
-      .join(g0, Seq("nation", "segment", "band"))
-      .join(r1, Seq("nation", "segment"), "left")
-      .join(r2, Seq("segment"), "left")
+      // broadcast for the same reason as [[kAnonymize]]: the rung
+      // relations are cell-bounded but carry corpus-sized estimates
+      .join(broadcast(g0), Seq("nation", "segment", "band"))
+      .join(broadcast(r1), Seq("nation", "segment"), "left")
+      .join(broadcast(r2), Seq("segment"), "left")
       .crossJoin(broadcast(r3))
       .withColumn("gen_level",
         when(col("n0") >= k, 0L).when(col("r1") >= k, 1L)
