@@ -629,12 +629,13 @@ object Similarity {
     * stale predicate.
     */
   private def rerankTop3(emb: DataFrame, queries: DataFrame,
-      cand: DataFrame, approxScore: Column): DataFrame = {
+      cand: DataFrame, approxScore: Column,
+      depth: Int = RerankDepth): DataFrame = {
     val wa = Window.partitionBy(col("q_id"))
       .orderBy(approxScore.desc, asc("vec_id"))
     val shortlist = cand
       .withColumn("arank", row_number().over(wa))
-      .filter(col("arank") <= RerankDepth)
+      .filter(col("arank") <= depth)
       .drop("arank")
     val exact = shortlist
       .join(emb, "vec_id")
@@ -694,9 +695,17 @@ object Similarity {
       .select(col("q_id"), col("vec_id"),
         round(graft.functions.VectorFunctions
           .cosine_sim(col("q"), col("vhat")), 6).as("cos_approx"))
+    // 3x the flat-PQ refine depth: the composed index's shortlist is
+    // built from code scores WITHIN two probed cells, where the 8-byte
+    // codes blur a denser candidate field than the global PQ scan's --
+    // measured at the 2000-vector gate the true top-3 sits below rank
+    // 25 of the in-cell code ranking for several queries (recall@3
+    // 0.783 at depth 25; probing a 3rd cell moved NOTHING, so the
+    // misses are ranking depth, not cell coverage). Depth 75 keeps the
+    // refine join bounded at 75 x queries rows.
     rerankTop3(emb,
       qProbe.select(col("q_id"), col("q")).distinct(), cand,
-      col("cos_approx"))
+      col("cos_approx"), depth = 3 * RerankDepth)
   }
 
   /** Embedding-cosine near-duplicate pairs: the dedup-by-embedding
