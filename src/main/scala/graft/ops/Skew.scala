@@ -340,6 +340,289 @@ object Skew {
       .orderBy("type_a", "type_b")
   }
 
+  /** Nominal entry capacity of [[thetaPortable]] sketches. 64 keeps
+    * the gate corpora (~600 / ~6000 distinct parts per ship-month at
+    * sf0.01 / sf0.1) firmly in ESTIMATION mode while the sf0.001 spec
+    * fixture (48–76 parts per month) straddles K and exercises the
+    * exact branch (theta = M) and MIXED exact/estimated pairs too.
+    */
+  private[graft] val ThetaK = 64
+  /** Hash-space size for [[thetaPortable]]: 2^48 (12 md5 hex chars). */
+  private[graft] val ThetaM = 281474976710656L
+  private val ThetaShards = 32L
+
+  /** The md5-derived 48-bit sketch hash — shared with SkewSketchSpec
+    * so the replay proof exercises the SHIPPED hash (the
+    * [[cmsBucketOf]] discipline).
+    */
+  private[graft] def thetaHashOf(key: Column): Column =
+    conv(substring(md5(concat_ws(":", lit("th"), key)), 1, 12), 16, 10)
+      .cast("long")
+
+  /** ENGINE-PORTABLE theta sketch with full set algebra — the
+    * portable-hash complement to [[thetaOps]] (which demonstrates the
+    * classic datasketches-style binary sketch and is rows-only
+    * because its murmur-seeded hashes don't replay cross-engine).
+    * Because the sketch hash here is a deterministic md5 function
+    * (the [[cmsBucketOf]] / simhash precedent), the ENTIRE lifecycle
+    * — build, trim, theta threshold, union, intersection, difference,
+    * estimate — replays in DuckDB and the query takes a FULL hash
+    * oracle: the oracle pins the retained-entry counts, the theta
+    * thresholds, and the estimates themselves, not an error band.
+    *
+    * Sketch form (standard theta/KMV, public: Dasgupta et al., "Theta
+    * sketch framework"): per segment, hash every distinct member into
+    * [0, M) and retain the K smallest distinct hash values; theta =
+    * the (K+1)-th smallest when the segment overflows K (every
+    * retained value is < theta and the retained set is COMPLETE below
+    * theta), else M. Estimate = n_retained · M / theta — exact when
+    * theta = M. Set algebra composes sketch-to-sketch over the shared
+    * completeness region θ_min = min(θ_a, θ_b): union / intersection /
+    * difference counts below θ_min scale by M / θ_min. All counts and
+    * thresholds are exact integers; each estimate is ONE fixed
+    * multiply-then-divide over exact integers (the modularity float
+    * discipline) — bit-identical cross-engine, never a sort key.
+    *
+    * The demonstration workload is part-assortment rotation: distinct
+    * parts SHIPPED in month A vs month B (segments = ship months,
+    * members = part keys — ~600 parts/month with ~30% pairwise
+    * overlap at sf0.01, so union/intersection/difference are all
+    * non-degenerate; the events user domain is deliberately NOT used
+    * — every user hits every event type in this corpus, which would
+    * collapse the algebra to identity). One adjacent-month pair, one
+    * adjacent pair two years later, and one three-years-apart pair.
+    *
+    * Plan shape at scale: the only corpus-sized step is the distinct
+    * (segment, hash) projection (map-side partial dedup, one shuffle
+    * of the distinct set). Everything downstream is bounded: a
+    * two-level bottom-(K+1) — a shard-local window trim to ≤ K+1 rows
+    * per (segment, hash mod 32) bounds what the per-segment window
+    * sorts to ≤ 32·(K+1) rows — then all pair algebra runs on ≤ K
+    * rows per segment via broadcast joins. At 100 TB the shard trim
+    * IS the mergeability story: per-partition bottom-(K+1) candidates
+    * combine associatively, exactly like a distributed theta union;
+    * raw member ids are never shuffled past the initial dedup.
+    */
+  /** The three demonstration month pairs for [[thetaPortable]] —
+    * shared with the spec replay (months exist at every sf dir; the
+    * lineitem ship dates span 1995-01..2001-10).
+    */
+  private[graft] val ThetaPairs =
+    Seq(("1995-03", "1995-04"), ("1995-03", "1998-06"),
+      ("1997-03", "1997-04"))
+
+  /** The stored sketch table: one (seg, h, theta) row per retained
+    * entry, MEMOIZED per corpus — this is the theta sketch's actual
+    * deployment shape (build the summary once, answer any later
+    * segment-pair question from the summary without re-reading raw
+    * data), and it is also what keeps the plan scale-safe: without
+    * it every pair branch (union/intersect/difference × 3 pairs)
+    * re-ran the corpus-sized distinct + window chain — measured
+    * 14 GB of repeated sort spill at the sf10 fixture; with the
+    * summary memoized the corpus is scanned ONCE and the algebra
+    * reads back ≤ (K+1)·|segments| columnar rows (0 spill, see
+    * SCALING.md Round-15).
+    */
+  private def thetaSketchTable(s: SparkSession, d: String): DataFrame =
+    graft.util.ScratchIndex.materialize(
+        s, s"thetask_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
+      import org.apache.spark.sql.expressions.Window
+      val kk = lit(ThetaK + 1)
+      val dset = lineitem(s, d)
+        .select(date_format(col("l_shipdate"), "yyyy-MM").as("seg"),
+          thetaHashOf(col("l_partkey")).as("h"))
+        .distinct()
+      val wShard = Window
+        .partitionBy(col("seg"), pmod(col("h"), lit(ThetaShards)))
+        .orderBy(col("h"))
+      val wSeg = Window.partitionBy(col("seg")).orderBy(col("h"))
+      val bottom = dset
+        .withColumn("srn", row_number().over(wShard))
+        .filter(col("srn") <= kk).drop("srn")
+        .withColumn("rn", row_number().over(wSeg)).filter(col("rn") <= kk)
+      val theta = bottom.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_bot"),
+          max(when(col("rn") === kk, col("h"))).as("kth1"))
+        .select(col("seg"),
+          when(col("n_bot") === kk, col("kth1"))
+            .otherwise(lit(ThetaM)).as("theta"))
+      // retained entries: strictly below theta, complete below it
+      bottom.join(broadcast(theta), "seg")
+        .filter(col("h") < col("theta"))
+        .select(col("seg"), col("h"), col("theta"))
+    }
+
+  def thetaPortable(s: SparkSession, d: String): DataFrame = {
+    val sk = thetaSketchTable(s, d)
+    val ret = sk.select(col("seg"), col("h"))
+    // every retained row of a segment carries the segment's theta
+    val theta = sk.select(col("seg"), col("theta")).distinct()
+    val perSeg = ret.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_ret"))
+    val pairs = {
+      import s.implicits._
+      ThetaPairs.toDF("month_a", "month_b")
+    }
+    val base = pairs
+      .join(broadcast(theta.toDF("month_a", "theta_a")), "month_a")
+      .join(broadcast(theta.toDF("month_b", "theta_b")), "month_b")
+      .join(broadcast(perSeg.toDF("month_a", "n_a")), "month_a")
+      .join(broadcast(perSeg.toDF("month_b", "n_b")), "month_b")
+      .withColumn("theta_min", least(col("theta_a"), col("theta_b")))
+    val sideA = pairs.join(ret.toDF("month_a", "h"), "month_a")
+      .select(col("month_a"), col("month_b"), col("h"))
+    val sideB = pairs.join(ret.toDF("month_b", "h"), "month_b")
+      .select(col("month_a"), col("month_b"), col("h"))
+    val thetaMin = broadcast(
+      base.select(col("month_a"), col("month_b"), col("theta_min")))
+    def below(df: DataFrame): DataFrame =
+      df.join(thetaMin, Seq("month_a", "month_b"))
+        .filter(col("h") < col("theta_min"))
+        .select(col("month_a"), col("month_b"), col("h"))
+    val uni = below(sideA.unionAll(sideB).distinct())
+      .groupBy(col("month_a"), col("month_b"))
+      .agg(count(lit(1)).as("n_union"))
+    val inter = below(sideA.join(sideB, Seq("month_a", "month_b", "h"),
+        "left_semi"))
+      .groupBy(col("month_a"), col("month_b"))
+      .agg(count(lit(1)).as("n_intersect"))
+    val anotb = below(sideA.join(sideB, Seq("month_a", "month_b", "h"),
+        "left_anti"))
+      .groupBy(col("month_a"), col("month_b"))
+      .agg(count(lit(1)).as("n_a_not_b"))
+    def est(n: Column, th: Column): Column =
+      (n.cast("double") * lit(ThetaM)) / th.cast("double")
+    // the pair aggregates are provably ≤ |pairs| rows but sit above
+    // corpus-sized scans, so Catalyst size-estimates them as large
+    // and flips these finals to SMJ past a decade (the cur_k_anonymize
+    // plan-drift lesson) — pin the promised broadcasts explicitly
+    base
+      .join(broadcast(uni), Seq("month_a", "month_b"), "left")
+      .join(broadcast(inter), Seq("month_a", "month_b"), "left")
+      .join(broadcast(anotb), Seq("month_a", "month_b"), "left")
+      .na.fill(0L, Seq("n_union", "n_intersect", "n_a_not_b"))
+      .select(col("month_a"), col("month_b"),
+        col("n_a"), col("theta_a"), col("n_b"), col("theta_b"),
+        col("n_union"), col("n_intersect"), col("n_a_not_b"),
+        col("theta_min"),
+        est(col("n_a"), col("theta_a")).as("est_a"),
+        est(col("n_b"), col("theta_b")).as("est_b"),
+        est(col("n_union"), col("theta_min")).as("est_union"),
+        est(col("n_intersect"), col("theta_min")).as("est_intersect"))
+      // Invariant filter (always true: the union of two sets is at
+      // least as large as their intersection, and theta is positive)
+      // — the pair aggregates are unique-keyed on (month_a, month_b),
+      // so without a reference to their columns Catalyst eliminates
+      // the joins under a count() action (the text_ngram_novelty /
+      // cms lesson).
+      .filter(col("n_union") >= col("n_intersect")
+        && col("theta_min") >= lit(1L))
+      .orderBy("month_a", "month_b")
+  }
+
+  /** Same sketch lifecycle, relationally replayed: identical md5
+    * hashes, identical two-level bottom-(K+1) trim, identical theta
+    * thresholds and set algebra, the same multiply-then-divide
+    * estimate expression — full sketch-level equality.
+    */
+  val thetaPortableSql: String =
+    """WITH dset AS (
+      |  SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS seg,
+      |    ('0x' || substr(md5('th:' || l_partkey::VARCHAR), 1, 12))::BIGINT
+      |      AS h
+      |  FROM lineitem
+      |), shardtrim AS (
+      |  SELECT seg, h,
+      |    row_number() OVER (PARTITION BY seg, h % 32 ORDER BY h)
+      |      AS srn
+      |  FROM dset
+      |), bottom AS (
+      |  SELECT seg, h,
+      |    row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
+      |  FROM shardtrim WHERE srn <= 65
+      |), bt AS (
+      |  SELECT * FROM bottom WHERE rn <= 65
+      |), theta AS (
+      |  SELECT seg,
+      |    CASE WHEN count(*) = 65 THEN max(CASE WHEN rn = 65 THEN h END)
+      |         ELSE 281474976710656 END AS theta
+      |  FROM bt GROUP BY seg
+      |), ret AS (
+      |  SELECT b.seg, b.h FROM bt b
+      |  JOIN theta t ON t.seg = b.seg
+      |  WHERE b.h < t.theta
+      |), perseg AS (
+      |  SELECT seg, count(*) AS n_ret FROM ret GROUP BY 1
+      |), pairs(month_a, month_b) AS (
+      |  VALUES ('1995-03', '1995-04'), ('1995-03', '1998-06'),
+      |         ('1997-03', '1997-04')
+      |), base AS (
+      |  SELECT p.month_a, p.month_b, ta.theta AS theta_a,
+      |         tb.theta AS theta_b,
+      |         least(ta.theta, tb.theta) AS theta_min,
+      |         na.n_ret AS n_a, nb.n_ret AS n_b
+      |  FROM pairs p
+      |  JOIN theta ta ON ta.seg = p.month_a
+      |  JOIN theta tb ON tb.seg = p.month_b
+      |  JOIN perseg na ON na.seg = p.month_a
+      |  JOIN perseg nb ON nb.seg = p.month_b
+      |), sidea AS (
+      |  SELECT p.month_a, p.month_b, r.h FROM pairs p
+      |  JOIN ret r ON r.seg = p.month_a
+      |), sideb AS (
+      |  SELECT p.month_a, p.month_b, r.h FROM pairs p
+      |  JOIN ret r ON r.seg = p.month_b
+      |), uni AS (
+      |  SELECT u.month_a, u.month_b, count(*) AS n_union FROM (
+      |    SELECT DISTINCT month_a, month_b, h FROM (
+      |      SELECT * FROM sidea UNION ALL SELECT * FROM sideb)
+      |  ) u JOIN base bs ON bs.month_a = u.month_a
+      |    AND bs.month_b = u.month_b
+      |  WHERE u.h < bs.theta_min GROUP BY 1, 2
+      |), inter AS (
+      |  SELECT a.month_a, a.month_b, count(*) AS n_intersect
+      |  FROM sidea a
+      |  JOIN sideb b ON b.month_a = a.month_a AND b.month_b = a.month_b
+      |    AND b.h = a.h
+      |  JOIN base bs ON bs.month_a = a.month_a AND bs.month_b = a.month_b
+      |  WHERE a.h < bs.theta_min GROUP BY 1, 2
+      |), anotb AS (
+      |  SELECT a.month_a, a.month_b, count(*) AS n_a_not_b
+      |  FROM sidea a
+      |  JOIN base bs ON bs.month_a = a.month_a AND bs.month_b = a.month_b
+      |  WHERE a.h < bs.theta_min AND NOT EXISTS (
+      |    SELECT 1 FROM sideb b WHERE b.month_a = a.month_a
+      |      AND b.month_b = a.month_b AND b.h = a.h)
+      |  GROUP BY 1, 2
+      |)
+      |SELECT base.month_a, base.month_b,
+      |  CAST(base.n_a AS BIGINT) AS n_a,
+      |  CAST(base.theta_a AS BIGINT) AS theta_a,
+      |  CAST(base.n_b AS BIGINT) AS n_b,
+      |  CAST(base.theta_b AS BIGINT) AS theta_b,
+      |  CAST(coalesce(uni.n_union, 0) AS BIGINT) AS n_union,
+      |  CAST(coalesce(inter.n_intersect, 0) AS BIGINT) AS n_intersect,
+      |  CAST(coalesce(anotb.n_a_not_b, 0) AS BIGINT) AS n_a_not_b,
+      |  CAST(base.theta_min AS BIGINT) AS theta_min,
+      |  (CAST(base.n_a AS DOUBLE) * 281474976710656)
+      |    / CAST(base.theta_a AS DOUBLE) AS est_a,
+      |  (CAST(base.n_b AS DOUBLE) * 281474976710656)
+      |    / CAST(base.theta_b AS DOUBLE) AS est_b,
+      |  (CAST(coalesce(uni.n_union, 0) AS DOUBLE) * 281474976710656)
+      |    / CAST(base.theta_min AS DOUBLE) AS est_union,
+      |  (CAST(coalesce(inter.n_intersect, 0) AS DOUBLE) * 281474976710656)
+      |    / CAST(base.theta_min AS DOUBLE) AS est_intersect
+      |FROM base
+      |LEFT JOIN uni ON uni.month_a = base.month_a
+      |  AND uni.month_b = base.month_b
+      |LEFT JOIN inter ON inter.month_a = base.month_a
+      |  AND inter.month_b = base.month_b
+      |LEFT JOIN anotb ON anotb.month_a = base.month_a
+      |  AND anotb.month_b = base.month_b
+      |WHERE coalesce(uni.n_union, 0) >= coalesce(inter.n_intersect, 0)
+      |  AND base.theta_min >= 1
+      |ORDER BY base.month_a, base.month_b""".stripMargin
+
   // ------------------------------------------------------------------ //
 
   /** Catalog database holding ANALYZEd narrow projections for the
@@ -540,10 +823,12 @@ object Skew {
     "bloom_join"      -> (bloomJoin _),
     "opt_cbo_reorder" -> (cboReorder _),
     "sketch_theta_ops" -> (thetaOps _),
+    "sketch_theta_portable" -> (thetaPortable _),
   )
 
   val oracle: Map[String, String] = Map(
     "sketch_cms_portable" -> cmsPortableSql,
+    "sketch_theta_portable" -> thetaPortableSql,
     "sketch_topk_exact" -> topkSketchSql,
     "skew_salted_agg" -> saltedAggSql,
     "skew_aqe_join"   -> skewJoinAqeSql,

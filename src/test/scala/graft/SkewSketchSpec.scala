@@ -273,6 +273,101 @@ class SkewSketchSpec extends SparkTestBase {
     assert(merged === whole)
   }
 
+  test("portable theta: plain-Scala replay matches exactly in BOTH branches") {
+    // sf0.001 ship-months straddle K=64 (48-76 distinct parts: exact
+    // AND estimation branches, plus mixed-theta pairs); sf0.01 (~600)
+    // is estimation-mode throughout. One replay covers the whole
+    // lifecycle — trim, theta, set algebra, and the
+    // multiply-then-divide estimate doubles bit-for-bit.
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val got = Skew.thetaPortable(spark, dir)
+        .as[(String, String, Long, Long, Long, Long, Long, Long, Long,
+          Long, Double, Double, Double, Double)]
+        .collect().toSeq.sortBy(r => (r._1, r._2))
+      assert(got === thetaReplay(dir), s"divergence at $dir")
+    }
+  }
+
+  test("portable theta: shard trim is lossless (the mergeability claim)") {
+    // the scale path trims bottom-(K+1) per (segment, h mod 32) shard
+    // before the global bottom-(K+1): assert the composition loses
+    // nothing vs a direct global sort of the full distinct hash set —
+    // per-partition candidate sets combine associatively, which is
+    // what lets 100-TB builds avoid shuffling raw members
+    val hs = thetaHashSets("/root/testdata/sf0.01")
+    assert(hs.nonEmpty)
+    for ((t, hset) <- hs) {
+      val all = hset.toSeq.sorted
+      val direct = all.take(Skew.ThetaK + 1)
+      val sharded = hset.groupBy(_ % 32).values
+        .flatMap(_.toSeq.sorted.take(Skew.ThetaK + 1))
+        .toSeq.sorted.take(Skew.ThetaK + 1)
+      assert(sharded === direct, s"shard trim dropped entries for $t")
+    }
+  }
+
+  /** Distinct 48-bit sketch hashes per ship-month, computed through
+    * the SHIPPED column (Skew.thetaHashOf) — not a spec-local hash
+    * that could drift from production.
+    */
+  private def thetaHashSets(dir: String): Map[String, Set[Long]] =
+    graft.util.Tables.lineitem(spark, dir)
+      .select(date_format($"l_shipdate", "yyyy-MM").as("seg"),
+        Skew.thetaHashOf($"l_partkey").as("h"))
+      .distinct().as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  /** Synchronous reimplementation of the full theta lifecycle. */
+  private def thetaReplay(dir: String): Seq[(String, String, Long, Long,
+      Long, Long, Long, Long, Long, Long, Double, Double, Double,
+      Double)] = {
+    val M = Skew.ThetaM
+    val K = Skew.ThetaK
+    val hashes = thetaHashSets(dir)
+    def sketch(t: String): (Set[Long], Long) = {
+      val sorted = hashes(t).toSeq.sorted
+      if (sorted.size >= K + 1) (sorted.take(K).toSet, sorted(K))
+      else (sorted.toSet, M)
+    }
+    def est(n: Long, th: Long): Double = n.toDouble * M / th.toDouble
+    Skew.ThetaPairs.sortBy(identity).map { case (a, b) =>
+      val (ra, tha) = sketch(a)
+      val (rb, thb) = sketch(b)
+      val thmin = math.min(tha, thb)
+      val nu = (ra ++ rb).count(_ < thmin).toLong
+      val ni = ra.intersect(rb).count(_ < thmin).toLong
+      val nd = ra.diff(rb).count(_ < thmin).toLong
+      (a, b, ra.size.toLong, tha, rb.size.toLong, thb, nu, ni, nd,
+        thmin, est(ra.size.toLong, tha), est(rb.size.toLong, thb),
+        est(nu, thmin), est(ni, thmin))
+    }
+  }
+
+  test("portable theta: estimates track exact overlaps within the RSE bound") {
+    // K=64 → RSE ≈ 1/√63 ≈ 12.6%; assert 4σ (+2 absolute for tiny
+    // sets) against the exact distinct part sets at the
+    // estimation-branch corpus
+    val dir = "/root/testdata/sf0.01"
+    val li = graft.util.Tables.lineitem(spark, dir)
+    def parts(m: String): Set[Long] = li
+      .filter(date_format($"l_shipdate", "yyyy-MM") === m)
+      .select("l_partkey").distinct().as[Long].collect().toSet
+    def close(estv: Double, exact: Long): Unit =
+      assert(math.abs(estv - exact) <= exact * 0.505 + 2,
+        s"estimate $estv vs exact $exact")
+    Skew.thetaPortable(spark, dir)
+      .select($"month_a", $"month_b", $"est_a", $"est_b", $"est_union",
+        $"est_intersect")
+      .as[(String, String, Double, Double, Double, Double)].collect()
+      .foreach { case (a, b, ea, eb, eu, ei) =>
+        val (ua, ub) = (parts(a), parts(b))
+        close(ea, ua.size.toLong)
+        close(eb, ub.size.toLong)
+        close(eu, ua.union(ub).size.toLong)
+        close(ei, ua.intersect(ub).size.toLong)
+      }
+  }
+
   test("approximate median lands between group min and max") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val bounds = li.groupBy($"l_returnflag")
