@@ -349,7 +349,7 @@ object Skew {
   private[graft] val ThetaK = 64
   /** Hash-space size for [[thetaPortable]]: 2^48 (12 md5 hex chars). */
   private[graft] val ThetaM = 281474976710656L
-  private val ThetaShards = 32L
+  private[graft] val ThetaShards = 32L
 
   /** The md5-derived 48-bit sketch hash — shared with SkewSketchSpec
     * so the replay proof exercises the SHIPPED hash (the
@@ -510,12 +510,15 @@ object Skew {
         est(col("n_union"), col("theta_min")).as("est_union"),
         est(col("n_intersect"), col("theta_min")).as("est_intersect"))
       // Invariant filter (always true: the union of two sets is at
-      // least as large as their intersection, and theta is positive)
-      // — the pair aggregates are unique-keyed on (month_a, month_b),
-      // so without a reference to their columns Catalyst eliminates
-      // the joins under a count() action (the text_ngram_novelty /
-      // cms lesson).
+      // least as large as their intersection AND their difference,
+      // and theta is positive) — the pair aggregates are unique-keyed
+      // on (month_a, month_b), so any aggregate whose columns this
+      // filter does NOT reference gets its join eliminated under a
+      // count() action (the text_ngram_novelty / cms lesson; the
+      // n_a_not_b conjunct was added after a self-review caught the
+      // difference branch being pruned from the as-counted plan).
       .filter(col("n_union") >= col("n_intersect")
+        && col("n_union") >= col("n_a_not_b")
         && col("theta_min") >= lit(1L))
       .orderBy("month_a", "month_b")
   }
@@ -620,6 +623,7 @@ object Skew {
       |LEFT JOIN anotb ON anotb.month_a = base.month_a
       |  AND anotb.month_b = base.month_b
       |WHERE coalesce(uni.n_union, 0) >= coalesce(inter.n_intersect, 0)
+      |  AND coalesce(uni.n_union, 0) >= coalesce(anotb.n_a_not_b, 0)
       |  AND base.theta_min >= 1
       |ORDER BY base.month_a, base.month_b""".stripMargin
 

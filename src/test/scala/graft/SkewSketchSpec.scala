@@ -299,7 +299,7 @@ class SkewSketchSpec extends SparkTestBase {
     for ((t, hset) <- hs) {
       val all = hset.toSeq.sorted
       val direct = all.take(Skew.ThetaK + 1)
-      val sharded = hset.groupBy(_ % 32).values
+      val sharded = hset.groupBy(_ % Skew.ThetaShards).values
         .flatMap(_.toSeq.sorted.take(Skew.ThetaK + 1))
         .toSeq.sorted.take(Skew.ThetaK + 1)
       assert(sharded === direct, s"shard trim dropped entries for $t")
