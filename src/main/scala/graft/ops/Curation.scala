@@ -824,8 +824,11 @@ object Curation {
       .orderBy("c_custkey")
   }
 
+  // the k threshold and suppression sentinel are INTERPOLATED from
+  // AnonK/Suppressed (not hardcoded literals) so a parameter change
+  // can never desync the two engines (VERDICT r15 hygiene item)
   val kAnonymizeSql: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
       |         c_mktsegment AS segment,
       |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
@@ -841,9 +844,9 @@ object Curation {
       |  SELECT b.c_custkey, b.nation, b.segment, b.band,
       |         g0.n0, g1.n1, g2.n2,
       |         (SELECT sum(n2) FROM g2) AS n3,
-      |         CASE WHEN g0.n0 >= 10 THEN 0
-      |              WHEN g1.n1 >= 10 THEN 1
-      |              WHEN g2.n2 >= 10 THEN 2
+      |         CASE WHEN g0.n0 >= $AnonK THEN 0
+      |              WHEN g1.n1 >= $AnonK THEN 1
+      |              WHEN g2.n2 >= $AnonK THEN 2
       |              ELSE 3 END AS lvl
       |  FROM base b
       |  JOIN g0 ON g0.nation = b.nation AND g0.segment = b.segment
@@ -852,10 +855,10 @@ object Curation {
       |  JOIN g2 ON g2.segment = b.segment
       |)
       |SELECT c_custkey, CAST(lvl AS BIGINT) AS gen_level,
-      |       CAST(CASE WHEN lvl <= 1 THEN nation ELSE -100 END AS BIGINT)
+      |       CAST(CASE WHEN lvl <= 1 THEN nation ELSE $Suppressed END AS BIGINT)
       |         AS nation_out,
       |       CASE WHEN lvl <= 2 THEN segment ELSE '*' END AS segment_out,
-      |       CAST(CASE WHEN lvl = 0 THEN band ELSE -100 END AS BIGINT)
+      |       CAST(CASE WHEN lvl = 0 THEN band ELSE $Suppressed END AS BIGINT)
       |         AS band_out,
       |       CAST(CASE WHEN lvl = 0 THEN n0 WHEN lvl = 1 THEN n1
       |                 WHEN lvl = 2 THEN n2 ELSE n3 END AS BIGINT)
@@ -944,8 +947,9 @@ object Curation {
   def kAnonymizeStrict(s: SparkSession, d: String): DataFrame =
     kAnonymizeStrictOf(anonBase(s, d))
 
+  // AnonK/Suppressed interpolated, same reason as [[kAnonymizeSql]]
   val kAnonymizeStrictSql: String =
-    """WITH base AS (
+    s"""WITH base AS (
       |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
       |         c_mktsegment AS segment,
       |         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
@@ -955,22 +959,22 @@ object Curation {
       |  GROUP BY 1, 2, 3
       |), r1 AS (
       |  SELECT nation, segment, sum(n0) AS r1 FROM g0
-      |  WHERE n0 < 10 GROUP BY 1, 2
+      |  WHERE n0 < $AnonK GROUP BY 1, 2
       |), r2 AS (
       |  SELECT g0.segment, sum(g0.n0) AS r2 FROM g0
       |  JOIN r1 ON r1.nation = g0.nation AND r1.segment = g0.segment
-      |  WHERE g0.n0 < 10 AND r1.r1 < 10 GROUP BY 1
+      |  WHERE g0.n0 < $AnonK AND r1.r1 < $AnonK GROUP BY 1
       |), r3 AS (
       |  SELECT coalesce(sum(g0.n0), 0) AS r3 FROM g0
       |  JOIN r1 ON r1.nation = g0.nation AND r1.segment = g0.segment
       |  JOIN r2 ON r2.segment = g0.segment
-      |  WHERE g0.n0 < 10 AND r1.r1 < 10 AND r2.r2 < 10
+      |  WHERE g0.n0 < $AnonK AND r1.r1 < $AnonK AND r2.r2 < $AnonK
       |), lv AS (
       |  SELECT b.c_custkey, b.nation, b.segment, b.band,
       |         g0.n0, r1.r1, r2.r2, (SELECT r3 FROM r3) AS r3,
-      |         CASE WHEN g0.n0 >= 10 THEN 0
-      |              WHEN r1.r1 >= 10 THEN 1
-      |              WHEN r2.r2 >= 10 THEN 2
+      |         CASE WHEN g0.n0 >= $AnonK THEN 0
+      |              WHEN r1.r1 >= $AnonK THEN 1
+      |              WHEN r2.r2 >= $AnonK THEN 2
       |              ELSE 3 END AS lvl
       |  FROM base b
       |  JOIN g0 ON g0.nation = b.nation AND g0.segment = b.segment
@@ -979,10 +983,10 @@ object Curation {
       |  LEFT JOIN r2 ON r2.segment = b.segment
       |)
       |SELECT c_custkey, CAST(lvl AS BIGINT) AS gen_level,
-      |       CAST(CASE WHEN lvl <= 1 THEN nation ELSE -100 END AS BIGINT)
+      |       CAST(CASE WHEN lvl <= 1 THEN nation ELSE $Suppressed END AS BIGINT)
       |         AS nation_out,
       |       CASE WHEN lvl <= 2 THEN segment ELSE '*' END AS segment_out,
-      |       CAST(CASE WHEN lvl = 0 THEN band ELSE -100 END AS BIGINT)
+      |       CAST(CASE WHEN lvl = 0 THEN band ELSE $Suppressed END AS BIGINT)
       |         AS band_out,
       |       CAST(CASE WHEN lvl = 0 THEN n0 WHEN lvl = 1 THEN r1
       |                 WHEN lvl = 2 THEN r2 ELSE r3 END AS BIGINT)

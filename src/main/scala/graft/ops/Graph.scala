@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
 
@@ -622,7 +622,19 @@ object Graph {
     * one for D_c, and a single-row broadcast for m. Everything
     * downstream of the edge scan is |communities|-sized.
     */
-  def modularity(s: SparkSession, d: String): DataFrame = {
+  def modularity(s: SparkSession, d: String): DataFrame =
+    modularityTable(s, d).orderBy("community")
+
+  /** The scored per-community table, MEMOIZED per corpus like every
+    * other graph artifact (VERDICT r15 #4): it is |communities|-sized
+    * (bounded), fully deterministic (integer aggregates + fixed IEEE
+    * expressions — parquet round-trips the doubles losslessly), and
+    * BOTH [[modularity]] and [[modularityQ]] read it, so the global-Q
+    * roll-up no longer re-runs the two O(|E|) label joins per call.
+    */
+  private def modularityTable(s: SparkSession, d: String): DataFrame =
+    graft.util.ScratchIndex.materialize(
+        s, s"modularity_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
     val assignment = labelProp(s, d)
     val labels = assignment.select(col("v"), col("community"))
     val communities = assignment
@@ -655,7 +667,6 @@ object Graph {
       .select(col("community"), col("n_members"),
         col("l_internal"), col("d_total"),
         (col("x") - col("y") * col("y")).as("q_c"))
-      .orderBy("community")
   }
 
   /** Same partition (the shared unrolled CTE chain), same exact-int
@@ -717,7 +728,7 @@ object Graph {
     * re-read.
     */
   def modularityQ(s: SparkSession, d: String): DataFrame =
-    modularity(s, d).agg(
+    modularityTable(s, d).agg(
       count(lit(1)).as("n_communities"),
       sum(col("l_internal")).as("sum_l"),
       sum(col("d_total") * col("d_total")).as("sum_d2"),
@@ -783,19 +794,26 @@ object Graph {
 
   /** Yesterday's edge relation (base orders only) — memoized; the
     * base lineitem is scanned for graph building once per corpus.
+    * `pred`/`tag` parameterize the base/delta split so the
+    * constant-sized-delta CONTROL (tools.Profile `incdegreeconst`,
+    * VERDICT r15 #6) runs the same artifacts against a delta that
+    * does not grow with the corpus; defaults are the registered
+    * query's fixture split with its original memo keys.
     */
-  private def baseGraphEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def baseGraphEdges(s: SparkSession, d: String,
+      pred: Column = deltaOrderPred, tag: String = "v1"): DataFrame =
     graft.util.ScratchIndex.materialize(
-        s, s"edgesbase_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
-      pairsOf(lineitem(s, d).filter(!deltaOrderPred)
+        s, s"edgesbase_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") {
+      pairsOf(lineitem(s, d).filter(!pred)
         .select(col("l_orderkey"), col("l_partkey")))
     }
 
   /** Yesterday's degree table, persisted beside the base edges. */
-  private def baseGraphDegrees(s: SparkSession, d: String): DataFrame =
+  private[graft] def baseGraphDegrees(s: SparkSession, d: String,
+      pred: Column = deltaOrderPred, tag: String = "v1"): DataFrame =
     graft.util.ScratchIndex.materialize(
-        s, s"degbase_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
-      degreesOf(baseGraphEdges(s, d))
+        s, s"degbase_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") {
+      degreesOf(baseGraphEdges(s, d, pred, tag))
     }
 
   /** Today's pair batch, memoized beside the base artifacts (the
@@ -803,10 +821,11 @@ object Graph {
     * corpus and several branches of the update consume it — mined
     * once, read back columnar thereafter).
     */
-  private def deltaGraphPairs(s: SparkSession, d: String): DataFrame =
+  private[graft] def deltaGraphPairs(s: SparkSession, d: String,
+      pred: Column = deltaOrderPred, tag: String = "v1"): DataFrame =
     graft.util.ScratchIndex.materialize(
-        s, s"deltapairs_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
-      pairsOf(lineitem(s, d).filter(deltaOrderPred)
+        s, s"deltapairs_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") {
+      pairsOf(lineitem(s, d).filter(pred)
         .select(col("l_orderkey"), col("l_partkey")))
     }
 
@@ -867,12 +886,26 @@ object Graph {
     * (`dedup_clusters_incremental`) are the graph artifacts whose
     * update cost is delta-local.
     */
-  def degreeIncremental(s: SparkSession, d: String): DataFrame = {
-    val deltaPairs = deltaGraphPairs(s, d)
-    // delta pairs already present in the base: ONE broadcast-probe
-    // pass over the persisted base edges (output ≤ |delta|)
-    val dup = baseGraphEdges(s, d)
-      .join(deltaPairs.hint("shuffle_hash"), Seq("p1", "p2"), "left_semi")
+  def degreeIncremental(s: SparkSession, d: String): DataFrame =
+    degreeIncrementalWith(s, d, deltaOrderPred, "v1", bcastDelta = false)
+
+  /** The update path, parameterized for the constant-sized-delta
+    * control: `bcastDelta` picks the dup-probe shape — the REGISTERED
+    * query keeps shuffle-hash because its fixture delta is 10% of the
+    * corpus (4M pairs at sf10, past profitable broadcast size — the
+    * r15 adjudication), but a real constant-sized daily batch IS
+    * broadcast-sized, and with the delta broadcast the base-edge side
+    * has NO exchange at all: the probe is one scan-only pass.
+    */
+  private[graft] def degreeIncrementalWith(s: SparkSession, d: String,
+      pred: Column, tag: String, bcastDelta: Boolean): DataFrame = {
+    val deltaPairs = deltaGraphPairs(s, d, pred, tag)
+    // delta pairs already present in the base: ONE probe pass over
+    // the persisted base edges (output ≤ |delta|)
+    val hinted = if (bcastDelta) broadcast(deltaPairs)
+      else deltaPairs.hint("shuffle_hash")
+    val dup = baseGraphEdges(s, d, pred, tag)
+      .join(hinted, Seq("p1", "p2"), "left_semi")
     val inc = degreesOf(deltaPairs)
       .select(col("v"), col("degree").as("d_over"))
       .join(degreesOf(dup).select(col("v"), col("degree").as("d_dup")),
@@ -880,7 +913,7 @@ object Graph {
       .select(col("v"),
         (col("d_over") - coalesce(col("d_dup"), lit(0L))).as("degree"))
       .filter(col("degree") > 0L)
-    baseGraphDegrees(s, d).unionAll(inc)
+    baseGraphDegrees(s, d, pred, tag).unionAll(inc)
       .groupBy(col("v")).agg(sum(col("degree")).as("degree"))
       .orderBy("v")
   }

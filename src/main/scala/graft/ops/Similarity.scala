@@ -105,8 +105,16 @@ object Similarity {
     * (k,L) construction — Indyk & Motwani, STOC 1998). Candidates are
     * the union of same-bucket mates across tables; exact cosine
     * re-ranks them, so extra tables only add candidates, never error.
+    * 16 tables (VERDICT r15 #2: lift the family's recall floor): the
+    * 8-table index measured recall@3 0.700/0.817 at sf0.01/sf0.1 —
+    * the misses were CANDIDATE coverage (candidates are already
+    * exactly re-ranked, so only 1-(1-p^k)^L can move), and doubling L
+    * roughly squares the per-neighbor miss probability. The band
+    * relation stays (table, bucket, id) rows — 16 ints per vector,
+    * no vectors in the shuffle — so candidate volume, not corpus²,
+    * still bounds the cost.
     */
-  private val NumTables = 8
+  private val NumTables = 16
 
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val dim = 64
@@ -163,7 +171,9 @@ object Similarity {
     * assignment needs no centroid normalization beyond the constant
     * norm (cos(q,c) is scale-invariant in c).
     *
-    * Cost at scale: build = iters × (corpus pass + k×dim agg);
+    * Cost at scale: training = ONE TakeOrdered selection pass over
+    * the corpus + iters × passes over the cached 2048-row sample
+    * ([[trainingSample]]); assignment = one narrow corpus projection;
     * query = sum of probed posting-list sizes, not corpus size.
     */
   private val IvfProbes = 2
@@ -189,33 +199,65 @@ object Similarity {
       embeddings(s, d)
         .select(col("vec_id"), asDouble(col("embedding")).as("v"))))
 
+  /** Quantizer/codebook training-sample cap (VERDICT r15 #1). Nobody
+    * trains an IVF coarse quantizer or PQ codebooks on a 100 TB
+    * corpus: the model has k×dim (or M×K×dsub) parameters, and a
+    * bounded sample saturates it — Jégou, Douze & Schmid (TPAMI 2011)
+    * §V train on a learning subset, and FAISS's train/add contract is
+    * exactly this split (train on a sample, stream the corpus through
+    * `add`). 2048 rows = 8 points per PQ codeword (and 128 per IVF
+    * centroid) — above both corpora at the oracle gate scales (500 /
+    * 2000 vectors, where the sample IS the corpus and the trained
+    * model is bit-identical to full-corpus training), binding from
+    * sf1 up, where it turns Lloyd's iters × corpus passes into ONE
+    * corpus-bounded selection pass + iters × 2048-row passes.
+    */
+  private[graft] val TrainSampleN = 2048
+
+  /** Deterministic bounded training sample of a (vec_id, v) relation:
+    * the `TrainSampleN` rows with the smallest xxhash64(vec_id) —
+    * content-hash selection (the AlsPipeline.splits / cur_hash_split
+    * discipline: no RNG state, reproducible on any cluster, and
+    * unbiased w.r.t. insertion order because the hash is uniform in
+    * vec_id). One TakeOrdered pass over the relation; ties broken by
+    * vec_id so the sample is a function of the id set alone.
+    */
+  private[graft] def trainingSample(emb: DataFrame): DataFrame =
+    emb.orderBy(xxhash64(col("vec_id")).asc, col("vec_id").asc)
+      .limit(TrainSampleN)
+
   /** Lloyd training over an arbitrary (vec_id, v) relation — shared by
     * the full-corpus quantizer above and the base-only (frozen)
-    * quantizer of the incremental path. Init = the first `IvfK`
-    * vectors of the RELATION by vec_id, so base-only training is
+    * quantizer of the incremental path. Trains on the bounded
+    * [[trainingSample]] of the relation (cached, so the Lloyd rounds
+    * iterate over 2048 rows, not the corpus). Init = the first `IvfK`
+    * vectors of the SAMPLE by vec_id, so base-only training is
     * self-contained (it never peeks at delta rows, exactly like a
     * quantizer trained before today's batch existed).
     */
   private def trainIvfCentroids(emb: DataFrame): Array[Array[Double]] = {
-      var cents: Array[Array[Double]] = emb
-        .orderBy("vec_id").limit(IvfK).select("v").collect()
-        .map(_.getSeq[Double](0).toArray)
-      for (_ <- 1 to IvfIters) {
-        val means = emb
-          .withColumn("cent_id", bestCentroid(cents))
-          .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy(col("cent_id"), col("dim"))
-          .agg(avg(col("x")).as("m"))
-          .collect()
-        val next = Array.tabulate(IvfK)(c => cents(c).clone()) // empty lists keep coords
-        means.foreach { r =>
-          next(r.getInt(0))(r.getInt(1)) =
-            BigDecimal(r.getDouble(2))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val sample = trainingSample(emb).persist()
+      try {
+        var cents: Array[Array[Double]] = sample
+          .orderBy("vec_id").limit(IvfK).select("v").collect()
+          .map(_.getSeq[Double](0).toArray)
+        for (_ <- 1 to IvfIters) {
+          val means = sample
+            .withColumn("cent_id", bestCentroid(cents))
+            .select(col("cent_id"), posexplode(col("v")).as(Seq("dim", "x")))
+            .groupBy(col("cent_id"), col("dim"))
+            .agg(avg(col("x")).as("m"))
+            .collect()
+          val next = Array.tabulate(IvfK)(c => cents(c).clone()) // empty lists keep coords
+          means.foreach { r =>
+            next(r.getInt(0))(r.getInt(1)) =
+              BigDecimal(r.getDouble(2))
+                .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+          cents = next
         }
-        cents = next
-      }
-      cents
+        cents
+      } finally { sample.unpersist(): Unit }
   }
 
   def annIvf(s: SparkSession, d: String): DataFrame = {
@@ -515,33 +557,44 @@ object Similarity {
     }: _*)).as("e"))
       .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
 
+  /** Codebook training runs on the bounded [[trainingSample]], like
+    * the coarse quantizer (VERDICT r15 #1): the model is M×K×dsub
+    * means, saturated by a fixed-size sample — FAISS's `train`
+    * contract; ENCODING the corpus (pqCodeTable) stays full-corpus,
+    * that is the `add` half. Init = the first `PqK` sample vectors'
+    * sub-slices by vec_id (identical to the previous full-corpus init
+    * whenever the sample is the corpus, i.e. at both gate scales).
+    */
   private def trainPqCodebooks(s: SparkSession, d: String)
       : Array[Array[Array[Double]]] = {
     val emb = embeddings(s, d)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val init = emb.filter(col("vec_id") < PqK).orderBy("vec_id")
-      .select("v").collect().map(_.getSeq[Double](0).toArray)
-    var cb: Array[Array[Array[Double]]] = Array.tabulate(PqM, PqK) {
-      (m, k) => init(k % init.length).slice(m * PqSub, (m + 1) * PqSub)
-    }
-    for (_ <- 1 to PqIters) {
-      val means = subvectors(emb)
-        .withColumn("code", element_at(
-          graft.functions.VectorFunctions.nearest_centroids(
-            col("sv"), element_at(pqLit(cb), col("m") + 1), 1), 1))
-        .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy(col("m"), col("code"), col("dim"))
-        .agg(avg(col("x")).as("mean"))
-        .collect()
-      val next = Array.tabulate(PqM, PqK)((m, k) => cb(m)(k).clone())
-      means.foreach { r =>
-        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
-          BigDecimal(r.getDouble(3))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sample = trainingSample(emb).persist()
+    try {
+      val init = sample.orderBy("vec_id").limit(PqK)
+        .select("v").collect().map(_.getSeq[Double](0).toArray)
+      var cb: Array[Array[Array[Double]]] = Array.tabulate(PqM, PqK) {
+        (m, k) => init(k % init.length).slice(m * PqSub, (m + 1) * PqSub)
       }
-      cb = next
-    }
-    cb
+      for (_ <- 1 to PqIters) {
+        val means = subvectors(sample)
+          .withColumn("code", element_at(
+            graft.functions.VectorFunctions.nearest_centroids(
+              col("sv"), element_at(pqLit(cb), col("m") + 1), 1), 1))
+          .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+          .groupBy(col("m"), col("code"), col("dim"))
+          .agg(avg(col("x")).as("mean"))
+          .collect()
+        val next = Array.tabulate(PqM, PqK)((m, k) => cb(m)(k).clone())
+        means.foreach { r =>
+          next(r.getInt(0))(r.getInt(1))(r.getInt(2)) =
+            BigDecimal(r.getDouble(3))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+        cb = next
+      }
+      cb
+    } finally { sample.unpersist(): Unit }
   }
 
   /** Trained codebooks, memoized TWICE: per-corpus scratch parquet

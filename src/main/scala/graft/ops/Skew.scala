@@ -423,37 +423,72 @@ object Skew {
     * reads back ≤ (K+1)·|segments| columnar rows (0 spill, see
     * SCALING.md Round-15).
     */
-  private def thetaSketchTable(s: SparkSession, d: String): DataFrame =
+  /** The distinct (seg, h) member-hash projection of a lineitem
+    * relation — the ONLY corpus-sized step of any sketch build.
+    */
+  private def thetaDsetOf(li: DataFrame): DataFrame =
+    li.select(date_format(col("l_shipdate"), "yyyy-MM").as("seg"),
+      thetaHashOf(col("l_partkey")).as("h"))
+      .distinct()
+
+  /** The two-level bottom-(K+1) trim + theta threshold over a distinct
+    * (seg, h) relation — shared by the full-corpus sketch build and
+    * the base/delta builds of the incremental path, so all three
+    * summaries are definitionally the same sketch of their inputs.
+    */
+  private def thetaSummaryOf(dset: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kk = lit(ThetaK + 1)
+    val wShard = Window
+      .partitionBy(col("seg"), pmod(col("h"), lit(ThetaShards)))
+      .orderBy(col("h"))
+    val wSeg = Window.partitionBy(col("seg")).orderBy(col("h"))
+    val bottom = dset
+      .withColumn("srn", row_number().over(wShard))
+      .filter(col("srn") <= kk).drop("srn")
+      .withColumn("rn", row_number().over(wSeg)).filter(col("rn") <= kk)
+    val theta = bottom.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_bot"),
+        max(when(col("rn") === kk, col("h"))).as("kth1"))
+      .select(col("seg"),
+        when(col("n_bot") === kk, col("kth1"))
+          .otherwise(lit(ThetaM)).as("theta"))
+    // retained entries: strictly below theta, complete below it
+    bottom.join(broadcast(theta), "seg")
+      .filter(col("h") < col("theta"))
+      .select(col("seg"), col("h"), col("theta"))
+  }
+
+  private[graft] def thetaSketchTable(s: SparkSession, d: String): DataFrame =
     graft.util.ScratchIndex.materialize(
         s, s"thetask_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
-      import org.apache.spark.sql.expressions.Window
-      val kk = lit(ThetaK + 1)
-      val dset = lineitem(s, d)
-        .select(date_format(col("l_shipdate"), "yyyy-MM").as("seg"),
-          thetaHashOf(col("l_partkey")).as("h"))
-        .distinct()
-      val wShard = Window
-        .partitionBy(col("seg"), pmod(col("h"), lit(ThetaShards)))
-        .orderBy(col("h"))
-      val wSeg = Window.partitionBy(col("seg")).orderBy(col("h"))
-      val bottom = dset
-        .withColumn("srn", row_number().over(wShard))
-        .filter(col("srn") <= kk).drop("srn")
-        .withColumn("rn", row_number().over(wSeg)).filter(col("rn") <= kk)
-      val theta = bottom.groupBy(col("seg"))
-        .agg(count(lit(1)).as("n_bot"),
-          max(when(col("rn") === kk, col("h"))).as("kth1"))
-        .select(col("seg"),
-          when(col("n_bot") === kk, col("kth1"))
-            .otherwise(lit(ThetaM)).as("theta"))
-      // retained entries: strictly below theta, complete below it
-      bottom.join(broadcast(theta), "seg")
-        .filter(col("h") < col("theta"))
-        .select(col("seg"), col("h"), col("theta"))
+      thetaSummaryOf(thetaDsetOf(lineitem(s, d)))
     }
 
-  def thetaPortable(s: SparkSession, d: String): DataFrame = {
-    val sk = thetaSketchTable(s, d)
+  def thetaPortable(s: SparkSession, d: String): DataFrame =
+    thetaPairAlgebra(s, thetaSketchTable(s, d))
+
+  /** The pair set-algebra half of the query, over ANY (seg, h, theta)
+    * summary — shared by [[thetaPortable]] (summary built from the
+    * full corpus) and [[thetaIncremental]] (summary maintained by
+    * folding a delta sketch into the persisted base sketch), so the
+    * two queries differ ONLY in summary provenance, exactly the
+    * ivfAnswer discipline.
+    */
+  private[graft] def thetaPairAlgebra(s: SparkSession, sk0: DataFrame): DataFrame = {
+    val sk = sk0
+    // every pinned month must have a sketch: the pair joins below are
+    // inner, so a month emptied by a fixture regen would SILENTLY drop
+    // its pairs — and the oracle's identical inner joins would agree
+    // on the truncated result, hiding the regression from the hash
+    // gate (ADVICE r15). The summary is bounded (≤ K+1 rows/segment),
+    // so this driver-side guard costs one scan of a tiny relation.
+    val months = ThetaPairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val present = sk.select(col("seg")).distinct()
+      .filter(col("seg").isin(months: _*)).count()
+    require(present == months.size,
+      s"theta sketch: only $present of ${months.size} pinned months have " +
+        "sketches — refusing to emit a silently truncated pair table")
     val ret = sk.select(col("seg"), col("h"))
     // every retained row of a segment carries the segment's theta
     val theta = sk.select(col("seg"), col("theta")).distinct()
@@ -523,32 +558,147 @@ object Skew {
       .orderBy("month_a", "month_b")
   }
 
+  /** Incremental theta-sketch maintenance (VERDICT r15 #3) — the
+    * ingestion path of a sketch summary at 100 TB, where the daily
+    * batch must fold into yesterday's summary without re-scanning
+    * base history. The shard trim's own associativity note IS the
+    * algorithm: per-partition bottom-(K+1) candidates combine
+    * associatively, so a sketch OF the base and a sketch OF the delta
+    * merge into the sketch of their union (the theta framework's
+    * union, restricted to the shared completeness region):
+    *
+    *  - θ_min = min(θ_base, θ_delta) (absent side = empty sketch,
+    *    θ = M) — both retained sets are COMPLETE below θ_min;
+    *  - candidates = distinct retained hashes of either side below
+    *    θ_min — exactly the union's members below θ_min;
+    *  - if ≥ K+1 candidates, the merged θ is the (K+1)-th smallest
+    *    (the union overflowed further), else θ_min stands; retain
+    *    strictly below.
+    *
+    * Merged ≡ rebuilt EXACTLY — not approximately — because every
+    * case reduces to "the union's distinct hashes below the rebuilt
+    * θ are recoverable from the two retained sets" (θ_base is itself
+    * a member hash of the base, so the rebuilt (K+1)-th smallest is
+    * either a candidate or θ_min; SkewSketchSpec proves summary
+    * equality row-for-row and the DuckDB oracle — which rebuilds from
+    * the FULL corpus — hashes the merged query's answers).
+    *
+    * Cost shape: the daily job scans the DELTA once (its sketch
+    * build); the fold itself touches two ≤ (K+1)·|segments| summaries
+    * — bounded work, zero base re-scan, the dedup_lsh_incremental /
+    * graph_degree_incremental discipline. Delta convention: lineitem
+    * rows of orders with `l_orderkey % 10 == 7` (the repo-wide
+    * "today's batch" shape, Graph.deltaOrderPred).
+    */
+  private[graft] val thetaDeltaPred = pmod(col("l_orderkey"), lit(10)) === 7
+
+  /** Yesterday's summary: sketch of base lineitem, persisted once per
+    * corpus (the summary table a real pipeline reads, never rebuilds).
+    */
+  private[graft] def thetaBaseSketchTable(s: SparkSession, d: String): DataFrame =
+    graft.util.ScratchIndex.materialize(
+        s, s"thetabase_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
+      thetaSummaryOf(thetaDsetOf(lineitem(s, d).filter(!thetaDeltaPred)))
+    }
+
+  /** Today's sketch: built from the delta rows only — the single
+    * corpus-touching step of the daily update (the ivfdelta
+    * precedent; memoized so steady-state measurements time the fold,
+    * not repeated delta extraction).
+    */
+  private[graft] def thetaDeltaSketchTable(s: SparkSession, d: String): DataFrame =
+    graft.util.ScratchIndex.materialize(
+        s, s"thetadelta_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
+      thetaSummaryOf(thetaDsetOf(lineitem(s, d).filter(thetaDeltaPred)))
+    }
+
+  /** The fold: two (seg, h, theta) summaries → the merged summary.
+    * Pure bounded-relation algebra — both inputs are ≤ (K+1)·|segs|
+    * rows; nothing here ever touches raw data.
+    */
+  private[graft] def thetaMergeSummaries(a: DataFrame, b: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val kk = lit(ThetaK + 1)
+    val m = lit(ThetaM)
+    val thMin = a.select(col("seg"), col("theta")).distinct()
+      .toDF("seg", "theta_a")
+      .join(b.select(col("seg"), col("theta")).distinct()
+        .toDF("seg", "theta_b"), Seq("seg"), "full_outer")
+      .select(col("seg"),
+        least(coalesce(col("theta_a"), m), coalesce(col("theta_b"), m))
+          .as("theta_min"))
+    // candidates: the union's distinct members below θ_min — complete
+    // there because each retained set is complete below its own θ
+    val cand = a.select(col("seg"), col("h"))
+      .unionAll(b.select(col("seg"), col("h"))).distinct()
+      .join(broadcast(thMin), "seg")
+      .filter(col("h") < col("theta_min"))
+    val wSeg = Window.partitionBy(col("seg")).orderBy(col("h"))
+    val thNew = cand
+      .withColumn("rn", row_number().over(wSeg))
+      .groupBy(col("seg"))
+      .agg(max(when(col("rn") === kk, col("h"))).as("kth1"),
+        max(col("theta_min")).as("theta_min"))
+      .select(col("seg"),
+        least(col("theta_min"), coalesce(col("kth1"), m)).as("theta"))
+    cand.select(col("seg"), col("h"))
+      .join(broadcast(thNew), "seg")
+      .filter(col("h") < col("theta"))
+      .select(col("seg"), col("h"), col("theta"))
+  }
+
+  /** The folded summary is PERSISTED like the one it replaces — a
+    * daily job's output IS the updated summary table (and without
+    * this the pair algebra's ~10 branches each re-execute the fold:
+    * bounded data, but the same per-branch-re-scan shape whose
+    * corpus-sized version cost 14 GB of spill pre-memoization).
+    */
+  private[graft] def thetaMergedSketch(s: SparkSession, d: String): DataFrame =
+    graft.util.ScratchIndex.materialize(
+        s, s"thetamerged_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
+      thetaMergeSummaries(thetaBaseSketchTable(s, d),
+        thetaDeltaSketchTable(s, d))
+    }
+
+  /** The same pair-algebra answers, served from the incrementally
+    * maintained summary. Oracle: the SAME full-corpus rebuild SQL as
+    * [[thetaPortable]] — DuckDB re-derives the summary from base ∪
+    * delta, so a full hash match IS the merge ≡ rebuild proof at the
+    * gate scales.
+    */
+  def thetaIncremental(s: SparkSession, d: String): DataFrame =
+    thetaPairAlgebra(s, thetaMergedSketch(s, d))
+
   /** Same sketch lifecycle, relationally replayed: identical md5
     * hashes, identical two-level bottom-(K+1) trim, identical theta
     * thresholds and set algebra, the same multiply-then-divide
     * estimate expression — full sketch-level equality.
     */
+  // ThetaK/ThetaShards/ThetaM are INTERPOLATED (not literal copies of
+  // the Scala constants) so a parameter change cannot silently desync
+  // the two engines (the kAnonymizeSql discipline; ADVICE r15)
   val thetaPortableSql: String =
-    """WITH dset AS (
+    s"""WITH dset AS (
       |  SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS seg,
       |    ('0x' || substr(md5('th:' || l_partkey::VARCHAR), 1, 12))::BIGINT
       |      AS h
       |  FROM lineitem
       |), shardtrim AS (
       |  SELECT seg, h,
-      |    row_number() OVER (PARTITION BY seg, h % 32 ORDER BY h)
+      |    row_number() OVER (PARTITION BY seg, h % $ThetaShards ORDER BY h)
       |      AS srn
       |  FROM dset
       |), bottom AS (
       |  SELECT seg, h,
       |    row_number() OVER (PARTITION BY seg ORDER BY h) AS rn
-      |  FROM shardtrim WHERE srn <= 65
+      |  FROM shardtrim WHERE srn <= ${ThetaK + 1}
       |), bt AS (
-      |  SELECT * FROM bottom WHERE rn <= 65
+      |  SELECT * FROM bottom WHERE rn <= ${ThetaK + 1}
       |), theta AS (
       |  SELECT seg,
-      |    CASE WHEN count(*) = 65 THEN max(CASE WHEN rn = 65 THEN h END)
-      |         ELSE 281474976710656 END AS theta
+      |    CASE WHEN count(*) = ${ThetaK + 1}
+      |           THEN max(CASE WHEN rn = ${ThetaK + 1} THEN h END)
+      |         ELSE $ThetaM END AS theta
       |  FROM bt GROUP BY seg
       |), ret AS (
       |  SELECT b.seg, b.h FROM bt b
@@ -607,13 +757,13 @@ object Skew {
       |  CAST(coalesce(inter.n_intersect, 0) AS BIGINT) AS n_intersect,
       |  CAST(coalesce(anotb.n_a_not_b, 0) AS BIGINT) AS n_a_not_b,
       |  CAST(base.theta_min AS BIGINT) AS theta_min,
-      |  (CAST(base.n_a AS DOUBLE) * 281474976710656)
+      |  (CAST(base.n_a AS DOUBLE) * $ThetaM)
       |    / CAST(base.theta_a AS DOUBLE) AS est_a,
-      |  (CAST(base.n_b AS DOUBLE) * 281474976710656)
+      |  (CAST(base.n_b AS DOUBLE) * $ThetaM)
       |    / CAST(base.theta_b AS DOUBLE) AS est_b,
-      |  (CAST(coalesce(uni.n_union, 0) AS DOUBLE) * 281474976710656)
+      |  (CAST(coalesce(uni.n_union, 0) AS DOUBLE) * $ThetaM)
       |    / CAST(base.theta_min AS DOUBLE) AS est_union,
-      |  (CAST(coalesce(inter.n_intersect, 0) AS DOUBLE) * 281474976710656)
+      |  (CAST(coalesce(inter.n_intersect, 0) AS DOUBLE) * $ThetaM)
       |    / CAST(base.theta_min AS DOUBLE) AS est_intersect
       |FROM base
       |LEFT JOIN uni ON uni.month_a = base.month_a
@@ -828,11 +978,15 @@ object Skew {
     "opt_cbo_reorder" -> (cboReorder _),
     "sketch_theta_ops" -> (thetaOps _),
     "sketch_theta_portable" -> (thetaPortable _),
+    "sketch_theta_incremental" -> (thetaIncremental _),
   )
 
   val oracle: Map[String, String] = Map(
     "sketch_cms_portable" -> cmsPortableSql,
     "sketch_theta_portable" -> thetaPortableSql,
+    // the incremental query's truth IS the full-corpus rebuild: DuckDB
+    // re-derives the summary over base ∪ delta and the hash must match
+    "sketch_theta_incremental" -> thetaPortableSql,
     "sketch_topk_exact" -> topkSketchSql,
     "skew_salted_agg" -> saltedAggSql,
     "skew_aqe_join"   -> skewJoinAqeSql,
