@@ -216,4 +216,31 @@ class GraphPageRankSpec extends SparkTestBase {
     assert(seen.min === 0L || got.forall(_._3 === got.head._3))
     assert(got.map(_._1).distinct.size === got.size)
   }
+
+  test("incremental triangles: class decomposition sums to the rebuild") {
+    // plain-Scala ground truth over the spec-side full adjacency
+    val nbr = adj.view.mapValues(_.toSet).toMap
+    val triTrue = (for {
+      (a, ns) <- adj.toSeq
+      b <- ns if a < b
+    } yield nbr(a).count(c => c > b && nbr(b).contains(c)).toLong).sum
+    val parts = Graph.trianglesIncrementalParts(spark, sf,
+        pmod($"l_orderkey", lit(10)) === 7, "v1", bcastDelta = false)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(parts.length === 1)
+    val (nTri, nEdges, nLeft, maxV, t1, t2, t3) = parts.head
+    assert(nTri === triTrue, s"incremental $nTri vs plain-Scala $triTrue")
+    // the maintained summary columns match the full rebuild's
+    val full = Graph.triangles(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert((nTri, nEdges, nLeft, maxV) === full)
+    // non-vacuity: a real delta exists, and the exactly-one-delta-edge
+    // class (the dominant incremental class) is exercised; every
+    // class is a non-negative exact integer bounded by the total delta
+    val fresh = Graph.freshDeltaEdges(spark, sf).count()
+    assert(fresh > 0L, "fresh delta edge set is empty — test is vacuous")
+    assert(t1 > 0L, "no exactly-one-delta-edge triangle at sf0.001")
+    assert(t1 >= 0L && t2 >= 0L && t3 >= 0L)
+    assert(t1 + t2 + t3 <= nTri)
+  }
 }
