@@ -436,6 +436,135 @@ object Profile {
           }
         }
 
+      case "incdegdiag" =>
+        // component attribution for the constant-delta control: which
+        // stage of the update carries the decade growth (base-edge
+        // scan, dup probe, or the vertex-table merge agg)
+        import org.apache.spark.sql.functions._
+        val maxOrig0 = spark.read
+          .parquet("/root/testdata/sf0.1/lineitem.parquet")
+          .agg(max(col("l_orderkey"))).head().getLong(0)
+        val pred0 = col("l_orderkey") <= maxOrig0 &&
+          pmod(col("l_orderkey"), lit(10)) === 7
+        time("base artifacts (once ever)") {
+          graft.ops.Graph.baseGraphDegrees(spark, sfDir, pred0, "const").count()
+        }
+        val dp = graft.ops.Graph.deltaGraphPairs(spark, sfDir, pred0, "const")
+        time("delta pairs (memoized)") { dp.count() }
+        for (r <- 1 to 2) {
+          time(s"A base-edge scan count only r$r") {
+            graft.ops.Graph.baseGraphEdges(spark, sfDir, pred0, "const").count()
+          }
+          time(s"B dup semi probe (bcast delta) r$r") {
+            graft.ops.Graph.baseGraphEdges(spark, sfDir, pred0, "const")
+              .join(broadcast(dp), Seq("p1", "p2"), "left_semi").count()
+          }
+          time(s"C vertex merge agg only r$r") {
+            graft.ops.Graph.baseGraphDegrees(spark, sfDir, pred0, "const")
+              .groupBy(col("v")).agg(sum(col("degree"))).count()
+          }
+          time(s"D full update r$r") {
+            graft.ops.Graph.degreeIncrementalWith(
+              spark, sfDir, pred0, "const", bcastDelta = true).count()
+          }
+        }
+        // the REGISTERED fixture (10%-fraction delta, shuffle-hash):
+        // its envelope spans the whole key range, so pruning must be
+        // a no-op — this pins the no-regression claim
+        time("registered base artifacts (once ever)") {
+          graft.ops.Graph.baseGraphDegrees(spark, sfDir).count()
+          graft.ops.Graph.deltaGraphPairs(spark, sfDir).count()
+        }
+        for (r <- 1 to 3) {
+          time(s"registered update (10% fraction) r$r") {
+            graft.ops.Graph.degreeIncremental(spark, sfDir).count()
+          }
+        }
+
+      case "inctheta" =>
+        // update-vs-rebuild evidence for sketch_theta_incremental:
+        // pre-build yesterday's persisted base summary, then time the
+        // daily path (delta sketch + fold + persist + pair algebra)
+        // against the full-corpus summary rebuild. Rebuild runs LAST
+        // (the incclusters discipline) and uses its own memo key.
+        time("session warm-up") {
+          graft.util.Tables.lineitem(spark, sfDir).count()
+        }
+        time("base sketch summary (once ever)") {
+          graft.ops.Skew.thetaBaseSketchTable(spark, sfDir).count()
+        }
+        time("delta sketch (the batch's own sketch)") {
+          graft.ops.Skew.thetaDeltaSketchTable(spark, sfDir).count()
+        }
+        time("incremental fold + persist (the daily job)") {
+          graft.ops.Skew.thetaMergedSketch(spark, sfDir).count()
+        }
+        for (round <- 1 to 3) {
+          time(s"pair algebra from merged summary round $round") {
+            graft.ops.Skew.thetaIncremental(spark, sfDir).count()
+          }
+        }
+        time("full rebuild (what it replaces)") {
+          graft.ops.Skew.thetaSketchTable(spark, sfDir).count()
+        }
+
+      case "inctriangles" =>
+        // update-vs-rebuild evidence for graph_triangles_incremental:
+        // base artifacts once ever, then the daily path (delta mine +
+        // dup filter + three class counts + summary), then the full
+        // rebuild control LAST (it first-touch builds the full edge
+        // index under its own memo key, so warm-up biases AGAINST
+        // the incremental number).
+        time("session warm-up") {
+          graft.util.Tables.lineitem(spark, sfDir).count()
+        }
+        time("base edges+adjacency+summary (once ever)") {
+          graft.ops.Graph.baseTriangleStats(spark, sfDir).count()
+          graft.ops.Graph.baseGraphAdjacency(spark, sfDir).count()
+          graft.ops.Graph.baseP1Vertices(spark, sfDir).count()
+        }
+        time("delta mine + dup filter (once per batch)") {
+          graft.ops.Graph.freshDeltaEdges(spark, sfDir).count()
+        }
+        for (round <- 1 to 3) {
+          time(s"incremental triangle update round $round") {
+            graft.ops.Graph.trianglesIncremental(spark, sfDir).count()
+          }
+        }
+        time("full rebuild (what it replaces)") {
+          graft.ops.Graph.triangles(spark, sfDir).count()
+        }
+
+      case "inctriconst" =>
+        // constant-sized-delta CONTROL for graph_triangles_incremental
+        // (the incdegreeconst twin): same update path, delta pinned to
+        // the sf0.1 key range's %10==7 slice, so the key envelope
+        // prunes every base-artifact probe to the batch's footprint.
+        import org.apache.spark.sql.functions._
+        val maxOrig1 = spark.read
+          .parquet("/root/testdata/sf0.1/lineitem.parquet")
+          .agg(max(col("l_orderkey"))).head().getLong(0)
+        val pred1 = col("l_orderkey") <= maxOrig1 &&
+          pmod(col("l_orderkey"), lit(10)) === 7
+        time("session warm-up") {
+          graft.util.Tables.lineitem(spark, sfDir).count()
+        }
+        time("base edges+adjacency+summary (once ever)") {
+          graft.ops.Graph.baseTriangleStats(spark, sfDir, pred1, "const").count()
+          graft.ops.Graph.baseGraphAdjacency(spark, sfDir, pred1, "const").count()
+          graft.ops.Graph.baseP1Vertices(spark, sfDir, pred1, "const").count()
+        }
+        time("delta mine + dup filter (once per batch)") {
+          graft.ops.Graph.freshDeltaEdges(spark, sfDir, pred1, "const",
+            bcastDelta = true).count()
+        }
+        for (round <- 1 to 3) {
+          time(s"incremental update (const delta) round $round") {
+            graft.ops.Graph.trianglesIncrementalParts(spark, sfDir,
+              pred1, "const", bcastDelta = true).count()
+          }
+        }
+
       case "streamprof" =>
         // per-batch duration breakdown for a streaming query: where a
         // stream query's ~1.5 s fixed cost lives (planning vs WAL vs
