@@ -288,4 +288,21 @@ class PlanQualitySpec extends SparkTestBase {
         s"aggregation lost map-side combine at $dir:\n$agg")
     }
   }
+
+  test("incremental probes push the delta key envelope into the base scan") {
+    // the clustered-layout contract (SCALING r16): the dup probe's
+    // base-edge scan must carry the batch's min/max envelope as
+    // PushedFilters, so the range-sorted parquet can skip row groups
+    // outside the batch footprint. Asserted on the executed plan, not
+    // intended: losing the pushdown silently re-linearizes the
+    // constant-delta update (measured 1.2 s -> 21 s at sf10).
+    val df = graft.ops.Graph.degreeIncremental(spark, sf)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("GreaterThanOrEqual(p1") &&
+      p.contains("LessThanOrEqual(p1") &&
+      p.contains("GreaterThanOrEqual(p2") &&
+      p.contains("LessThanOrEqual(p2"),
+      s"delta key envelope not pushed into a scan:\n$p")
+  }
 }
