@@ -275,10 +275,15 @@ object Dedup {
     * relation — shared by the full rebuild and the incremental merge
     * so both paths score edges identically by construction.
     */
-  private[graft] def verifyEdges(cand: DataFrame, sigs: DataFrame): DataFrame =
-    cand
+  private[graft] def verifyEdges(cand: DataFrame, sigs: DataFrame,
+      bcastCand: Boolean = false): DataFrame = {
+    // bcastCand: the candidate set is delta-bounded (const-delta
+    // control) — build BOTH verify joins from the candidate side so
+    // the wide signature relation streams with no exchange
+    def h(df: DataFrame): DataFrame = if (bcastCand) broadcast(df) else df
+    h(h(cand)
       .join(sigs.select(col("doc_id").as("a_id"), col("sig").as("a_sig"),
-        col("sh").as("a_sh")), "a_id")
+        col("sh").as("a_sh")), "a_id"))
       .join(sigs.select(col("doc_id").as("b_id"), col("sig").as("b_sig"),
         col("sh").as("b_sh")), "b_id")
       .select(
@@ -289,6 +294,7 @@ object Dedup {
           .as("est_jaccard"),
         graft.functions.SetSimilarityFunctions
           .jaccard_sorted(col("a_sh"), col("b_sh")).as("jaccard"))
+  }
 
   /** Verified near-dup pairs at exact-Jaccard ≥ 0.7, mined via LSH
     * banding + verify (all inside the memoized candidateEdges build —
@@ -366,11 +372,12 @@ object Dedup {
   /** Yesterday's signature index: (doc_id, sig, sh) for base docs
     * only — memoized; the base text is scanned once per corpus ever.
     */
-  private[graft] def baseIndexSigs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def baseIndexSigs(s: SparkSession, d: String,
+      pred: Column = deltaDocPred, tag: String = "v1"): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     graft.util.ScratchIndex.materialize(
-      s, s"minhash_base_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
-      minhashSignatures(docs.filter(!deltaDocPred))
+      s, s"minhash_base_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") {
+      minhashSignatures(docs.filter(!pred))
         .select(col("doc_id"), col("sig"), shingles(col("text")).as("sh"))
     }
   }
@@ -378,10 +385,11 @@ object Dedup {
   /** Yesterday's verified edge relation (base-base pairs with their
     * exact jaccard, unfiltered) — memoized alongside the signatures.
     */
-  private[graft] def baseIndexEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def baseIndexEdges(s: SparkSession, d: String,
+      pred: Column = deltaDocPred, tag: String = "v1"): DataFrame =
     graft.util.ScratchIndex.materialize(
-      s, s"lshbase_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
-      val bands = bandsOf(baseIndexSigs(s, d))
+      s, s"lshbase_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") {
+      val bands = bandsOf(baseIndexSigs(s, d, pred, tag))
       verifyEdges(
         bands.as("x").join(bands.as("y"),
             col("x.band_idx") === col("y.band_idx")
@@ -389,7 +397,7 @@ object Dedup {
               && col("x.doc_id") < col("y.doc_id"))
           .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
           .distinct(),
-        baseIndexSigs(s, d))
+        baseIndexSigs(s, d, pred, tag))
     }
 
   /** Yesterday's band rows (doc_id, band_idx, band_sig — no sig
@@ -398,10 +406,11 @@ object Dedup {
     * would be a gratuitous O(corpus) explode. In a real lake this
     * relation is bucketed by band_sig so the daily probe co-locates.
     */
-  private[graft] def baseIndexBands(s: SparkSession, d: String): DataFrame =
+  private[graft] def baseIndexBands(s: SparkSession, d: String,
+      pred: Column = deltaDocPred, tag: String = "v1"): DataFrame =
     graft.util.ScratchIndex.materialize(
-      s, s"lshbasebands_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
-      bandsOf(baseIndexSigs(s, d))
+      s, s"lshbasebands_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") {
+      bandsOf(baseIndexSigs(s, d, pred, tag))
         .select(col("doc_id"), col("band_idx"), col("band_sig"))
     }
 
@@ -412,24 +421,36 @@ object Dedup {
     * band join probes delta bands against base ∪ delta, so candidate
     * mining work is O(delta probes), never O(corpus²).
     */
-  private[graft] def deltaVerifiedEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def deltaVerifiedEdges(s: SparkSession, d: String,
+      pred: Column = deltaDocPred, tag: String = "v1",
+      bcastDelta: Boolean = false): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("text"))
-    val baseSigs = baseIndexSigs(s, d)
-    val deltaSigs = minhashSignatures(docs.filter(deltaDocPred))
+    val baseSigs = baseIndexSigs(s, d, pred, tag)
+    val deltaSigs = minhashSignatures(docs.filter(pred))
       .select(col("doc_id"), col("sig"), shingles(col("text")).as("sh"))
     val allSigs = baseSigs.unionByName(deltaSigs)
     val deltaBands = bandsOf(deltaSigs)
       .select(col("doc_id"), col("band_idx"), col("band_sig"))
-    val allBands = baseIndexBands(s, d).unionByName(deltaBands)
+    val allBands = baseIndexBands(s, d, pred, tag).unionByName(deltaBands)
+    // bcastDelta (the constant-sized-delta control, VERDICT r16 #4):
+    // a real daily batch's band rows are broadcast-sized, and with
+    // them broadcast the persisted band index streams through the
+    // probe with NO exchange — the registered 10%-fraction fixture
+    // keeps the planner's choice (its delta is corpus-fraction-sized,
+    // the degreeIncrementalWith adjudication)
+    val probeSide =
+      if (bcastDelta) broadcast(deltaBands.as("y")) else deltaBands.as("y")
     val touching = allBands.as("x")
-      .join(deltaBands.as("y"),
+      .join(probeSide,
         col("x.band_idx") === col("y.band_idx")
           && col("x.band_sig") === col("y.band_sig")
           && col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("a_id"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("b_id"))
       .distinct()
-    verifyEdges(touching, allSigs)
+    verifyEdges(
+      if (bcastDelta) broadcast(touching) else touching, allSigs,
+      bcastCand = bcastDelta)
   }
 
   private[graft] def incrementalEdges(s: SparkSession, d: String): DataFrame =
@@ -775,14 +796,28 @@ object Dedup {
     * persisted intermediates the caller must unpersist.
     */
   private[graft] def mergeIncrementalLabels(baseLabels: DataFrame,
-      eDelta: DataFrame, docs: DataFrame): (DataFrame, List[DataFrame]) = {
+      eDelta: DataFrame, docs: DataFrame,
+      bcastDelta: Boolean = false): (DataFrame, List[DataFrame]) = {
     // project through L: endpoints fall back to themselves when
-    // unlabeled (delta docs, or base docs that were singletons)
+    // unlabeled (delta docs, or base docs that were singletons).
+    // bcastDelta (const-delta control): prune the persisted labeling
+    // to the delta's own endpoint set first (one broadcast-semi
+    // scan-only pass) and broadcast the bounded result, so the label
+    // table is never exchanged for a daily-batch-sized delta
+    val (labA, labB) =
+      if (!bcastDelta)
+        (baseLabels.select(col("node").as("a_id"), col("label").as("la")),
+          baseLabels.select(col("node").as("b_id"), col("label").as("lb")))
+      else {
+        val ends = eDelta.select(col("a_id").as("node"))
+          .unionByName(eDelta.select(col("b_id").as("node"))).distinct()
+        val aff = baseLabels.join(broadcast(ends), Seq("node"), "left_semi")
+        (broadcast(aff.select(col("node").as("a_id"), col("label").as("la"))),
+          broadcast(aff.select(col("node").as("b_id"), col("label").as("lb"))))
+      }
     val proj = eDelta
-      .join(baseLabels.select(col("node").as("a_id"),
-        col("label").as("la")), Seq("a_id"), "left_outer")
-      .join(baseLabels.select(col("node").as("b_id"),
-        col("label").as("lb")), Seq("b_id"), "left_outer")
+      .join(labA, Seq("a_id"), "left_outer")
+      .join(labB, Seq("b_id"), "left_outer")
       .select(coalesce(col("la"), col("a_id")).as("a_id"),
         coalesce(col("lb"), col("b_id")).as("b_id"))
       .filter(col("a_id") =!= col("b_id"))
@@ -810,11 +845,12 @@ object Dedup {
     * persisted once per corpus like the signature index (it is
     * yesterday's output — a real pipeline reads it, never rebuilds).
     */
-  private[graft] def baseClusterLabels(s: SparkSession, d: String): DataFrame = {
+  private[graft] def baseClusterLabels(s: SparkSession, d: String,
+      pred: Column = deltaDocPred, tag: String = "v1"): DataFrame = {
     var toRelease: List[DataFrame] = Nil
     val out = graft.util.ScratchIndex.materialize(
-        s, s"dedupclustbase_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
-      val pairs = baseIndexEdges(s, d)
+        s, s"dedupclustbase_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") {
+      val pairs = baseIndexEdges(s, d, pred, tag)
         .filter(col("jaccard") >= 0.5)
         .select(col("a_id"), col("b_id"))
       val c = contractComponents(pairs
@@ -828,21 +864,48 @@ object Dedup {
     out
   }
 
-  def dedupClustersIncremental(s: SparkSession, d: String): DataFrame = {
+  def dedupClustersIncremental(s: SparkSession, d: String): DataFrame =
+    dedupClustersIncrementalWith(s, d, deltaDocPred, "v1",
+      bcastDelta = false)
+
+  /** The update path, parameterized for the constant-sized-delta
+    * control (tools.Profile `incclustersconst`) — the
+    * `degreeIncrementalWith` convention: the registered fixture's
+    * 10% delta keeps the planner's join choices; a daily-batch-sized
+    * delta broadcasts every delta-derived relation so no probe ever
+    * exchanges a persisted artifact.
+    */
+  private[graft] def dedupClustersIncrementalWith(s: SparkSession,
+      d: String, pred: Column, tag: String, bcastDelta: Boolean,
+      memoOut: Boolean = true): DataFrame = {
     var toRelease: List[DataFrame] = Nil
-    val clusters = graft.util.ScratchIndex.materialize(
-        s, s"dedupclustinc_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
-      val eDelta = deltaVerifiedEdges(s, d)
+    def update(): DataFrame = {
+      val eDelta = deltaVerifiedEdges(s, d, pred, tag, bcastDelta)
         .filter(col("jaccard") >= 0.5)
         .select(col("a_id"), col("b_id"))
       val (labeled, acquired) = mergeIncrementalLabels(
-        baseClusterLabels(s, d), eDelta,
-        documents(s, d).select(col("doc_id")))
+        baseClusterLabels(s, d, pred, tag), eDelta,
+        documents(s, d).select(col("doc_id")), bcastDelta)
       toRelease :::= acquired
       labeled
     }
-    toRelease.foreach(_.unpersist())
-    clusters.orderBy("doc_id")
+    // memoOut=false: the const-delta profile re-times the daily job
+    // per round; the registered query memoizes its converged output
+    // for gate/bench reuse like every other artifact
+    if (memoOut) {
+      val clusters = graft.util.ScratchIndex.materialize(
+        s, s"dedupclustinc_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") {
+        update()
+      }
+      // the materialize write executed the plan; drop the loop caches
+      toRelease.foreach(_.unpersist())
+      clusters.orderBy("doc_id")
+    } else {
+      // lazy return: the caller's action still needs the contraction
+      // loop's persisted levels — they stay cached (delta-bounded,
+      // profile-only; the JVM drops them with the session)
+      update().orderBy("doc_id")
+    }
   }
 
   /** Entity resolution via blocking + edit-distance verify: candidate

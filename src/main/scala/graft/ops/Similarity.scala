@@ -349,9 +349,10 @@ object Similarity {
   /** Frozen coarse quantizer: trained on base vectors only, memoized
     * under a key disjoint from the full-corpus quantizer's.
     */
-  private[graft] def baseIvfCentroids(s: SparkSession, d: String): Array[Array[Double]] =
-    centroidMemo.getOrElseUpdate(s"$d#base",
-      trainIvfCentroids(embRelation(s, d).filter(!deltaVecPred)))
+  private[graft] def baseIvfCentroids(s: SparkSession, d: String,
+      pred: Column = deltaVecPred, tag: String = "v1"): Array[Array[Double]] =
+    centroidMemo.getOrElseUpdate(s"$d#base$tag",
+      trainIvfCentroids(embRelation(s, d).filter(!pred)))
 
   /** Yesterday's posting lists (vec_id, v, cent_id), persisted once
     * per corpus — the index table a real pipeline reads, never
@@ -366,11 +367,12 @@ object Similarity {
     * the probed cells before answering; the spec asserts the
     * partition filter reaches this scan).
     */
-  private[graft] def baseIvfPostingsPath(s: SparkSession, d: String): String =
+  private[graft] def baseIvfPostingsPath(s: SparkSession, d: String,
+      pred: Column = deltaVecPred, tag: String = "v1"): String =
     graft.util.ScratchIndex.materializePath(
-      s, s"ivfbase_v3_${graft.util.ScratchIndex.corpusTag(d)}") { tmp =>
-      embRelation(s, d).filter(!deltaVecPred)
-        .withColumn("cent_id", bestCentroid(baseIvfCentroids(s, d)))
+      s, s"ivfbase_v3_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") { tmp =>
+      embRelation(s, d).filter(!pred)
+        .withColumn("cent_id", bestCentroid(baseIvfCentroids(s, d, pred, tag)))
         // the cell id rides in the FILES too (`cell`), not only in
         // the directory name: fetches can then load any probed-list
         // subset as ONE multi-path scan whose relation carries no
@@ -411,11 +413,12 @@ object Similarity {
     * corpus. This write is the entire daily job, and the only
     * embedding scan in it is the delta itself.
     */
-  private[graft] def deltaIvfPostingsPath(s: SparkSession, d: String): String =
+  private[graft] def deltaIvfPostingsPath(s: SparkSession, d: String,
+      pred: Column = deltaVecPred, tag: String = "v1"): String =
     graft.util.ScratchIndex.materializePath(
-      s, s"ivfdelta_v2_${graft.util.ScratchIndex.corpusTag(d)}") { tmp =>
-      embRelation(s, d).filter(deltaVecPred)
-        .withColumn("cent_id", bestCentroid(baseIvfCentroids(s, d)))
+      s, s"ivfdelta_v2_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") { tmp =>
+      embRelation(s, d).filter(pred)
+        .withColumn("cent_id", bestCentroid(baseIvfCentroids(s, d, pred, tag)))
         .withColumn("cell", col("cent_id"))
         .repartition(IvfK, col("cent_id"))
         .write.partitionBy("cent_id")

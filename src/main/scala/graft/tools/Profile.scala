@@ -565,6 +565,141 @@ object Profile {
           }
         }
 
+      case "incscd2const" =>
+        // constant-sized-delta CONTROL for rel_scd2_incremental
+        // (VERDICT r16 #4): the registered delta (o_orderdate >=
+        // 1999-01-01) is a constant ~40% FRACTION of every decade; a
+        // real daily batch is constant-SIZED. Pin the delta to copy
+        // 0's customers (custkeys <= the sf0.1 max — fixture copies
+        // shift custkeys, so the slice never grows) and measure the
+        // append-merge across decades: flat = the dimension is only
+        // ever streamed (patch pass), never exchanged or re-derived.
+        import org.apache.spark.sql.functions._
+        val maxCust = spark.read
+          .parquet("/root/testdata/sf0.1/orders.parquet")
+          .agg(max(col("o_custkey"))).head().getLong(0)
+        val predS = col("o_orderdate") >=
+          lit("1999-01-01").cast("timestamp") && col("o_custkey") <= maxCust
+        time("session warm-up") {
+          graft.util.Tables.orders(spark, sfDir).count()
+        }
+        println("[incscd2const] delta orders = " +
+          graft.util.Tables.orders(spark, sfDir).filter(predS).count())
+        time("base dimension (yesterday's output)") {
+          graft.ops.Relational3.baseScd2Table(spark, sfDir, predS,
+            "const").count()
+        }
+        for (round <- 1 to 3) {
+          time(s"append-merge (const delta) round $round") {
+            graft.ops.Relational3.scd2IncrementalWith(spark, sfDir,
+              predS, "const").count()
+          }
+        }
+        time("full rebuild (what it replaces)") {
+          graft.ops.Relational3.scd2(spark, sfDir).count()
+        }
+
+      case "incaggconst" =>
+        // constant-sized-delta CONTROL for rel_agg_incremental: same
+        // const slice as incscd2const; the broadcast-delta patch pass
+        // must stream the persisted MV state with no exchange, so the
+        // decade slope is the MV's own size (the output), never the
+        // history's.
+        import org.apache.spark.sql.functions._
+        val maxCustA = spark.read
+          .parquet("/root/testdata/sf0.1/orders.parquet")
+          .agg(max(col("o_custkey"))).head().getLong(0)
+        val predA = col("o_orderdate") >=
+          lit("1999-01-01").cast("timestamp") && col("o_custkey") <= maxCustA
+        time("session warm-up") {
+          graft.util.Tables.orders(spark, sfDir).count()
+        }
+        time("base MV state (yesterday's output)") {
+          graft.ops.Relational3.baseAggState(spark, sfDir, predA,
+            "const").count()
+        }
+        for (round <- 1 to 3) {
+          time(s"state merge (const delta) round $round") {
+            graft.ops.Relational3.aggIncrementalWith(spark, sfDir,
+              predA, "const", bcastDelta = true).count()
+          }
+        }
+        time("full rebuild (what it replaces)") {
+          graft.util.Tables.orders(spark, sfDir)
+            .groupBy(col("o_custkey"))
+            .agg(count(lit(1)).as("n_orders"),
+              sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+                .as("cents"),
+              max(col("o_orderdate")).as("last_order")).count()
+        }
+
+      case "incclustersconst" =>
+        // constant-sized-delta CONTROL for dedup_clusters_incremental:
+        // delta pinned to copy 0's %10==7 docs (doc_ids shift per
+        // fixture copy, the slice never grows). With the delta's
+        // bands/candidates/edges broadcast, every base probe (band
+        // index, signature index, labeling) is a scan-only pass —
+        // the decade slope isolates the persisted artifacts' scan
+        // cost, which is the honest floor of a scan-based index store
+        // (a lake co-locates by bucketing; it still scans its bucket).
+        import org.apache.spark.sql.functions._
+        val maxDoc = spark.read
+          .parquet("/root/testdata/sf0.1/documents.parquet")
+          .agg(max(col("doc_id"))).head().getLong(0)
+        val predD = pmod(col("doc_id"), lit(10)) === 7 &&
+          col("doc_id") <= maxDoc
+        time("session warm-up") {
+          graft.util.Tables.documents(spark, sfDir).count()
+        }
+        println("[incclustersconst] delta docs = " +
+          graft.util.Tables.documents(spark, sfDir).filter(predD).count())
+        time("base sig+band+edge index (once ever)") {
+          graft.ops.Dedup.baseIndexEdges(spark, sfDir, predD, "const").count()
+          graft.ops.Dedup.baseIndexBands(spark, sfDir, predD, "const").count()
+        }
+        time("base labels (yesterday's output)") {
+          graft.ops.Dedup.baseClusterLabels(spark, sfDir, predD,
+            "const").count()
+        }
+        for (round <- 1 to 3) {
+          time(s"incremental update (const delta) round $round") {
+            graft.ops.Dedup.dedupClustersIncrementalWith(spark, sfDir,
+              predD, "const", bcastDelta = true, memoOut = false).count()
+          }
+        }
+
+      case "incivfconst" =>
+        // constant-sized-delta CONTROL for sim_ann_ivf_incremental:
+        // delta pinned to copy 0's %10==7 vectors. The daily job is
+        // assign-delta-through-frozen-quantizer + publish beside the
+        // base lists; the only embedding scan is the delta's own, so
+        // the decade slope should be flat up to the delta extraction
+        // filter's pass over the vector files.
+        import org.apache.spark.sql.functions._
+        val maxVec = spark.read
+          .parquet("/root/testdata/sf0.1/embeddings.parquet")
+          .agg(max(col("vec_id"))).head().getLong(0)
+        val predV = pmod(col("vec_id"), lit(10)) === 7 &&
+          col("vec_id") <= maxVec
+        time("session warm-up") {
+          graft.util.Tables.embeddings(spark, sfDir).count()
+        }
+        println("[incivfconst] delta vectors = " +
+          graft.util.Tables.embeddings(spark, sfDir).filter(predV).count())
+        time("frozen quantizer + base postings (once ever)") {
+          graft.ops.Similarity.baseIvfPostings(spark, sfDir).count()
+          val _ = graft.ops.Similarity.baseIvfPostingsPath(spark, sfDir,
+            predV, "const")
+        }
+        for (round <- 1 to 3) {
+          time(s"delta publish (const delta) round $round") {
+            graft.util.ScratchIndex.dropKey(
+              s"ivfdelta_v2_const_${graft.util.ScratchIndex.corpusTag(sfDir)}")
+            graft.ops.Similarity.deltaIvfPostingsPath(spark, sfDir,
+              predV, "const")
+          }
+        }
+
       case "streamprof" =>
         // per-batch duration breakdown for a streaming query: where a
         // stream query's ~1.5 s fixed cost lives (planning vs WAL vs

@@ -299,10 +299,21 @@ class PlanQualitySpec extends SparkTestBase {
     val df = graft.ops.Graph.degreeIncremental(spark, sf)
     df.collect()
     val p = plan(df)
-    assert(p.contains("GreaterThanOrEqual(p1") &&
-      p.contains("LessThanOrEqual(p1") &&
-      p.contains("GreaterThanOrEqual(p2") &&
-      p.contains("LessThanOrEqual(p2"),
-      s"delta key envelope not pushed into a scan:\n$p")
+    // anchor the assertion to the BASE-EDGE probe scan itself, not
+    // "anywhere in the plan" (ADVICE r16): split the executed plan
+    // into scan nodes and require the four envelope bounds inside the
+    // node whose file location is the edgesbase artifact, so an
+    // unrelated scan carrying similar filters can never satisfy it
+    val scanBlocks = p.split("(?=FileScan parquet|Scan parquet)")
+      .filter(_.contains("edgesbase"))
+    assert(scanBlocks.nonEmpty,
+      s"no scan over the edgesbase artifact in the plan:\n$p")
+    assert(scanBlocks.exists(b =>
+      b.contains("GreaterThanOrEqual(p1") &&
+        b.contains("LessThanOrEqual(p1") &&
+        b.contains("GreaterThanOrEqual(p2") &&
+        b.contains("LessThanOrEqual(p2")),
+      "delta key envelope not pushed into the edgesbase probe scan:\n" +
+        scanBlocks.mkString("\n---\n"))
   }
 }

@@ -36,6 +36,86 @@ class Relational3Spec extends SparkTestBase {
     assert(ord.filter($"o_orderdate" >= cutoff).count() > 0)
   }
 
+  test("append-merge SCD2: adversarial shapes reproduce the rebuild " +
+      "exactly (new / unchanged / multi-change / untouched customers)") {
+    import spark.implicits._
+    // synthetic corpus exercising every merge shape a benign fixture
+    // may never produce at once: an untouched customer, a delta that
+    // changes nothing, a multi-change delta closing the open interval,
+    // a brand-new customer, and a same-date tie broken by o_orderkey
+    def ts(sd: String) = java.sql.Timestamp.valueOf(sd + " 00:00:00")
+    val rows = Seq(
+      // cust 1: two base changes; delta repeats the status -> no-op
+      (101L, 1L, "O", 10.0, ts("1998-01-01"), "x"),
+      (102L, 1L, "F", 10.0, ts("1998-06-01"), "x"),
+      (103L, 1L, "F", 10.0, ts("2000-02-01"), "x"),
+      // cust 2: one base row; delta flips F then back to O
+      (201L, 2L, "O", 10.0, ts("1998-03-01"), "x"),
+      (202L, 2L, "F", 10.0, ts("2000-01-10"), "x"),
+      (203L, 2L, "F", 10.0, ts("2000-02-10"), "x"),
+      (204L, 2L, "O", 10.0, ts("2000-03-10"), "x"),
+      // cust 3: new customer, two same-status delta orders
+      (301L, 3L, "P", 10.0, ts("2000-01-05"), "x"),
+      (302L, 3L, "P", 10.0, ts("2000-04-05"), "x"),
+      // cust 4: base only — must pass through bit-identically
+      (401L, 4L, "O", 10.0, ts("1997-01-01"), "x"),
+      (402L, 4L, "O", 10.0, ts("1997-05-01"), "x"),
+      // cust 5: same-DATE delta orders; o_orderkey breaks the tie
+      (501L, 5L, "A", 10.0, ts("1998-01-01"), "x"),
+      (502L, 5L, "A", 10.0, ts("2000-05-01"), "x"),
+      (503L, 5L, "B", 10.0, ts("2000-05-01"), "x"),
+      (504L, 5L, "A", 10.0, ts("2000-06-01"), "x"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files
+      .createTempDirectory("scd2adv").toString
+    rows.coalesce(1).write.parquet(s"$dir/orders.parquet")
+    val pred = col("o_orderdate") >=
+      lit("2000-01-01").cast("timestamp")
+    val inc = Relational3.scd2IncrementalWith(spark, dir, pred, "adv")
+      .collect().toSeq
+    val full = Relational3.scd2(spark, dir).collect().toSeq
+    assert(inc === full, "append-merge diverged from the rebuild")
+    // the shapes really occurred: cust 2 has 3 versions, cust 3 is
+    // new with 1, cust 4 untouched with 1, cust 5's tie produced 3
+    val byCust = full.groupBy(_.getLong(0)).view.mapValues(_.size).toMap
+    assert(byCust(2L) === 3 && byCust(3L) === 1 && byCust(4L) === 1 &&
+      byCust(5L) === 3)
+    // agg-state merge over the same adversarial corpus (new customer
+    // branch + patch branch both non-empty)
+    val aggInc = Relational3
+      .aggIncrementalWith(spark, dir, pred, "adv", bcastDelta = true)
+      .collect().toSeq
+    val aggFull = spark.read.parquet(s"$dir/orders.parquet")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")) / 100.0)
+          .as("total_spend"),
+        max($"o_orderdate").as("last_order"))
+      .orderBy("o_custkey").collect().toSeq
+    assert(aggInc === aggFull, "agg-state merge diverged from rebuild")
+  }
+
+  test("const-shape incremental paths plan broadcast-only joins " +
+      "(no exchange ever touches the persisted base relations)") {
+    // the 100-TB daily-batch claim, plan-asserted: with a bounded
+    // delta the SCD2 and agg-state updates must join base artifacts
+    // only via broadcast builds — a SortMergeJoin or ShuffledHashJoin
+    // anywhere means the MV/dimension got exchanged and the update
+    // silently re-linearized (the graph_degree_incremental lesson)
+    val scd = Relational3.scd2Incremental(spark, sf)
+    scd.collect()
+    val p1 = scd.queryExecution.executedPlan.toString()
+    assert(!p1.contains("SortMergeJoin") && !p1.contains("ShuffledHashJoin"),
+      s"non-broadcast join in the SCD2 update:\n$p1")
+    val agg = Relational3.aggIncrementalWith(
+      spark, sf, Relational3.ordersDeltaPred, "bc", bcastDelta = true)
+    agg.collect()
+    val p2 = agg.queryExecution.executedPlan.toString()
+    assert(!p2.contains("SortMergeJoin") && !p2.contains("ShuffledHashJoin"),
+      s"non-broadcast join in the broadcast-mode agg update:\n$p2")
+  }
+
   test("listagg: WITHIN GROUP ordering is partitioning-independent") {
     import spark.implicits._
     val direct = Relational3.listAgg(spark, sf)

@@ -23,6 +23,11 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // plan-quality specs assert on scan metadata (PushedFilters /
+      // Location); the 100-char default truncates multi-bound
+      // envelopes mid-list and the assertion would pass/fail on
+      // which bound got cut, not on what was pushed
+      .config("spark.sql.maxMetadataStringLength", "2000")
       .config("spark.local.dir", graft.util.ScratchIndex.sparkLocalDir())
       .config("spark.sql.warehouse.dir", graft.util.ScratchIndex.warehouseDir())
       .getOrCreate()
