@@ -177,8 +177,8 @@ object Similarity {
     * query = sum of probed posting-list sizes, not corpus size.
     */
   private val IvfProbes = 2
-  private val IvfK = 16
-  private val IvfIters = 3
+  private[graft] val IvfK = 16
+  private[graft] val IvfIters = 3
 
   private val centroidMemo =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Double]]]

@@ -565,6 +565,72 @@ object Profile {
           }
         }
 
+      case "trainquality" =>
+        // VERDICT r16 #2 follow-through: recall@3 at sf1 measures
+        // 1.000 for EVERY variant — vacuously (the replicated fixture
+        // is near-duplicate cliques: each query's exact top-3 is its
+        // own per-copy duplicates, which any index finds in the
+        // query's own cell; raw in bench_raw). The non-vacuous
+        // question behind the task is whether the 2048-row training
+        // cap DEGRADES the quantizer where it binds (sf1 = 10x the
+        // cap), so measure the quantizer's own objective instead:
+        // mean cosine distortion (1 - cos to the assigned centroid)
+        // over the FULL corpus, shipped sample-trained centroids vs
+        // an uncapped full-corpus Lloyd run replicated exactly (same
+        // cosine assignment with lowest-index ties, same iteration
+        // count, same 6-dp HALF_UP mean rounding, init = first IvfK
+        // by vec_id of its own training set).
+        import org.apache.spark.sql.functions.col
+        val emb = graft.ops.Similarity.embRelation(spark, sfDir)
+        val all = emb.select(col("vec_id"), col("v")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i)
+            i += 1
+          }
+          if (na == 0 || nb == 0) 0.0 else dp / math.sqrt(na * nb)
+        }
+        def assign(v: Array[Double],
+            cents: Array[Array[Double]]): Int = {
+          var best = 0; var bs = Double.MinValue; var c = 0
+          while (c < cents.length) {
+            val s0 = cos(v, cents(c)); if (s0 > bs) { bs = s0; best = c }
+            c += 1
+          }
+          best
+        }
+        def distortion(cents: Array[Array[Double]]): Double =
+          all.map { case (_, v) => 1.0 - cos(v, cents(assign(v, cents))) }
+            .sum / all.length
+        val k = graft.ops.Similarity.IvfK
+        val iters = graft.ops.Similarity.IvfIters
+        val dim = all.head._2.length
+        var cents = all.take(k).map(_._2.clone())
+        for (_ <- 1 to iters) {
+          val sums = Array.fill(k)(new Array[Double](dim))
+          val counts = new Array[Long](k)
+          all.foreach { case (_, v) =>
+            val b = assign(v, cents)
+            counts(b) += 1
+            var i = 0; while (i < dim) { sums(b)(i) += v(i); i += 1 }
+          }
+          cents = Array.tabulate(k) { c =>
+            if (counts(c) == 0L) cents(c)
+            else sums(c).map(x => BigDecimal(x / counts(c))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+        }
+        val sampled = graft.ops.Similarity.ivfCentroids(spark, sfDir)
+        val dSampled = distortion(sampled)
+        val dFull = distortion(cents)
+        println(f"[trainquality] corpus=${all.length} " +
+          f"sampled-train distortion=$dSampled%.6f " +
+          f"full-train distortion=$dFull%.6f " +
+          f"ratio=${dSampled / dFull}%.4f")
+
       case "incscd2const" =>
         // constant-sized-delta CONTROL for rel_scd2_incremental
         // (VERDICT r16 #4): the registered delta (o_orderdate >=

@@ -116,6 +116,22 @@ class Relational3Spec extends SparkTestBase {
       s"non-broadcast join in the broadcast-mode agg update:\n$p2")
   }
 
+  test("incremental patch joins survive the as-counted plan " +
+      "(count-prunability guard)") {
+    // bench and the profile sweeps consume by count(); a left join
+    // against a key-unique aggregate is join-ELIMINATED under a bare
+    // count unless a computed column is referenced (NOTES r14). Both
+    // incremental finals must keep their patch join in the as-counted
+    // plan or their sweep cells time a plain scan.
+    for (q <- Seq("rel_agg_incremental", "rel_scd2_incremental")) {
+      val counted = SparkEntry.queries(q)(spark, sf).groupBy().count()
+      counted.collect()
+      val p = counted.queryExecution.executedPlan.toString()
+      assert(p.contains("LeftOuter"),
+        s"$q lost its patch join under count():\n$p")
+    }
+  }
+
   test("listagg: WITHIN GROUP ordering is partitioning-independent") {
     import spark.implicits._
     val direct = Relational3.listAgg(spark, sf)
