@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.util.Tables._
 
@@ -164,8 +164,23 @@ object Curation {
     */
   private[graft] def contaminationWithCap(s: SparkSession, d: String,
       cap: Int): DataFrame = {
-    val docs = documents(s, d)
+    val docs = shingledDocs(s, d)
+    finishContamination(
+      scoreProbes(docs, docs.filter(col("doc_id") >= 5), cap))
+  }
+
+  private def shingledDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
       .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+
+  /** Score ANY (doc_id, sh) probe relation against the benchmark
+    * 3-gram set — the core shared by the full query and the
+    * incremental path, so both score identically by construction.
+    * Returns (doc_id, n_shingles, n_hits) with inner-join semantics
+    * (0-hit docs drop).
+    */
+  private def scoreProbes(docs: DataFrame, probe: DataFrame,
+      cap: Int): DataFrame = {
     // doc_id < 5 prunes below the shingle projection, so only the 5
     // benchmark docs pay shingling here; ordered so the literal is
     // sorted by the same UTF8 binary ordering the kernel merges on
@@ -174,30 +189,74 @@ object Curation {
       .orderBy("shingle")
       .limit(cap + 1)
       .collect().map(_.getString(0))
-    val probe = docs.filter(col("doc_id") >= 5)
-    val scored =
-      if (benchSh.length <= cap)
-        probe.select(col("doc_id"), size(col("sh")).as("n_shingles"),
-          graft.functions.SetSimilarityFunctions
-            .sorted_intersect_count(col("sh"),
-              typedLit(benchSh.toIndexedSeq)).as("n_hits"))
-          .filter(col("n_hits") > 0) // inner-join semantics: 0-hit docs drop
-      else {
-        val bench = docs.filter(col("doc_id") < 5)
-          .select(explode(col("sh")).as("shingle")).distinct()
-        probe
-          .select(col("doc_id"), size(col("sh")).as("n_shingles"),
-            explode(col("sh")).as("shingle"))
-          .join(broadcast(bench), Seq("shingle"))
-          .groupBy(col("doc_id"), col("n_shingles"))
-          .agg(count(lit(1)).as("n_hits"))
-      }
+    if (benchSh.length <= cap)
+      probe.select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        graft.functions.SetSimilarityFunctions
+          .sorted_intersect_count(col("sh"),
+            typedLit(benchSh.toIndexedSeq)).as("n_hits"))
+        .filter(col("n_hits") > 0) // inner-join semantics: 0-hit docs drop
+    else {
+      val bench = docs.filter(col("doc_id") < 5)
+        .select(explode(col("sh")).as("shingle")).distinct()
+      probe
+        .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+          explode(col("sh")).as("shingle"))
+        .join(broadcast(bench), Seq("shingle"))
+        .groupBy(col("doc_id"), col("n_shingles"))
+        .agg(count(lit(1)).as("n_hits"))
+        .select(col("doc_id"), col("n_shingles"), col("n_hits"))
+    }
+  }
+
+  private def finishContamination(scored: DataFrame): DataFrame =
     scored
       .select(col("doc_id"), col("n_hits"),
         round(col("n_hits").cast("double") / col("n_shingles"), 6)
           .as("contamination"))
       .orderBy(desc("contamination"), asc("doc_id"))
       .limit(50)
+
+  /** Yesterday's contamination scores: (doc_id, n_shingles, n_hits)
+    * for every already-ingested probe doc with ≥ 1 benchmark hit,
+    * persisted once per corpus — the benchmark is STATIC, so a doc's
+    * score never changes after ingest and the daily job never
+    * re-reads base text.
+    */
+  private[graft] def baseContaminationScores(s: SparkSession, d: String,
+      pred: Column = Dedup.deltaDocPred, tag: String = "v1"): DataFrame =
+    graft.util.ScratchIndex.materialize(
+        s, s"contambase_${tag}_${graft.util.ScratchIndex.corpusTag(d)}") {
+      val docs = shingledDocs(s, d)
+      scoreProbes(docs, docs.filter(col("doc_id") >= 5 && !pred),
+        MaxBenchShingles)
+    }
+
+  /** INCREMENTAL benchmark decontamination — the curation family's
+    * daily-ingest path (completing the set: LSH index, clusters, IVF,
+    * SCD2, agg state, novelty, degrees, triangles, theta, now
+    * contamination). Per-doc scores against a STATIC benchmark are
+    * independent across docs, so the merge is a disjoint union:
+    * yesterday's persisted score table ∪ today's batch scored through
+    * the SAME fused-literal kernel ([[scoreProbes]] is shared code),
+    * then the global top-50. The only text scan of the update is the
+    * delta's own (`doc_id % 10 == 7` — the Dedup.deltaDocPred
+    * convention, single-sourced); the persisted base relation is
+    * HIT DOCS ONLY (inner-join semantics), orders of magnitude below
+    * the corpus, and is never exchanged — the final TakeOrdered reads
+    * it once. Oracle = the FULL corpus replay (`contaminationSql`),
+    * so the gate hash proves merge ≡ rebuild, the
+    * `rel_scd2_incremental` discipline.
+    */
+  def contaminationIncremental(s: SparkSession, d: String): DataFrame =
+    contaminationIncrementalWith(s, d, Dedup.deltaDocPred, "v1")
+
+  private[graft] def contaminationIncrementalWith(s: SparkSession,
+      d: String, pred: Column, tag: String): DataFrame = {
+    val docs = shingledDocs(s, d)
+    val deltaScores = scoreProbes(docs,
+      docs.filter(col("doc_id") >= 5 && pred), MaxBenchShingles)
+    finishContamination(
+      baseContaminationScores(s, d, pred, tag).unionByName(deltaScores))
   }
 
   /** Literal-size cap for the fused contamination path: 500k shingles
@@ -1002,6 +1061,7 @@ object Curation {
     "cur_hash_split"    -> (hashSplit _),
     "cur_lang_mixture"  -> (langMixture _),
     "cur_contamination" -> (contamination _),
+    "cur_contamination_incremental" -> (contaminationIncremental _),
     "cur_summary"       -> (curationSummary _),
     "cur_chunk"         -> (chunk _),
     "cur_chunk_agg"     -> (chunkAgg _),
@@ -1020,6 +1080,7 @@ object Curation {
     "cur_hash_split"    -> hashSplitSql,
     "cur_lang_mixture"  -> langMixtureSql,
     "cur_contamination" -> contaminationSql,
+    "cur_contamination_incremental" -> contaminationSql,
     "cur_summary"       -> curationSummarySql,
     "cur_chunk"         -> chunkSql,
     "cur_chunk_agg"     -> chunkAggSql,

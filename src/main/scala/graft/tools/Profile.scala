@@ -655,6 +655,10 @@ object Profile {
           graft.ops.Relational3.baseScd2Table(spark, sfDir, predS,
             "const").count()
         }
+        time("delta mine (once per batch)") {
+          graft.ops.Relational3.deltaOrdersTable(spark, sfDir, predS,
+            "const").count()
+        }
         for (round <- 1 to 3) {
           time(s"append-merge (const delta) round $round") {
             graft.ops.Relational3.scd2IncrementalWith(spark, sfDir,
@@ -682,6 +686,10 @@ object Profile {
         }
         time("base MV state (yesterday's output)") {
           graft.ops.Relational3.baseAggState(spark, sfDir, predA,
+            "const").count()
+        }
+        time("delta mine (once per batch)") {
+          graft.ops.Relational3.deltaAggState(spark, sfDir, predA,
             "const").count()
         }
         for (round <- 1 to 3) {

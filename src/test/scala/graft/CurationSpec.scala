@@ -73,6 +73,26 @@ class CurationSpec extends SparkTestBase {
     assert(fallback === fused)
   }
 
+  test("incremental contamination equals the full rebuild exactly " +
+      "and both epochs contribute") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    for (dir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val full = Curation.contamination(spark, dir).collect().toSeq
+      val inc = Curation.contaminationIncremental(spark, dir)
+        .collect().toSeq
+      // deterministic total order (ratio desc, doc_id asc) → direct
+      // sequence equality (the scd2Incremental discipline)
+      assert(inc === full, s"merge != rebuild at $dir")
+      // the split is non-vacuous: the top-50 contains docs from BOTH
+      // the base and the delta epoch, or the proof proves nothing
+      val deltaIds = inc.map(_.getLong(0))
+        .filter(id => id % 10 == 7).toSet
+      assert(deltaIds.nonEmpty, s"no delta doc in the top-50 at $dir")
+      assert(inc.map(_.getLong(0)).exists(id => id % 10 != 7),
+        s"no base doc in the top-50 at $dir")
+    }
+  }
+
   test("ChunkFingerprints matches the declarative slice+md5 formulation") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .withColumn("toks", filter(split($"text", "\\s+"), t => t =!= lit("")))
