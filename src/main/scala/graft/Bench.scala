@@ -67,6 +67,15 @@ object Bench {
       // measures plans, not the host disk's fsync backlog
       .config("spark.local.dir", graft.util.ScratchIndex.sparkLocalDir())
       .config("spark.sql.warehouse.dir", graft.util.ScratchIndex.warehouseDir())
+      // local FS without permission forks: absent the Hadoop native
+      // library, every created file/dir shells out to `chmod` (and
+      // permission reads to `ls`) — a process fork per parquet part,
+      // .crc and checkpoint file on the write path. See
+      // graft.util.BareLocalFileSystem.
+      .config("spark.hadoop.fs.file.impl",
+        "graft.util.BareLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.util.BareLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

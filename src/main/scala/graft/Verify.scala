@@ -19,6 +19,11 @@ object Verify {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.local.dir", graft.util.ScratchIndex.sparkLocalDir())
       .config("spark.sql.warehouse.dir", graft.util.ScratchIndex.warehouseDir())
+      // no-fork local FS — see graft.util.BareLocalFileSystem
+      .config("spark.hadoop.fs.file.impl",
+        "graft.util.BareLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.util.BareLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // one line of scan provenance in the driver log: the generator

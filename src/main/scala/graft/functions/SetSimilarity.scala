@@ -52,7 +52,11 @@ object JaccardSorted {
     var j = 0
     var inter = 0
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      // binaryCompare, not compareTo: Spark 4.1's compareTo probes
+      // SparkEnvUtils.isTesting (a synchronized system-property read)
+      // per call before delegating to binaryCompare — measured as the
+      // dominant frame of this merge loop under 32-thread contention
+      val cmp = a.getUTF8String(i).binaryCompare(b.getUTF8String(j))
       if (cmp == 0) { inter += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1
@@ -142,7 +146,8 @@ object SortedIntersectCount {
     var j = 0
     var inter = 0L
     while (i < na && j < nb) {
-      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      // binaryCompare, not compareTo — see JaccardSorted.compute
+      val cmp = a.getUTF8String(i).binaryCompare(b.getUTF8String(j))
       if (cmp == 0) { inter += 1; i += 1; j += 1 }
       else if (cmp < 0) i += 1
       else j += 1

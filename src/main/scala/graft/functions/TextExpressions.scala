@@ -50,22 +50,64 @@ case class WordShingles(child: Expression, n: Int)
 }
 
 object WordShingles {
+  /** Tokenizer pattern, compiled once per JVM: `String.split("\\s+")`
+    * re-compiles the regex on every row (only single-char literals take
+    * the fast path), which jstack sampling showed as a material share
+    * of the shingle kernel.
+    */
+  private[functions] val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
   /** Static hot path — called from both eval and generated code.
     * Sorts in UTF8String (UTF-8 byte / code-point) order, NOT Java
     * String (UTF-16 code-unit) order — supplementary characters sort
     * differently between the two, and the contract is to mirror both
     * the declarative `sort_array` form and DuckDB's `list_sort`, which
     * compare UTF-8 bytes.
+    *
+    * Hand-rolled loops (no `sliding`/`mkString`/`distinct`): jstack
+    * sampling of the pair-verify hot path showed the Scala collection
+    * machinery (ArraySeq slices, ClassTag lookups, mkString's
+    * knownSize probes) dominating the kernel. Sort-then-adjacent-dedup
+    * replaces the hash `distinct` — identical result on a sorted
+    * array. `binaryCompare` replaces `compareTo`, which in Spark 4.1
+    * probes `SparkEnvUtils.isTesting` (a synchronized system-property
+    * read) on EVERY comparison before delegating to binaryCompare —
+    * measured as the top stack frame under contention at 32 threads.
     */
   def compute(text: UTF8String, n: Int): ArrayData = {
-    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
-    val shingles: Array[String] =
-      if (toks.length >= n)
-        toks.sliding(n).map(_.mkString(" ")).toArray.distinct
-      else Array(toks.mkString(" "))
-    val utf8 = shingles.map(UTF8String.fromString)
-    java.util.Arrays.sort(utf8, (a: UTF8String, b: UTF8String) => a.compareTo(b))
-    new GenericArrayData(utf8.asInstanceOf[Array[Any]])
+    val toks = Whitespace.split(text.toString).filter(_.nonEmpty)
+    val m = toks.length
+    val raw: Array[UTF8String] =
+      if (m >= n) {
+        val out = new Array[UTF8String](m - n + 1)
+        var i = 0
+        while (i < out.length) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var j = 1
+          while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+          out(i) = UTF8String.fromString(sb.toString)
+          i += 1
+        }
+        out
+      } else {
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < m) {
+          if (i > 0) sb.append(' ')
+          sb.append(toks(i))
+          i += 1
+        }
+        Array(UTF8String.fromString(sb.toString))
+      }
+    java.util.Arrays.sort(raw, (a: UTF8String, b: UTF8String) => a.binaryCompare(b))
+    var w = 0
+    var i = 0
+    while (i < raw.length) {
+      if (w == 0 || !raw(i).equals(raw(w - 1))) { raw(w) = raw(i); w += 1 }
+      i += 1
+    }
+    val res = if (w == raw.length) raw else java.util.Arrays.copyOf(raw, w)
+    new GenericArrayData(res.asInstanceOf[Array[Any]])
   }
 }
 
@@ -162,7 +204,7 @@ object ChunkFingerprints {
 
   /** Static hot path — called from both eval and generated code. */
   def compute(text: UTF8String, chunkSize: Int, stride: Int): ArrayData = {
-    val toks = text.toString.split("\\s+").filter(_.nonEmpty)
+    val toks = WordShingles.Whitespace.split(text.toString).filter(_.nonEmpty)
     val n = toks.length
     val nChunks = math.max((n + stride - 1) / stride, 1)
     val md = java.security.MessageDigest.getInstance("MD5")

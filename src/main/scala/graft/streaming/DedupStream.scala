@@ -135,14 +135,16 @@ object DedupStream {
     }
     rm(root)
     val sigDir = s"$root/sigs"
-    val bandDir = s"$root/bands"
     val edgeDir = s"$root/edges"
     // seed empty index tables with the exact schemas the appends use,
-    // so batch 0's reads of "appended so far" are well-formed
+    // so batch 0's reads of "appended so far" are well-formed. (The
+    // appended BAND layer was dropped in r17: later batches re-derive
+    // band rows from the appended signatures with the narrow bandsOf
+    // explode — delta-bounded per run — which removes one write job
+    // and one read/listing per micro-batch; the BASE band index stays
+    // persisted, that one is corpus-sized.)
     dedup.baseIndexSigs(s, dir).limit(0)
       .write.mode(SaveMode.Overwrite).parquet(sigDir)
-    dedup.baseIndexBands(s, dir).limit(0)
-      .write.mode(SaveMode.Overwrite).parquet(bandDir)
     dedup.baseIndexEdges(s, dir).limit(0)
       .write.mode(SaveMode.Overwrite).parquet(edgeDir)
 
@@ -176,9 +178,14 @@ object DedupStream {
             val bBands = dedup.bandsOf(bSigs)
               .select(col("doc_id"), col("band_idx"), col("band_sig"))
             val idxBands = dedup.baseIndexBands(ss, dir)
-              .unionByName(ss.read.parquet(bandDir))
+              .unionByName(dedup.bandsOf(ss.read.parquet(sigDir))
+                .select(col("doc_id"), col("band_idx"), col("band_sig")))
               .unionByName(bBands)
-            val cand = idxBands.as("x").join(bBands.as("y"),
+            // the probe side is ONE micro-batch's band rows —
+            // broadcast-sized by construction (the bcastDelta argument
+            // of Dedup.deltaVerifiedEdges) — so the index side streams
+            // through the band join with no exchange
+            val cand = idxBands.as("x").join(broadcast(bBands.as("y")),
                 col("x.band_idx") === col("y.band_idx")
                   && col("x.band_sig") === col("y.band_sig")
                   && col("x.doc_id") =!= col("y.doc_id"))
@@ -188,20 +195,22 @@ object DedupStream {
             val allSigs = dedup.baseIndexSigs(ss, dir)
               .unionByName(ss.read.parquet(sigDir))
               .unionByName(bSigs)
-            dedup.verifyEdges(cand, allSigs)
+            // candidates are delta-bounded per batch: broadcast them
+            // into both verify joins so the wide signature relation
+            // (sig + shingle payloads) is never shuffled per batch
+            dedup.verifyEdges(cand, allSigs, bcastCand = true)
               // edges: NOT coalesced — coalesce(1) here would collapse
               // the whole band-join + verify stage to one task
               // (measured: 67 s vs 26 s at sf10), and edgeDir is only
               // read once at the end, so its file count is harmless
               .write.mode(SaveMode.Append).parquet(edgeDir)
-            // index appends AFTER mining: the batch probed itself via
+            // index append AFTER mining: the batch probed itself via
             // bBands, so appending first would only double-mine.
-            // These two layers ARE re-read by every later batch, and
-            // both writes sit at a pipeline break (bSigs is persisted;
-            // bBands is a narrow explode of it), so one file per
-            // append costs nothing and avoids the small-file tax
+            // This layer IS re-read by every later batch, and the
+            // write sits at a pipeline break (bSigs is persisted), so
+            // one file per append costs nothing and avoids the
+            // small-file tax
             bSigs.coalesce(1).write.mode(SaveMode.Append).parquet(sigDir)
-            bBands.coalesce(1).write.mode(SaveMode.Append).parquet(bandDir)
           } finally { bSigs.unpersist(): Unit }
         }
         // checkpoint lives under the per-run root: the rm above must

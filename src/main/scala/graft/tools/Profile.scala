@@ -29,6 +29,11 @@ object Profile {
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.local.dir", graft.util.ScratchIndex.sparkLocalDir())
       .config("spark.sql.warehouse.dir", graft.util.ScratchIndex.warehouseDir())
+      // no-fork local FS — see graft.util.BareLocalFileSystem
+      .config("spark.hadoop.fs.file.impl",
+        "graft.util.BareLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.util.BareLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CONF="k=v;k2=v2": ad-hoc session confs for
@@ -774,6 +779,93 @@ object Profile {
           }
         }
 
+      case "pairprof" =>
+        // decomposition of the bounded all-pairs text queries
+        // (dedup_jaccard / dedup_containment): scan+shingles vs the
+        // nested-loop pair join vs the similarity kernel — the three
+        // candidate cost centers, timed separately
+        import org.apache.spark.sql.functions._
+        val docs = graft.util.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), graft.ops.Dedup.shingles(col("text")).as("sh"))
+        for (round <- 1 to 2) {
+          time(s"scan+shingles r$round") {
+            docs.agg(sum(size(col("sh")))).first()
+          }
+          val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+          val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+          val joined = a.join(b, col("a_id") < col("b_id"))
+          time(s"pair join only r$round") {
+            joined.select(col("a_id")).groupBy().count().first()
+          }
+          time(s"join+sizes r$round") {
+            joined.select(size(col("a_sh")) + size(col("b_sh")))
+              .groupBy().sum().first()
+          }
+          time(s"join+jaccard r$round") {
+            joined.select(graft.functions.SetSimilarityFunctions
+                .jaccard_sorted(col("a_sh"), col("b_sh")).as("j"))
+              .groupBy().sum("j").first()
+          }
+          time(s"full query r$round") {
+            graft.ops.Dedup.jaccardPairs(spark, sfDir).count()
+          }
+          // control: same join carrying ONE packed string per side
+          // instead of the 22-element string array — isolates the
+          // per-element array copy cost of the joined row
+          val packed = graft.util.Tables.documents(spark, sfDir)
+            .filter(col("doc_id") < 300)
+            .select(col("doc_id"),
+              concat_ws("",
+                graft.ops.Dedup.shingles(col("text"))).as("shs"))
+          val pa = packed.select(col("doc_id").as("a_id"), col("shs").as("a_s"))
+          val pb = packed.select(col("doc_id").as("b_id"), col("shs").as("b_s"))
+          time(s"join+packed-len r$round") {
+            pa.join(pb, col("a_id") < col("b_id"))
+              .select(length(col("a_s")) + length(col("b_s")))
+              .groupBy().sum().first()
+          }
+        }
+      case "pairloop" =>
+        // run the payload-carrying pair join in a loop so an external
+        // jstack can sample where the 2-3 s actually goes
+        import org.apache.spark.sql.functions._
+        val docs = graft.util.Tables.documents(spark, sfDir)
+          .filter(col("doc_id") < 300)
+          .select(col("doc_id"), graft.ops.Dedup.shingles(col("text")).as("sh"))
+        val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+        val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+        val joined = a.join(b, col("a_id") < col("b_id"))
+        println(s"[profile] pid ${ProcessHandle.current().pid()}")
+        for (round <- 1 to 30) {
+          time(s"join+sizes loop r$round") {
+            joined.select(size(col("a_sh")) + size(col("b_sh")))
+              .groupBy().sum().first()
+          }
+        }
+      case "fscheck" =>
+        val hconf = spark.sparkContext.hadoopConfiguration
+        val fs = org.apache.hadoop.fs.FileSystem
+          .get(new java.net.URI("file:///"), hconf)
+        println(s"[profile] fs.file.impl -> ${fs.getClass.getName}")
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          new java.net.URI("file:///"), hconf)
+        println(s"[profile] AbstractFileSystem -> " +
+          s"${fc.getDefaultFileSystem.getClass.getName}")
+        val tmp = graft.util.ScratchIndex.dir("fscheck").toString
+        for (r <- 1 to 3) time(s"100-file write r$r") {
+          spark.range(0, 100, 1, 100).write
+            .mode("overwrite").parquet(s"$tmp/w$r")
+        }
+        // A/B: stock LocalFileSystem (chmod forks) for the same write
+        hconf.set("fs.file.impl", "org.apache.hadoop.fs.LocalFileSystem")
+        hconf.set("fs.AbstractFileSystem.file.impl",
+          "org.apache.hadoop.fs.local.LocalFs")
+        org.apache.hadoop.fs.FileSystem.closeAll()
+        for (r <- 1 to 3) time(s"stock 100-file write r$r") {
+          spark.range(0, 100, 1, 100).write
+            .mode("overwrite").parquet(s"$tmp/s$r")
+        }
       case "streamprof" =>
         // per-batch duration breakdown for a streaming query: where a
         // stream query's ~1.5 s fixed cost lives (planning vs WAL vs

@@ -52,6 +52,11 @@ object ScaleFixture {
       .config("spark.ui.enabled", "false")
       .config("spark.local.dir", graft.util.ScratchIndex.sparkLocalDir())
       .config("spark.sql.warehouse.dir", graft.util.ScratchIndex.warehouseDir())
+      // no-fork local FS — see graft.util.BareLocalFileSystem
+      .config("spark.hadoop.fs.file.impl",
+        "graft.util.BareLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.util.BareLocalFs")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

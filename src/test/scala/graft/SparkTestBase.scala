@@ -30,6 +30,11 @@ object SparkTestBase {
       .config("spark.sql.maxMetadataStringLength", "2000")
       .config("spark.local.dir", graft.util.ScratchIndex.sparkLocalDir())
       .config("spark.sql.warehouse.dir", graft.util.ScratchIndex.warehouseDir())
+      // no-fork local FS — see graft.util.BareLocalFileSystem
+      .config("spark.hadoop.fs.file.impl",
+        "graft.util.BareLocalFileSystem")
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "graft.util.BareLocalFs")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
