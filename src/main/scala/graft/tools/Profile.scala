@@ -101,6 +101,7 @@ object Profile {
         q.explain(true)
       case "warm" =>
         val name = args(2)
+        println(s"[profile] pid ${ProcessHandle.current().pid()}")
         // absorb first-query session warm-up (codegen infra, rule
         // init) so round 1 isolates THIS query's cold cost
         time("session warm-up") {
@@ -842,6 +843,44 @@ object Profile {
             joined.select(size(col("a_sh")) + size(col("b_sh")))
               .groupBy().sum().first()
           }
+        }
+      case "graphsplit" =>
+        // stage attribution for the graph-family first-touch cascade:
+        // each layer memoizes to scratch, so sequential timings
+        // isolate one layer each
+        time("session warm-up") {
+          graft.util.Tables.lineitem(spark, sfDir)
+            .groupBy("l_returnflag").count().count()
+        }
+        time("degree_hist (pays coOrderEdges)") {
+          graft.SparkEntry.queries("graph_degree_hist")(spark, sfDir).count()
+        }
+        time("graph_triangles (adj+intersect)") {
+          graft.SparkEntry.queries("graph_triangles")(spark, sfDir).count()
+        }
+        time("graph_pagerank (5 iters)") {
+          graft.SparkEntry.queries("graph_pagerank")(spark, sfDir).count()
+        }
+        time("graph_kcore (peel)") {
+          graft.SparkEntry.queries("graph_kcore")(spark, sfDir).count()
+        }
+        time("graph_bfs_hops") {
+          graft.SparkEntry.queries("graph_bfs_hops")(spark, sfDir).count()
+        }
+        time("graph_label_prop") {
+          graft.SparkEntry.queries("graph_label_prop")(spark, sfDir).count()
+        }
+        time("graph_common_neighbors (und adj)") {
+          graft.SparkEntry.queries("graph_common_neighbors")(spark, sfDir).count()
+        }
+        time("graph_modularity") {
+          graft.SparkEntry.queries("graph_modularity")(spark, sfDir).count()
+        }
+        time("graph_degree_incremental (base artifacts)") {
+          graft.SparkEntry.queries("graph_degree_incremental")(spark, sfDir).count()
+        }
+        time("graph_triangles_incremental") {
+          graft.SparkEntry.queries("graph_triangles_incremental")(spark, sfDir).count()
         }
       case "fscheck" =>
         val hconf = spark.sparkContext.hadoopConfiguration

@@ -169,6 +169,22 @@ object ScratchIndex {
     d.toString
   }
 
+  /** Parquet codec for scratch artifacts: UNCOMPRESSED when the base
+    * is RAM-backed — compressing bytes whose medium is memory burns
+    * CPU on the build (jstack samples of the graph first-touch builds
+    * showed the snappy compressor + RLE/dictionary encoders as top
+    * frames) and again on every re-read, for zero I/O benefit. On a
+    * disk-backed base the session default (snappy) stays: there the
+    * bytes do cross a device. Footprint: the 16 GiB tmpfs opt-in
+    * guard and warnIfLowHeadroom already police scratch growth, and
+    * uncompressed parquet still dictionary/RLE-encodes, so the growth
+    * is bounded (~2-3× observed).
+    */
+  private def scratchWriter(df: DataFrame) = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    if (tmpfsBacked) w.option("compression", "uncompressed") else w
+  }
+
   def materialize(s: SparkSession, key: String)(build: => DataFrame)
       : DataFrame = {
     warnIfLowHeadroom()
@@ -176,7 +192,7 @@ object ScratchIndex {
     if (!dst.exists()) {
       val tmp = new File(root,
         s"$key.build_${java.util.UUID.randomUUID().toString.take(8)}")
-      build.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      scratchWriter(build).parquet(tmp.toString)
       try Files.move(tmp.toPath, dst.toPath,
         StandardCopyOption.ATOMIC_MOVE): Unit
       catch {
