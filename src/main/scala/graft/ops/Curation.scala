@@ -840,30 +840,39 @@ object Curation {
       floor(col("c_acctbal") / 1000.0).cast("long").as("band"))
 
   def kAnonymize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val base = anonBase(s, d)
     val g0 = base.groupBy(col("nation"), col("segment"), col("band"))
       .agg(count(lit(1)).as("n0"))
-    // coarser ladder levels re-aggregate the bounded g0 relation —
-    // counts sum exactly, and the corpus is never re-scanned
-    val g1 = g0.groupBy(col("nation"), col("segment"))
-      .agg(sum(col("n0")).as("n1"))
-    val g2 = g1.groupBy(col("segment"))
-      .agg(sum(col("n1")).as("n2"))
-    val total = g2.agg(sum(col("n2")).as("n3"))
+    // Coarser ladder levels are WINDOW sums over the bounded g0 cell
+    // relation (n1 = Σn0 per (nation, segment), n2 = Σn0 per segment,
+    // n3 = Σn0 overall — exact integer sums, identical values to the
+    // former g1/g2/total aggregates): one ladder relation instead of
+    // four, so the corpus-sized row stream passes ONE broadcast join
+    // instead of three joins + a crossJoin (guide §2.4 — four
+    // broadcast exchanges and four join operators collapsed to one
+    // each; measured plan: 8 Exchanges → 2). The windows repartition
+    // only the ≤ |nations|×|segments|×|bands| cell relation, never
+    // the corpus; the empty-partition n3 window puts those few
+    // thousand cells on one task, which is exactly what the former
+    // single-row total aggregate did.
+    val ladder = g0
+      .withColumn("n1",
+        sum(col("n0")).over(Window.partitionBy(col("nation"), col("segment"))))
+      .withColumn("n2",
+        sum(col("n0")).over(Window.partitionBy(col("segment"))))
+      .withColumn("n3", sum(col("n0")).over(Window.partitionBy()))
     val k = lit(AnonK.toLong)
     base
-      // the ladder relations are BOUNDED (|nations| × |segments| ×
-      // |bands| cells) but Catalyst estimates their size from the
+      // the ladder relation is BOUNDED (|nations| × |segments| ×
+      // |bands| cells) but Catalyst estimates its size from the
       // corpus-sized scan beneath the aggregate, so without the hint
       // the planner SMJs — shuffling the whole corpus to meet a
       // ~3000-row table (measured at the sf10 fixture: the customer
       // exchange is the query's entire shuffle volume). The explicit
       // broadcast makes the promised plan the actual plan at every
       // scale.
-      .join(broadcast(g0), Seq("nation", "segment", "band"))
-      .join(broadcast(g1), Seq("nation", "segment"))
-      .join(broadcast(g2), Seq("segment"))
-      .crossJoin(broadcast(total))
+      .join(broadcast(ladder), Seq("nation", "segment", "band"))
       .withColumn("gen_level",
         when(col("n0") >= k, 0L).when(col("n1") >= k, 1L)
           .when(col("n2") >= k, 2L).otherwise(3L))
@@ -956,34 +965,38 @@ object Curation {
     * ladder relations broadcast back onto the row stream.
     */
   private[graft] def kAnonymizeStrictOf(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val k = lit(AnonK.toLong)
     val g0 = base.groupBy(col("nation"), col("segment"), col("band"))
       .agg(count(lit(1)).as("n0"))
-    // residual rung 1: cells not safe at level 0, per (nation, segment)
-    val r1 = g0.filter(col("n0") < k)
-      .groupBy(col("nation"), col("segment"))
-      .agg(sum(col("n0")).as("r1"))
-    // residual rung 2: cells safe at neither 0 nor 1, per segment
-    val r2 = g0.filter(col("n0") < k)
-      .join(r1, Seq("nation", "segment"))
-      .filter(col("r1") < k)
-      .groupBy(col("segment"))
-      .agg(sum(col("n0")).as("r2"))
-    // suppressed accounting total (coalesce: the happy corpus has no
-    // suppressed cells and the empty agg sums to null)
-    val r3 = g0.filter(col("n0") < k)
-      .join(r1, Seq("nation", "segment"))
-      .filter(col("r1") < k)
-      .join(r2, Seq("segment"))
-      .filter(col("r2") < k)
-      .agg(coalesce(sum(col("n0")), lit(0L)).as("r3"))
+    // Residual rungs as WINDOW sums over the bounded g0 cell relation
+    // (the [[kAnonymize]] rewrite, same argument — guide §2.4: one
+    // ladder relation and one broadcast join instead of four): each
+    // rung sums the n0 of exactly the cells the former aggregate
+    // kept, via a conditional sum over the rung's partition —
+    //   r1 (per nation, segment): cells not safe at level 0;
+    //   r2 (per segment): cells safe at neither 0 nor 1;
+    //   r3 (global): cells safe nowhere (coalesce: the happy corpus
+    //   has no suppressed cells and the all-NULL sum is NULL).
+    // A `when` with no otherwise yields NULL, and sum ignores NULLs,
+    // so a rung whose partition has no qualifying cells is NULL —
+    // exactly what the former LEFT joins attached.
+    val ladder = g0
+      .withColumn("r1",
+        sum(when(col("n0") < k, col("n0")))
+          .over(Window.partitionBy(col("nation"), col("segment"))))
+      .withColumn("r2",
+        sum(when(col("n0") < k && col("r1") < k, col("n0")))
+          .over(Window.partitionBy(col("segment"))))
+      .withColumn("r3",
+        coalesce(
+          sum(when(col("n0") < k && col("r1") < k && col("r2") < k,
+            col("n0"))).over(Window.partitionBy()),
+          lit(0L)))
     base
-      // broadcast for the same reason as [[kAnonymize]]: the rung
-      // relations are cell-bounded but carry corpus-sized estimates
-      .join(broadcast(g0), Seq("nation", "segment", "band"))
-      .join(broadcast(r1), Seq("nation", "segment"), "left")
-      .join(broadcast(r2), Seq("segment"), "left")
-      .crossJoin(broadcast(r3))
+      // broadcast for the same reason as [[kAnonymize]]: the ladder
+      // relation is cell-bounded but carries corpus-sized estimates
+      .join(broadcast(ladder), Seq("nation", "segment", "band"))
       .withColumn("gen_level",
         when(col("n0") >= k, 0L).when(col("r1") >= k, 1L)
           .when(col("r2") >= k, 2L).otherwise(3L))

@@ -186,11 +186,18 @@ object Graph {
     var visited = frontier.withColumn("dist", lit(0L))
     var h = 1
     while (h <= MaxHops && counts.last > 0L) {
-      val next = frontier.join(e, frontier("v") === e("a"))
+      // the frontier (counts.last rows) and the visited set (Σcounts
+      // rows) are driver-known sizes from the loop's own counts —
+      // broadcast-gate both so the symmetric edge relation is never
+      // exchanged per hop — see [[bcastIfSmall]]
+      val fside = bcastIfSmall(counts.last)(frontier)
+      val next = fside.join(e, fside("v") === e("a"))
         .select(col("b").as("v")).distinct()
-        .join(visited.select(col("v")), Seq("v"), "left_anti")
+        .join(bcastIfSmall(counts.sum)(visited.select(col("v"))),
+          Seq("v"), "left_anti")
         .persist()
       toRelease ::= next
+      recordRoundPlan("bfs", next)
       counts += next.count()
       if (counts.last > 0L) {
         visited = visited
@@ -286,13 +293,18 @@ object Graph {
       var ranks = deg
         .select(col("src").as("v"), lit(1.0 / n).as("rank"))
       for (_ <- 1 to PrIters) {
-        val next = ce.join(ranks, ce("src") === ranks("v"))
+        // ranks is n rows (one per vertex, n already at the driver):
+        // broadcast-gate it so the cached (src, dst, degree) relation
+        // is never exchanged per iteration — see [[bcastIfSmall]]
+        val rside = bcastIfSmall(n)(ranks)
+        val next = ce.join(rside, ce("src") === rside("v"))
           .groupBy(col("dst"))
           .agg((lit(0.15 / n) + lit(Damping) *
             sum(col("rank") / col("degree"))).as("rank"))
           .select(col("dst").as("v"), col("rank"))
           .persist()
         toRelease ::= next
+        recordRoundPlan("pagerank", next)
         ranks = org.apache.spark.sql.GraftColumnBridge
           .truncateLineage(next)
       }
@@ -396,34 +408,47 @@ object Graph {
     // subtrees in the plan), and the list-aggregation buffers are the
     // memory hot spot of the whole query; the scratch parquet is read
     // back columnar (unboxed arrays) by both joins instead.
-    val adj = graft.util.ScratchIndex.materialize(
-        s, s"adj_und_v1_${graft.util.ScratchIndex.corpusTag(d)}") {
+    val adjKey = s"adj_und_v1_${graft.util.ScratchIndex.corpusTag(d)}"
+    val adj = graft.util.ScratchIndex.materialize(s, adjKey) {
       val und = e0.select(col("p1").as("a"), col("p2").as("b"))
         .unionAll(e0.select(col("p2").as("a"), col("p1").as("b")))
       und.groupBy(col("a").as("v"))
         .agg(sort_array(collect_list(col("b"))).as("nbrs"))
     }
-    // Join strategy is HINTED to shuffle-hash, adjacency as the build
-    // side — the one shape where the planner's SMJ default is
-    // measurably wrong: an SMJ must SORT the probe stream, and after
-    // the first join every probe row carries a ~1 KB UNDIRECTED
-    // neighbor array (2x the oriented arrays triangles sorts, which
-    // already spill 4.2 GB at sf10) — measured at sf10 the SMJ
-    // variant either externalizes catastrophically (195 GB spill for
-    // 28 GB of shuffle, 704 s) or OOMs the 8 GB profile heap outright
-    // (reproduced twice); the shuffle-hash plan completes the same
-    // corpus in 290 s with ZERO spill. The hash build side is the
-    // adjacency — 8·Σdeg bytes / shuffle-partition count, and the
-    // partition count tracks input bytes (the repo sizing rule), so
-    // the per-task build map stays bounded at any corpus size. The
-    // array payload still moves once per edge (the inherent wedge
-    // volume, compressed into per-vertex arrays); what the hint
-    // removes is sorting it.
+    // Join strategy is SIZE-GATED on the adjacency artifact's actual
+    // on-disk bytes (known at plan time — it was just materialized):
+    //  - BELOW the cap, BROADCAST both adjacency sides. This removes
+    //    every Exchange from the query: the old shuffle-hash plan
+    //    re-shuffled the probe stream per join key, and after the
+    //    first join each probe row carries a ~1 KB UNDIRECTED
+    //    neighbor array — measured 627 MB of shuffle at sf0.1 for a
+    //    9 MB adjacency, i.e. ~70× the bytes that actually need to
+    //    move (guide §2.3/§3.1: the array payload should ship once
+    //    per executor as a broadcast, not once per edge row).
+    //  - ABOVE the cap the adjacency does NOT fit executor memory
+    //    and the hint stays shuffle-hash, the shape measured right
+    //    at sf10: an SMJ must SORT the probe stream carrying those
+    //    arrays — measured 195 GB spill / 704 s or an 8 GB-heap OOM
+    //    (reproduced twice) vs 290 s zero-spill for shuffle-hash.
+    //    The hash build side is the adjacency — 8·Σdeg bytes /
+    //    shuffle-partition count, and the partition count tracks
+    //    input bytes (the repo sizing rule), so the per-task build
+    //    map stays bounded at any corpus size.
+    // The cap is a conf (bytes of parquet, ≈ in-memory footprint for
+    // uncompressed long arrays); the 64 MB default is far under the
+    // "few hundred MB is usually fine" broadcast guidance and leaves
+    // the sf10+ regime on the measured shuffle-hash plan.
+    val adjBytes = graft.util.ScratchIndex.artifactBytes(adjKey)
+    val bcastCap = s.conf.get(
+      "spark.graft.graph.adjBcastMaxBytes", (64L << 20).toString).toLong
+    def adjSide(df: DataFrame): DataFrame =
+      if (adjBytes > 0 && adjBytes <= bcastCap) broadcast(df)
+      else df.hint("shuffle_hash")
     e0
-      .join(adj.withColumnRenamed("nbrs", "na").hint("shuffle_hash"),
+      .join(adjSide(adj.withColumnRenamed("nbrs", "na")),
         col("p1") === col("v"))
       .drop("v")
-      .join(adj.withColumnRenamed("nbrs", "nb").hint("shuffle_hash"),
+      .join(adjSide(adj.withColumnRenamed("nbrs", "nb")),
         col("p2") === col("v"))
       .drop("v")
       .select(col("p1"), col("p2"),
@@ -523,13 +548,21 @@ object Graph {
       // this distinct covers the full vertex set
       var labels = e.select(col("src").as("v")).distinct()
         .select(col("v"), col("v").as("lbl"))
+        .persist()
+      toRelease ::= labels
+      // the label table is |V| rows every round — count it once (the
+      // persisted seed is consumed by round 1 anyway) and broadcast-
+      // gate the per-round join — see [[bcastIfSmall]]
+      val nv = labels.count()
       for (_ <- 1 to LpRounds) {
-        val next = e.join(labels, e("src") === labels("v"))
+        val lside = bcastIfSmall(nv)(labels)
+        val next = e.join(lside, e("src") === lside("v"))
           .select(col("dst").as("v"), col("lbl"))
           .unionAll(labels)
           .groupBy(col("v")).agg(min(col("lbl")).as("lbl"))
           .persist()
         toRelease ::= next
+        recordRoundPlan("labelprop", next)
         labels = org.apache.spark.sql.GraftColumnBridge
           .truncateLineage(next)
       }
@@ -783,6 +816,54 @@ object Graph {
     * prune that at that delta density saves little anyway.
     */
   private val BcastVertCap = 4000000L
+
+  /** Size-gated broadcast for an iterative query's per-round SMALL
+    * relation (pagerank's ranks, BFS's frontier + visited set,
+    * k-core's survivor set, label-prop's label table): each of these
+    * loops re-joins a corpus-sized cached edge relation against a
+    * vertex-order relation every round, and the planner's default is
+    * a sort-merge join that re-shuffles AND re-sorts the edge side
+    * per round — the dominant first-touch cost of the graph family
+    * (guide §2.4: remove shuffles outright; §3.1: broadcast the side
+    * that fits, decided from a MEASURED size). The small side's row
+    * count is a driver-known scalar at every call site (the loops
+    * already count their frontiers/survivors to short-circuit), so
+    * the gate costs no extra job: under [[BcastVertCap]] rows the
+    * side broadcasts and a round becomes one map-side join plus the
+    * inherent aggregation shuffle; over the cap (|V|-order relations
+    * at sf100+) the join falls back to the planner's shuffle
+    * strategies rather than ship an unbounded broadcast — the same
+    * cap and fallback discipline as the class-2 triangle prune
+    * above.
+    */
+  private def bcastIfSmall(rows: Long)(df: DataFrame): DataFrame = {
+    // conf override (default = BcastVertCap) so the fallback shape is
+    // profileable/testable without editing call sites; production
+    // tuning goes through the same key
+    val cap = df.sparkSession.conf
+      .get("spark.graft.graph.bcastRowsCap", BcastVertCap.toString).toLong
+    if (rows <= cap) broadcast(df) else df
+  }
+
+  /** Physical plan of the FIRST executed round of each iterative
+    * build, keyed by query family — evidence hook: the loop plans
+    * live inside memoized artifact builds and never appear in the
+    * registered query's explain, so the loops deposit their first
+    * round's planned physical tree here for plans/ capture and spec
+    * assertions (debug surface only; never read by query paths).
+    * The FIRST round is the one the broadcast gate actually changes:
+    * its small side sits under a fresh corpus-scan aggregate whose
+    * size ESTIMATE is corpus-order, so the un-gated planner picks a
+    * sort-merge join there even though the true size is |V|; later
+    * rounds read the previous round's cached/LogicalRDD output,
+    * whose accurate small stats let auto-broadcast kick in anyway.
+    */
+  private[graft] val roundPlans =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def recordRoundPlan(key: String, df: DataFrame): Unit =
+    roundPlans.putIfAbsent(
+      key, df.queryExecution.executedPlan.toString): Unit
 
   /** Co-purchase pairs over a lineitem subset — the [[coOrderEdgesPlan]]
     * shape, parameterized so the base/delta split shares one
@@ -1330,14 +1411,22 @@ object Graph {
           .filter(col("deg") >= k).select(col("v"))
           .persist()
         toRelease ::= surv
-        alive = surv.count() > 0L
+        val nSurv = surv.count()
+        alive = nSurv > 0L
         if (alive) {
           tagged = tagged.unionAll(surv.withColumn("r", lit(r.toLong)))
+          // the survivor set is nSurv rows (just counted for the
+          // short-circuit): broadcast-gate both semi-joins so the
+          // surviving edge relation is never exchanged per peel
+          // round — see [[bcastIfSmall]]
+          val s1 = bcastIfSmall(nSurv)(surv)
+          val s2 = bcastIfSmall(nSurv)(surv)
           val next = edges
-            .join(surv, edges("src") === surv("v"), "left_semi")
-            .join(surv, edges("dst") === surv("v"), "left_semi")
+            .join(s1, edges("src") === s1("v"), "left_semi")
+            .join(s2, edges("dst") === s2("v"), "left_semi")
             .persist()
           toRelease ::= next
+          recordRoundPlan("kcore", next)
           edges = org.apache.spark.sql.GraftColumnBridge
             .truncateLineage(next)
         }

@@ -847,7 +847,11 @@ object Profile {
       case "graphsplit" =>
         // stage attribution for the graph-family first-touch cascade:
         // each layer memoizes to scratch, so sequential timings
-        // isolate one layer each
+        // isolate one layer each. Optional 3rd arg sets
+        // spark.graft.graph.bcastRowsCap (0 = pre-gate fallback
+        // shapes) for A/B-ing the iterative-loop broadcast gate.
+        if (args.length > 2)
+          spark.conf.set("spark.graft.graph.bcastRowsCap", args(2))
         time("session warm-up") {
           graft.util.Tables.lineitem(spark, sfDir)
             .groupBy("l_returnflag").count().count()
@@ -881,6 +885,24 @@ object Profile {
         }
         time("graph_triangles_incremental") {
           graft.SparkEntry.queries("graph_triangles_incremental")(spark, sfDir).count()
+        }
+      case "graphroundplans" =>
+        // evidence capture for the iterative-loop join plans: the
+        // loops live inside memoized artifact builds, so run each
+        // build fresh (pid-scoped scratch => always first-touch in
+        // this JVM) and print the final-round physical plan each
+        // loop deposited in Graph.roundPlans. Optional 3rd arg sets
+        // spark.graft.graph.bcastRowsCap (0 = force the fallback
+        // shuffle-join shape, i.e. the pre-gate plans).
+        if (args.length > 2)
+          spark.conf.set("spark.graft.graph.bcastRowsCap", args(2))
+        for (q <- Seq("graph_pagerank", "graph_bfs_hops",
+            "graph_label_prop", "graph_kcore")) {
+          graft.SparkEntry.queries(q)(spark, sfDir).count(): Unit
+        }
+        graft.ops.Graph.roundPlans.forEach { (k, v) =>
+          println(s"========== round plan: $k ==========")
+          println(v)
         }
       case "fscheck" =>
         val hconf = spark.sparkContext.hadoopConfiguration

@@ -260,6 +260,22 @@ object ScratchIndex {
     dst
   }
 
+  /** On-disk byte size of a pid-scoped memoized artifact, 0 if not
+    * (yet) materialized. Plan-time sizing input for scale-adaptive
+    * join-strategy gates (guide §3.1: broadcast the side that fits —
+    * but only when its MEASURED size says so, not an estimate): the
+    * artifact is a plain parquet directory whose length is the best
+    * available proxy for the relation's in-memory footprint, and
+    * reading it costs a few stat calls, not a Spark job.
+    */
+  def artifactBytes(key: String): Long = {
+    def sz(f: File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).map(_.map(sz).sum).getOrElse(0L)
+    val dst = new File(root, key)
+    if (dst.exists()) sz(dst) else 0L
+  }
+
   /** Drop a pid-scoped memoized artifact (measurement-only: profile
     * loops re-time a daily publish by dropping its key between
     * rounds; registered query paths never drop).
