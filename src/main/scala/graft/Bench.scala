@@ -264,12 +264,55 @@ object Bench {
       (directMbps, readSeq(direct = false))
     }
 
+    // CPU-health probe (the compute counterpart of the write/scan
+    // probes): the r17 driver bench ran inside a window where 32-way
+    // parallel work was 2-12× slower than 8-way on identical code —
+    // CPU steal / host oversubscription that no disk probe can see
+    // and that the stall heuristic cannot adjudicate (a contended
+    // query still burns CPU, so it is not "starved"). Measure the
+    // single-thread throughput of a fixed integer-mix kernel and the
+    // aggregate SPEEDUP of the same kernel on `cpus` threads: a
+    // healthy host speeds up to ~min(cpus, physical cores); a stolen
+    // window collapses the ratio toward 1. Reported pre and post so
+    // a mid-run shift is visible, like the io probes.
+    val cpuSink = new java.util.concurrent.atomic.AtomicLong(0)
+    def cpuProbe(threads: Int): (Double, Double) = {
+      def kernel(iters: Long): Long = {
+        var h = 0x9E3779B97F4A7C15L
+        var i = 0L
+        while (i < iters) {
+          h = java.lang.Long.rotateLeft(h * 0xC2B2AE3D27D4EB4FL, 31) ^ i
+          i += 1
+        }
+        h
+      }
+      cpuSink.addAndGet(kernel(1000000L)): Unit // JIT warm-up
+      val iters = 150000000L // ~100 ms/thread on a healthy core
+      val t1 = System.nanoTime()
+      cpuSink.addAndGet(kernel(iters)): Unit
+      val stMops = iters / ((System.nanoTime() - t1) / 1e9) / 1e6
+      val tn = System.nanoTime()
+      val ts = (1 to threads).map { _ =>
+        val t = new Thread(() => { cpuSink.addAndGet(kernel(iters)): Unit })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      val aggMops =
+        threads.toLong * iters / ((System.nanoTime() - tn) / 1e9) / 1e6
+      (stMops, aggMops / stMops)
+    }
+    val (cpuStPre, cpuParPre) = cpuProbe(cpus.toInt)
+
     val (scanDirect, scanCached) = scanProbeMBps()
     val ioPre = diskProbeMBps()
     val (coldRaw, coldFailed) = sweep()
     val (warmRaw, _) = sweep()
     val ioPost = diskProbeMBps()
+    val (cpuStPost, cpuParPost) = cpuProbe(cpus.toInt)
     val ioMbps = math.min(ioPre, ioPost)
+    // worse of the two windows, like io_mbps: the number a reader
+    // should use to adjudicate whether parallel cells were starved
+    val cpuParX = math.min(cpuParPre, cpuParPost)
 
     // Stall adjudication: a query is a stall CANDIDATE when all of
     // (a) wall time above an absolute floor (sub-second jitter is
@@ -381,6 +424,8 @@ object Bench {
       s""""stalls_cold":${jmap(coldStalls, _.toString)},""" +
       s""""stalls_warm":${jmap(warmStalls, _.toString)},""" +
       s""""io_mbps_pre":$ioPre,"io_mbps_post":$ioPost,""" +
+      s""""cpu_st_mops_pre":$cpuStPre,"cpu_st_mops_post":$cpuStPost,""" +
+      s""""cpu_par_x_pre":$cpuParPre,"cpu_par_x_post":$cpuParPost,""" +
       s""""window_shifted":$windowShifted,"shift_reruns":$shiftReruns,""" +
       s""""scan_direct_mbps":$scanDirect,"scan_cached_mbps":$scanCached,""" +
       s""""scratch":"${graft.util.ScratchIndex.base.getPath}",""" +
@@ -405,14 +450,15 @@ object Bench {
           else ""
         s""""failed":${jlist(shown)},$more"""
       }
-    // the fixed window_shifted/shift_reruns fields joined the compact
-    // line, so the variable queries map cedes them ~50 chars of the
-    // shared ~2000-char driver stdout-tail budget
-    val queriesBudget = math.max(400, 1500 - failedPart.length)
+    // the fixed window_shifted/shift_reruns/cpu_par_x fields joined
+    // the compact line, so the variable queries map cedes them ~70
+    // chars of the shared ~2000-char driver stdout-tail budget
+    val queriesBudget = math.max(400, 1480 - failedPart.length)
     println(s"""{"metric":"total","value":${r2(total)},"unit":"sec",""" +
       s""""queries":${compactQueries(cold, queriesBudget)},""" +
       s""""warm_total":${r2(warmTotal)},$failedPart"n":${cold.size},""" +
       s""""io_mbps":${r2(ioMbps)},"io_degraded":$ioDegraded,""" +
+      s""""cpu_par_x":${r2(cpuParX)},""" +
       s""""scan_mbps":${r2(scanDirect)},""" +
       s""""tmpfs":${graft.util.ScratchIndex.tmpfsBacked},""" +
       s""""stall_reruns":$stallCount,"sf":"$sfDir"}""")

@@ -199,11 +199,20 @@ object Graph {
       toRelease ::= next
       recordRoundPlan("bfs", next)
       counts += next.count()
+      // truncate the new frontier's lineage before it feeds BOTH the
+      // next hop's join and the growing visited union (the pagerank/
+      // label_prop discipline): without this, hop h's plan embeds
+      // hop h-1's full join tree on the frontier side AND every prior
+      // hop's tree through the visited union — the committed r17 BFS
+      // round-plan dump was ~35k lines by the last hop, all planning
+      // cost, none of it computation (the data is cached).
+      val nextT = org.apache.spark.sql.GraftColumnBridge
+        .truncateLineage(next)
       if (counts.last > 0L) {
         visited = visited
-          .unionByName(next.withColumn("dist", lit(h.toLong)))
+          .unionByName(nextT.withColumn("dist", lit(h.toLong)))
       }
-      frontier = next
+      frontier = nextT
       h += 1
     }
     (visited, counts.toSeq, toRelease)
@@ -862,8 +871,15 @@ object Graph {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   private def recordRoundPlan(key: String, df: DataFrame): Unit =
-    roundPlans.putIfAbsent(
-      key, df.queryExecution.executedPlan.toString): Unit
+    // containsKey gate BEFORE stringifying: putIfAbsent evaluates its
+    // value argument eagerly, so the naive form rebuilt (and then
+    // discarded) a multi-thousand-line executedPlan string on EVERY
+    // loop round — evidence tooling taxing the measured path (guide
+    // §1: the instrument must not distort the measurement). With the
+    // gate, only the first round of each family pays one stringify.
+    if (!roundPlans.containsKey(key))
+      roundPlans.putIfAbsent(
+        key, df.queryExecution.executedPlan.toString): Unit
 
   /** Co-purchase pairs over a lineitem subset — the [[coOrderEdgesPlan]]
     * shape, parameterized so the base/delta split shares one

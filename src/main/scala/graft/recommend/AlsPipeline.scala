@@ -138,26 +138,30 @@ object AlsPipeline {
     java.lang.Long.toHexString(f.length() * 1000003L + f.lastModified())
   }
 
-  /** Trained factors, persisted ACROSS JVMs (VERDICT r7 #2): the
-    * factor matrices are data derived from data — (ratings
-    * fingerprint, training-set variant, rank, seed, iterations,
-    * λ, blocks) fully determine them (the solver is seeded), so they
-    * belong in a shared content-keyed store, not per-JVM memory.
-    * First process to need a configuration pays the fit and publishes
-    * `ALSModel.write` atomically; every later JVM (the driver re-JVMs
-    * between Verify and Bench) loads the few-MB factor parquet in
-    * milliseconds instead of re-running 10 blocked ALS iterations.
-    * This is the 100-TB shape: a model registry beside the corpus,
-    * trained once per (data, config), served everywhere.
+  /** Trained factors, persisted per JVM (pid-scoped scratch, like
+    * every other derived index). The factor matrices are fully
+    * determined by (ratings fingerprint, training-set variant, rank,
+    * seed, iterations, λ, blocks) — the solver is seeded — so within
+    * a process the first query needing a configuration pays the fit
+    * and publishes `ALSModel.write` atomically; later queries load
+    * the few-MB factor parquet instead of re-running 10 blocked ALS
+    * iterations. The store was CROSS-JVM from r8 to r17
+    * (ScratchIndex.sharedArtifact on /dev/shm): correct under the
+    * deterministic-key contract, but it let a cold driver bench read
+    * a PREVIOUS process's fitted model — reporting als_* times that
+    * skip work a genuinely cold run must pay (VERDICT r17 #4/#7:
+    * result caching across bench invocations is gaming, not
+    * optimization). Pid-scoping restores the honest cold number; the
+    * fingerprint in the key still invalidates on data regeneration.
     */
   private def fitOrLoad(s: SparkSession, variant: String, rank: Int)
       (train: => DataFrame): ALSModel = {
     val key = s"als_v1_${dataFingerprint}_${variant}_r${rank}_s${Seed}" +
       s"_i${Iterations}_l$Regularization" + s"_b$NumBlocks"
-    val dir = graft.util.ScratchIndex.sharedArtifact(key) { tmp =>
+    val dir = graft.util.ScratchIndex.materializePath(s, key) { tmp =>
       fit(train, rank).write.save(tmp)
     }
-    ALSModel.load(dir.toString)
+    ALSModel.load(dir)
   }
 
   private def modelFor(s: SparkSession, rank: Int): ALSModel =

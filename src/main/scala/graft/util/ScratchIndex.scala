@@ -225,40 +225,13 @@ object ScratchIndex {
     dst.toString
   }
 
-  /** SHARED (cross-JVM) artifact directory — the exception to the
-    * pid-scoping rule, for DETERMINISTIC derived artifacts whose key
-    * embeds everything that determines their bytes (a data
-    * fingerprint plus every parameter of the computation). Under that
-    * contract the pid-root hazards don't apply: a rebuild by any
-    * process produces the same artifact, so reading another process's
-    * copy is correct, and the atomic tmp+rename publish keeps the
-    * final path absent-or-complete (concurrent builders race the
-    * rename; the loser discards its copy). NOT deleted at exit —
-    * cross-JVM persistence is the point: e.g. ALS factor matrices
-    * keyed by (ratings fingerprint, variant, rank, hyperparams) are
-    * DATA derived from data, not JVM state, and refitting them per
-    * process was pure waste (VERDICT r7 #2). Artifacts are small
-    * (factor matrices, not corpora); a stale key is simply never read
-    * again and costs its few MB until the base clears (tmpfs: reboot).
-    */
-  def sharedArtifact(key: String)(write: String => Unit): File = {
-    warnIfLowHeadroom()
-    val sharedRoot = new File(base, "graft_scratch_shared")
-    sharedRoot.mkdirs()
-    val dst = new File(sharedRoot, key)
-    if (!dst.exists()) {
-      val tmp = new File(sharedRoot,
-        s"$key.build_${java.util.UUID.randomUUID().toString.take(8)}")
-      write(tmp.toString)
-      try Files.move(tmp.toPath, dst.toPath,
-        StandardCopyOption.ATOMIC_MOVE): Unit
-      catch {
-        case _: java.nio.file.FileSystemException =>
-          deleteRecursively(tmp) // another builder won the rename
-      }
-    }
-    dst
-  }
+  // NOTE: there was a cross-JVM `sharedArtifact` store here (r8-r17,
+  // /dev/shm/graft_scratch_shared, used for ALS factor matrices).
+  // Removed in r18: persistence ACROSS bench invocations let a cold
+  // driver run load a previous process's fitted model — result
+  // caching across runs, which the optimization brief classifies as
+  // gaming. Everything memoized now lives under the pid-scoped root
+  // and dies with the process.
 
   /** On-disk byte size of a pid-scoped memoized artifact, 0 if not
     * (yet) materialized. Plan-time sizing input for scale-adaptive
