@@ -186,15 +186,10 @@ object Graph {
     var visited = frontier.withColumn("dist", lit(0L))
     var h = 1
     while (h <= MaxHops && counts.last > 0L) {
-      // the frontier (counts.last rows) and the visited set (Σcounts
-      // rows) are driver-known sizes from the loop's own counts —
-      // broadcast-gate both so the symmetric edge relation is never
-      // exchanged per hop — see [[bcastIfSmall]]
-      val fside = bcastIfSmall(counts.last)(frontier)
+      val fside = frontier
       val next = fside.join(e, fside("v") === e("a"))
         .select(col("b").as("v")).distinct()
-        .join(bcastIfSmall(counts.sum)(visited.select(col("v"))),
-          Seq("v"), "left_anti")
+        .join(visited.select(col("v")), Seq("v"), "left_anti")
         .persist()
       toRelease ::= next
       recordRoundPlan("bfs", next)
@@ -302,10 +297,7 @@ object Graph {
       var ranks = deg
         .select(col("src").as("v"), lit(1.0 / n).as("rank"))
       for (_ <- 1 to PrIters) {
-        // ranks is n rows (one per vertex, n already at the driver):
-        // broadcast-gate it so the cached (src, dst, degree) relation
-        // is never exchanged per iteration — see [[bcastIfSmall]]
-        val rside = bcastIfSmall(n)(ranks)
+        val rside = ranks
         val next = ce.join(rside, ce("src") === rside("v"))
           .groupBy(col("dst"))
           .agg((lit(0.15 / n) + lit(Damping) *
@@ -559,12 +551,10 @@ object Graph {
         .select(col("v"), col("v").as("lbl"))
         .persist()
       toRelease ::= labels
-      // the label table is |V| rows every round — count it once (the
-      // persisted seed is consumed by round 1 anyway) and broadcast-
-      // gate the per-round join — see [[bcastIfSmall]]
-      val nv = labels.count()
+      // materialize the persisted seed once (round 1 consumes it)
+      labels.count(): Unit
       for (_ <- 1 to LpRounds) {
-        val lside = bcastIfSmall(nv)(labels)
+        val lside = labels
         val next = e.join(lside, e("src") === lside("v"))
           .select(col("dst").as("v"), col("lbl"))
           .unionAll(labels)
@@ -826,33 +816,15 @@ object Graph {
     */
   private val BcastVertCap = 4000000L
 
-  /** Size-gated broadcast for an iterative query's per-round SMALL
-    * relation (pagerank's ranks, BFS's frontier + visited set,
-    * k-core's survivor set, label-prop's label table): each of these
-    * loops re-joins a corpus-sized cached edge relation against a
-    * vertex-order relation every round, and the planner's default is
-    * a sort-merge join that re-shuffles AND re-sorts the edge side
-    * per round — the dominant first-touch cost of the graph family
-    * (guide §2.4: remove shuffles outright; §3.1: broadcast the side
-    * that fits, decided from a MEASURED size). The small side's row
-    * count is a driver-known scalar at every call site (the loops
-    * already count their frontiers/survivors to short-circuit), so
-    * the gate costs no extra job: under [[BcastVertCap]] rows the
-    * side broadcasts and a round becomes one map-side join plus the
-    * inherent aggregation shuffle; over the cap (|V|-order relations
-    * at sf100+) the join falls back to the planner's shuffle
-    * strategies rather than ship an unbounded broadcast — the same
-    * cap and fallback discipline as the class-2 triangle prune
-    * above.
-    */
-  private def bcastIfSmall(rows: Long)(df: DataFrame): DataFrame = {
-    // conf override (default = BcastVertCap) so the fallback shape is
-    // profileable/testable without editing call sites; production
-    // tuning goes through the same key
-    val cap = df.sparkSession.conf
-      .get("spark.graft.graph.bcastRowsCap", BcastVertCap.toString).toLong
-    if (rows <= cap) broadcast(df) else df
-  }
+  // NOTE: r17 added a `bcastIfSmall` broadcast-hint gate on the
+  // iterative loops' per-round small relations (pagerank's ranks,
+  // BFS's frontier/visited, k-core's survivors, label-prop's labels).
+  // r18 removed it: first-round physical plans captured with the gate
+  // forced OFF (spark.graft.graph.bcastRowsCap=0) are byte-identical
+  // to the gated plans — the planner's own estimates already pick
+  // BroadcastHashJoin for every per-round join, first round included,
+  // so the hint changed no plan and only added the risk of forcing a
+  // multi-GB broadcast at a scale where the planner would know better.
 
   /** Physical plan of the FIRST executed round of each iterative
     * build, keyed by query family — evidence hook: the loop plans
@@ -1431,12 +1403,8 @@ object Graph {
         alive = nSurv > 0L
         if (alive) {
           tagged = tagged.unionAll(surv.withColumn("r", lit(r.toLong)))
-          // the survivor set is nSurv rows (just counted for the
-          // short-circuit): broadcast-gate both semi-joins so the
-          // surviving edge relation is never exchanged per peel
-          // round — see [[bcastIfSmall]]
-          val s1 = bcastIfSmall(nSurv)(surv)
-          val s2 = bcastIfSmall(nSurv)(surv)
+          val s1 = surv
+          val s2 = surv
           val next = edges
             .join(s1, edges("src") === s1("v"), "left_semi")
             .join(s2, edges("dst") === s2("v"), "left_semi")

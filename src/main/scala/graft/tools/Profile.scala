@@ -847,11 +847,9 @@ object Profile {
       case "graphsplit" =>
         // stage attribution for the graph-family first-touch cascade:
         // each layer memoizes to scratch, so sequential timings
-        // isolate one layer each. Optional 3rd arg sets
-        // spark.graft.graph.bcastRowsCap (0 = pre-gate fallback
-        // shapes) for A/B-ing the iterative-loop broadcast gate.
-        if (args.length > 2)
-          spark.conf.set("spark.graft.graph.bcastRowsCap", args(2))
+        // isolate one layer each. (The optional bcastRowsCap 3rd arg
+        // died with the bcastIfSmall gate in r18 — the planner picks
+        // the same per-round broadcast joins unhinted.)
         time("session warm-up") {
           graft.util.Tables.lineitem(spark, sfDir)
             .groupBy("l_returnflag").count().count()
@@ -890,12 +888,11 @@ object Profile {
         // evidence capture for the iterative-loop join plans: the
         // loops live inside memoized artifact builds, so run each
         // build fresh (pid-scoped scratch => always first-touch in
-        // this JVM) and print the final-round physical plan each
-        // loop deposited in Graph.roundPlans. Optional 3rd arg sets
-        // spark.graft.graph.bcastRowsCap (0 = force the fallback
-        // shuffle-join shape, i.e. the pre-gate plans).
-        if (args.length > 2)
-          spark.conf.set("spark.graft.graph.bcastRowsCap", args(2))
+        // this JVM) and print the FIRST-round physical plan each
+        // loop deposited in Graph.roundPlans. (The optional
+        // bcastRowsCap 3rd arg died with the bcastIfSmall gate in
+        // r18: plans captured with cap=0 vs default were identical,
+        // which is why the gate was deleted.)
         for (q <- Seq("graph_pagerank", "graph_bfs_hops",
             "graph_label_prop", "graph_kcore")) {
           graft.SparkEntry.queries(q)(spark, sfDir).count(): Unit
