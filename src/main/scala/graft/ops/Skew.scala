@@ -423,39 +423,45 @@ object Skew {
     * reads back ≤ (K+1)·|segments| columnar rows (0 spill, see
     * SCALING.md Round-15).
     */
-  /** The distinct (seg, h) member-hash projection of a lineitem
-    * relation — the ONLY corpus-sized step of any sketch build.
+  /** The (seg, h) member-hash projection of a lineitem relation —
+    * the ONLY corpus-sized step of any sketch build. NOT deduplicated
+    * here: [[thetaSummaryOf]]'s bottom-k aggregate is distinct by
+    * construction, so a distinct() at this level would only add the
+    * corpus-wide exchange the aggregate exists to avoid.
     */
   private def thetaDsetOf(li: DataFrame): DataFrame =
     li.select(date_format(col("l_shipdate"), "yyyy-MM").as("seg"),
       thetaHashOf(col("l_partkey")).as("h"))
-      .distinct()
 
-  /** The two-level bottom-(K+1) trim + theta threshold over a distinct
-    * (seg, h) relation — shared by the full-corpus sketch build and
-    * the base/delta builds of the incremental path, so all three
+  /** The bottom-(K+1) distinct trim + theta threshold over a (seg, h)
+    * relation — shared by the full-corpus sketch build and the
+    * base/delta builds of the incremental path, so all three
     * summaries are definitionally the same sketch of their inputs.
+    *
+    * One typed aggregate per segment (functions/BottomK.scala)
+    * replaces the r17 distinct() + two-row_number-window ladder: the
+    * old plan shuffled every distinct (seg, h) pair of the corpus and
+    * sorted it twice; this one partial-aggregates map-side, so the
+    * exchange carries ≤ (K+1)·|segments| rows per scan task at any
+    * corpus size (guide §2.3). Output is IDENTICAL by construction:
+    * the ascending bottom array's (K+1)-th entry is exactly the old
+    * plan's kth1 (theta when the segment overflowed), and the first
+    * K entries are exactly the rows strictly below it; under K+1
+    * distinct members theta stays M and everything is retained.
     */
   private def thetaSummaryOf(dset: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val kk = lit(ThetaK + 1)
-    val wShard = Window
-      .partitionBy(col("seg"), pmod(col("h"), lit(ThetaShards)))
-      .orderBy(col("h"))
-    val wSeg = Window.partitionBy(col("seg")).orderBy(col("h"))
-    val bottom = dset
-      .withColumn("srn", row_number().over(wShard))
-      .filter(col("srn") <= kk).drop("srn")
-      .withColumn("rn", row_number().over(wSeg)).filter(col("rn") <= kk)
-    val theta = bottom.groupBy(col("seg"))
-      .agg(count(lit(1)).as("n_bot"),
-        max(when(col("rn") === kk, col("h"))).as("kth1"))
+    val kk = ThetaK + 1
+    val bottomK = udaf(
+      graft.functions.BottomK.BottomKDistinctLongs(kk),
+      org.apache.spark.sql.Encoders.scalaLong)
+    dset.groupBy(col("seg"))
+      .agg(bottomK(col("h")).as("bot"))
       .select(col("seg"),
-        when(col("n_bot") === kk, col("kth1"))
-          .otherwise(lit(ThetaM)).as("theta"))
-    // retained entries: strictly below theta, complete below it
-    bottom.join(broadcast(theta), "seg")
-      .filter(col("h") < col("theta"))
+        when(size(col("bot")) === kk, element_at(col("bot"), kk))
+          .otherwise(lit(ThetaM)).as("theta"),
+        explode(when(size(col("bot")) === kk,
+            slice(col("bot"), 1, ThetaK))
+          .otherwise(col("bot"))).as("h"))
       .select(col("seg"), col("h"), col("theta"))
   }
 

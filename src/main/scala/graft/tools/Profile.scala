@@ -901,6 +901,23 @@ object Profile {
           println(s"========== round plan: $k ==========")
           println(v)
         }
+      case "pqsplit" =>
+        // stage attribution for sim_ann_pq's first touch: codebook
+        // training (Lloyd rounds over the sample), corpus encode
+        // (code table build), then the registered query (decode +
+        // rank), each memoized so sequential timings isolate a layer.
+        time("session warm-up") {
+          graft.util.Tables.embeddings(spark, sfDir).count()
+        }
+        time("codebook train (Lloyd rounds)") {
+          graft.ops.Similarity.pqCodebooks(spark, sfDir).length: Unit
+        }
+        time("corpus encode (code table)") {
+          graft.ops.Similarity.pqCodeTable(spark, sfDir).count()
+        }
+        for (r <- 1 to 3) time(s"sim_ann_pq query round $r") {
+          graft.SparkEntry.queries("sim_ann_pq")(spark, sfDir).count()
+        }
       case "fscheck" =>
         val hconf = spark.sparkContext.hadoopConfiguration
         val fs = org.apache.hadoop.fs.FileSystem
@@ -983,6 +1000,18 @@ object Profile {
         println("== statestore ==")
         val st = spark.read.format("statestore").option("path", ck).load()
         st.printSchema(); st.show(5, false)
+      case "dumpq" =>
+        // equivalence-evidence dump: write the named queries' full
+        // output as single-file sorted CSV under /tmp/graft_dumpq/<n>,
+        // for byte-diffing a restructured query against its pre-change
+        // self (the no-oracle queries' stand-in for the hash gate).
+        for (name <- args.drop(2).toSeq) {
+          val out = s"/tmp/graft_dumpq/$name"
+          graft.SparkEntry.queries(name)(spark, sfDir)
+            .coalesce(1)
+            .write.mode("overwrite").option("header", "true").csv(out)
+          println(s"[dumpq] $name -> $out")
+        }
       case "explainc" =>
         // the plan the SWEEP actually executes: Profile times
         // fn(...).count(), and EliminateSorts may remove a terminal
