@@ -20,13 +20,8 @@ object Graph {
     * halves the output and canonicalizes direction at the join, not
     * after.
     */
-  private def coOrderEdgesPlan(s: SparkSession, d: String): DataFrame = {
-    val li = lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
-    val a = li.toDF("ok", "p1")
-    val b = li.toDF("ok", "p2")
-    a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
-      .select(col("p1"), col("p2")).distinct()
-  }
+  private def coOrderEdgesPlan(s: SparkSession, d: String): DataFrame =
+    pairsOf(lineitem(s, d).select(col("l_orderkey"), col("l_partkey")))
 
   /** The edge relation, materialized ONCE per corpus to scratch
     * parquet and shared by every graph query (triangles and the
@@ -856,13 +851,26 @@ object Graph {
   /** Co-purchase pairs over a lineitem subset — the [[coOrderEdgesPlan]]
     * shape, parameterized so the base/delta split shares one
     * definition with the full rebuild.
+    *
+    * Group-then-expand instead of self-join (r18): collect each
+    * order's distinct sorted item set with ONE keyed aggregation
+    * (partial aggregation collapses duplicate (ok, p) rows map-side),
+    * then expand the p1<p2 pairs row-locally with two generators —
+    * where the self-join shuffled the relation twice (both join
+    * sides) and only then built pairs, this shuffles it once and
+    * builds the identical pair set from the grouped row (guide §2.3
+    * aggregate-before-shuffle + §2.4 remove shuffles outright). The
+    * trailing distinct() over pairs is shared by both shapes (the
+    * same pair arises from many orders).
     */
-  private def pairsOf(li: DataFrame): DataFrame = {
-    val a = li.toDF("ok", "p1")
-    val b = li.toDF("ok", "p2")
-    a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
-      .select(col("p1"), col("p2")).distinct()
-  }
+  private def pairsOf(li: DataFrame): DataFrame =
+    li.toDF("ok", "p")
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(col("ps")).as("p1"), col("ps"))
+      .select(col("p1"),
+        explode(filter(col("ps"), x => x > col("p1"))).as("p2"))
+      .distinct()
 
   /** Symmetric per-vertex degree of an edge relation. */
   private def degreesOf(e: DataFrame): DataFrame =

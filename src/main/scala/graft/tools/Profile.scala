@@ -1000,6 +1000,35 @@ object Profile {
         println("== statestore ==")
         val st = spark.read.format("statestore").option("path", ck).load()
         st.printSchema(); st.show(5, false)
+      case "edgesab" =>
+        // alternating same-session A/B of the co-order pair kernel:
+        // old self-join+distinct vs grouped collect_set+expand, timed
+        // with the noop sink (guide §1.4) so host-window drift shows
+        // as correlated movement, not a verdict.
+        import org.apache.spark.sql.functions._
+        val li = graft.util.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_partkey"))
+        li.count() // warm the scan cache
+        def oldShape = {
+          val a = li.toDF("ok", "p1"); val b = li.toDF("ok", "p2")
+          a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+            .select(col("p1"), col("p2")).distinct()
+        }
+        def newShape = li.toDF("ok", "p")
+          .groupBy(col("ok"))
+          .agg(sort_array(collect_set(col("p"))).as("ps"))
+          .select(explode(col("ps")).as("p1"), col("ps"))
+          .select(col("p1"),
+            explode(filter(col("ps"), x => x > col("p1"))).as("p2"))
+          .distinct()
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.format("noop").mode("overwrite").save()
+        for (r <- 1 to 4) {
+          time(s"old self-join r$r") { noop(oldShape) }
+          time(s"new group-expand r$r") { noop(newShape) }
+        }
+        println("[edgesab] row parity: old=" + oldShape.count() +
+          " new=" + newShape.count())
       case "dumpq" =>
         // equivalence-evidence dump: write the named queries' full
         // output as single-file sorted CSV under /tmp/graft_dumpq/<n>,
