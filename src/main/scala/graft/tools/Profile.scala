@@ -1000,6 +1000,80 @@ object Profile {
         println("== statestore ==")
         val st = spark.read.format("statestore").option("path", ck).load()
         st.printSchema(); st.show(5, false)
+      case "plansr18" =>
+        // r18 evidence dumps: the optimized kernels live inside
+        // memoized artifact builds, so the registered queries' own
+        // explains show only the scratch-parquet read. This mode
+        // explains the BUILD relations — the r17 shape (inline
+        // replica, unchanged definitions) and the r18 shape — so the
+        // plan diff the round claims is checkable from one session.
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        def banner(s0: String): Unit = println(s"\n========== $s0 ==========")
+        val li = graft.util.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey"), col("l_partkey"))
+        banner("edges BEFORE (self-join + distinct)")
+        locally {
+          val a = li.toDF("ok", "p1"); val b = li.toDF("ok", "p2")
+          a.join(b, Seq("ok")).filter(col("p1") < col("p2"))
+            .select(col("p1"), col("p2")).distinct().explain("formatted")
+        }
+        banner("edges AFTER (group collect_set + expand)")
+        locally {
+          li.toDF("ok", "p").groupBy(col("ok"))
+            .agg(sort_array(collect_set(col("p"))).as("ps"))
+            .select(explode(col("ps")).as("p1"), col("ps"))
+            .select(col("p1"),
+              explode(filter(col("ps"), x => x > col("p1"))).as("p2"))
+            .distinct().explain("formatted")
+        }
+        // theta summary kernel: r17 ladder replica vs shipped kernel
+        val ThetaK = 64; val ThetaM = 281474976710656L; val ThetaShards = 32L
+        val dset = li.select(
+          date_format(col("l_partkey").cast("string"), "yyyy-MM"))
+        val dsetReal = graft.util.Tables.lineitem(spark, sfDir)
+          .select(date_format(col("l_shipdate"), "yyyy-MM").as("seg"),
+            conv(substring(md5(concat_ws(":", lit("th"),
+              col("l_partkey"))), 1, 12), 16, 10).cast("long").as("h"))
+        banner("theta summary BEFORE (distinct + two windows)")
+        locally {
+          val kk = lit(ThetaK + 1)
+          val wShard = Window
+            .partitionBy(col("seg"), pmod(col("h"), lit(ThetaShards)))
+            .orderBy(col("h"))
+          val wSeg = Window.partitionBy(col("seg")).orderBy(col("h"))
+          val bottom = dsetReal.distinct()
+            .withColumn("srn", row_number().over(wShard))
+            .filter(col("srn") <= kk).drop("srn")
+            .withColumn("rn", row_number().over(wSeg))
+            .filter(col("rn") <= kk)
+          val theta = bottom.groupBy(col("seg"))
+            .agg(count(lit(1)).as("n_bot"),
+              max(when(col("rn") === kk, col("h"))).as("kth1"))
+            .select(col("seg"),
+              when(col("n_bot") === kk, col("kth1"))
+                .otherwise(lit(ThetaM)).as("theta"))
+          bottom.join(broadcast(theta), "seg")
+            .filter(col("h") < col("theta"))
+            .select(col("seg"), col("h"), col("theta")).explain("formatted")
+        }
+        banner("theta summary AFTER (bottom-k typed aggregate)")
+        locally {
+          val kk = ThetaK + 1
+          val bottomK = udaf(
+            graft.functions.BottomK.BottomKDistinctLongs(kk),
+            org.apache.spark.sql.Encoders.scalaLong)
+          dsetReal.groupBy(col("seg"))
+            .agg(bottomK(col("h")).as("bot"))
+            .select(col("seg"),
+              when(size(col("bot")) === kk, element_at(col("bot"), kk))
+                .otherwise(lit(ThetaM)).as("theta"),
+              explode(when(size(col("bot")) === kk,
+                  slice(col("bot"), 1, ThetaK))
+                .otherwise(col("bot"))).as("h"))
+            .select(col("seg"), col("h"), col("theta")).explain("formatted")
+        }
+        dset.count(): Unit
       case "edgesab" =>
         // alternating same-session A/B of the co-order pair kernel:
         // old self-join+distinct vs grouped collect_set+expand, timed
